@@ -1,0 +1,88 @@
+package graft.model
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** The reference's relational model (SURVEY.md §1), Spark-native.
+  *
+  * Four tables in an N:M star: `ranking` (daily-grain fact) → `song`
+  * (dim) ↔ `artist` (dim) via bridge `artist_song_map`. Schemas are
+  * EXPLICIT `StructType`s mirroring the fixed DDL at reference
+  * `db/sql/create_schema_structure.sql:19-70` — never inferred.
+  */
+object Music {
+
+  final case class Artist(artist_id: String, artist_name: String)
+
+  final case class Song(
+      isrc: String,
+      song_name: String,
+      song_duration_ms: Int,
+      is_explicit: Boolean,
+      spotify_url: String,
+      apple_music_url: Option[String])
+
+  final case class ArtistSongMap(artist_id: String, isrc: String)
+
+  /** `ranking_id SERIAL` is deliberately absent: no analytics query
+    * reads it (SURVEY.md §1.4) and a global mutable sequence does not
+    * scale; synthesize with row_number on demand if ever needed. */
+  final case class Ranking(
+      isrc: String,
+      ranking_date: Date,
+      rank: Int,
+      ranking_source: String)
+
+  /** In-flight nested song doc (reference `etl_pipeline.py:350-363`):
+    * one row per song with its artist list still nested; `explode`
+    * normalizes it into the star. */
+  final case class SongDoc(
+      isrc: String,
+      song_name: String,
+      song_duration_ms: Int,
+      is_explicit: Boolean,
+      spotify_url: String,
+      apple_music_url: Option[String],
+      artists: Seq[Artist],
+      source: String,
+      position: Int)
+
+  val sources: Seq[String] = Seq("Spotify", "Apple Music")
+
+  val artistSchema: StructType = StructType(Seq(
+    StructField("artist_id", StringType, nullable = false),
+    StructField("artist_name", StringType, nullable = false)))
+
+  val songSchema: StructType = StructType(Seq(
+    StructField("isrc", StringType, nullable = false),
+    StructField("song_name", StringType, nullable = false),
+    StructField("song_duration_ms", IntegerType, nullable = false),
+    StructField("is_explicit", BooleanType, nullable = false),
+    StructField("spotify_url", StringType, nullable = false),
+    StructField("apple_music_url", StringType, nullable = true)))
+
+  val artistSongMapSchema: StructType = StructType(Seq(
+    StructField("artist_id", StringType, nullable = false),
+    StructField("isrc", StringType, nullable = false)))
+
+  val rankingSchema: StructType = StructType(Seq(
+    StructField("isrc", StringType, nullable = false),
+    StructField("ranking_date", DateType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("ranking_source", StringType, nullable = false)))
+
+  /** Immutable snapshot of the 4-table state. Every mutating stage
+    * (upsert, GC, retention) is a pure `MusicDb => MusicDb` — the Spark
+    * translation of the reference's in-place Postgres mutations
+    * (SURVEY.md §7.4 risk 1). */
+  final case class MusicDb(
+      artist: DataFrame,
+      song: DataFrame,
+      artistSongMap: DataFrame,
+      ranking: DataFrame) {
+    def cached(): MusicDb =
+      MusicDb(artist.cache(), song.cache(), artistSongMap.cache(), ranking.cache())
+  }
+}
