@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.ChartQueries
+import graft.queries.{ChartQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,9 +23,33 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4/§2.5/§2.11 analytics surface
     "q_rank_delta" -> (ChartQueries.q_rank_delta _),
     "q_rank_delta_between" -> (ChartQueries.q_rank_delta_between _),
     "q_string_agg" -> (ChartQueries.q_string_agg _),
+    // §2.1 sources/sinks semantics
+    "q_upsert_returning" -> (ParityQueries.q_upsert_returning _),
+    "q_keep_best_row" -> (ParityQueries.q_keep_best_row _),
+    "q_join_update" -> (ParityQueries.q_join_update _),
+    // §2.3 joins
+    "q_full_outer_merge" -> (ParityQueries.q_full_outer_merge _),
+    "q_orphan_gc" -> (ParityQueries.q_orphan_gc _),
+    "q_semi_join" -> (ParityQueries.q_semi_join _),
+    // §2.9-shaped retention + §2.2 predicates
+    "q_retention" -> (ParityQueries.q_retention _),
+    "q_point_filter" -> (ParityQueries.q_point_filter _),
+    // §2.6 sorts/limits, §2.7 set ops
+    "q_topk" -> (ParityQueries.q_topk _),
+    "q_union_tagged" -> (ParityQueries.q_union_tagged _),
+    // aggregations (incl. beyond-parity rollup)
+    "q_rollup" -> (ParityQueries.q_rollup _),
+    "q_pricing_summary" -> (ParityQueries.q_pricing_summary _),
+    "q_ordered_agg_struct" -> (ParityQueries.q_ordered_agg_struct _),
+    // §2.8 scalar functions, §2.5 windows, report pipeline
+    "q_scalar_funcs" -> (ParityQueries.q_scalar_funcs _),
+    "q_date_funcs" -> (ParityQueries.q_date_funcs _),
+    "q_delta_glyph" -> (ParityQueries.q_delta_glyph _),
+    "q_rolling_window" -> (ParityQueries.q_rolling_window _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +101,152 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY nation ASC""".stripMargin,
+    "q_upsert_returning" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_keep_best_row" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey,
+        |       CAST(o_orderdate AS DATE) AS first_date
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+        |ORDER BY o_custkey ASC""".stripMargin,
+    "q_join_update" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 5 = 0 AND c_custkey % 2 = 0
+        |         THEN 'FILLED-' || c_name
+        |       WHEN c_custkey % 5 = 0 THEN NULL
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey ASC""".stripMargin,
+    "q_full_outer_merge" ->
+      """WITH l AS (SELECT c_custkey, 'L-' || c_name AS l_val
+        |           FROM customer WHERE c_custkey % 2 = 0),
+        |     r AS (SELECT c_custkey, 'R-' || c_name AS r_val
+        |           FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+        |       COALESCE(r_val, l_val) AS merged
+        |FROM l FULL JOIN r ON l.c_custkey = r.c_custkey
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_orphan_gc" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand ASC""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS date, event_type FROM events),
+        |     m AS (SELECT MAX(date) AS maxd FROM e)
+        |SELECT event_type AS platform, COUNT(*) AS n_kept,
+        |       MIN(date) AS min_date, MAX(date) AS max_date
+        |FROM e, m WHERE date > maxd - INTERVAL 15 DAY
+        |GROUP BY event_type ORDER BY platform ASC""".stripMargin,
+    "q_point_filter" ->
+      """SELECT event_id, user_id, event_type AS platform,
+        |       CAST(value AS DECIMAL(14,2)) AS value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |  AND user_id BETWEEN 1 AND 50 AND props IS NOT NULL
+        |ORDER BY event_id ASC""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_union_tagged" ->
+      """SELECT * FROM (
+        |  SELECT 'Spotify' AS source, c_name AS name,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY c_name ASC) AS INTEGER) AS position
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 'Apple Music', c_name,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY c_name ASC) AS INTEGER)
+        |  FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY source ASC, position ASC""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag ASC, linestatus ASC""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |      * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2024-06-30'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "q_scalar_funcs" ->
+      ("""SELECT c_custkey,
+        |  string_split(c_name, '#')[-1] AS id_suffix,
+        |  'segment:' || c_mktsegment || ' track:' || c_name AS search_q,
+        |  base64(encode(c_name)) AS b64,
+        |  regexp_replace(c_name, '([`_*~{}""".stripMargin +
+        "\\[\\]()#+\\-.!|$])', '\\\\\\1', 'g') AS escaped,\n" +
+        """  replace('https://open.spotify.com/track/' || CAST(c_custkey AS VARCHAR),
+        |          '/track/', '/embed/track/') || '?theme=0' AS embed_url
+        |FROM customer ORDER BY c_custkey ASC""".stripMargin),
+    "q_date_funcs" ->
+      """SELECT date,
+        |  strftime(date, '%A, %B %-d, %Y') AS human,
+        |  strftime(date, '%Y-%m-%d') AS iso,
+        |  date + 1 AS next_day,
+        |  CAST(date - INTERVAL 1 YEAR AS DATE) AS year_ago
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders)
+        |ORDER BY date ASC""".stripMargin,
+    "q_delta_glyph" ->
+      """WITH scores AS (
+        |  SELECT CAST(ts AS DATE) AS date, event_type AS platform,
+        |         user_id AS entity_id,
+        |         SUM(CAST(value AS DECIMAL(14,2))) AS score
+        |  FROM events GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT date, platform, entity_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY date, platform
+        |           ORDER BY score DESC, entity_id ASC) AS INTEGER) AS rank
+        |  FROM scores
+        |), top AS (SELECT * FROM ranked WHERE rank <= 10),
+        |d AS (
+        |  SELECT date, platform, entity_id, rank,
+        |         CASE WHEN LAG(date) OVER w = date - 1
+        |              THEN LAG(rank) OVER w - rank END AS delta
+        |  FROM top
+        |  WINDOW w AS (PARTITION BY platform, entity_id ORDER BY date ASC)
+        |), g AS (
+        |  SELECT platform, rank, entity_id,
+        |         CASE WHEN delta IS NULL THEN 'new'
+        |              WHEN delta > 0 THEN '+' || CAST(delta AS VARCHAR)
+        |              WHEN delta < 0 THEN CAST(delta AS VARCHAR)
+        |              ELSE '—' END AS glyph
+        |  FROM d WHERE date = DATE '2024-01-30')
+        |SELECT platform, rank, entity_id, glyph,
+        |       concat_ws(' | ', glyph, rank, entity_id) AS line
+        |FROM g ORDER BY platform ASC, rank ASC""".stripMargin,
+    "q_rolling_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS date, event_type AS platform,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT date, platform, n_events,
+        |  SUM(n_events) OVER (PARTITION BY platform ORDER BY date ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d
+        |FROM daily ORDER BY date ASC, platform ASC""".stripMargin,
+    "q_ordered_agg_struct" ->
+      """SELECT n_name AS nation,
+        |  STRING_AGG(c_name, ', ' ORDER BY c_acctbal DESC, c_name ASC)
+        |    AS by_balance_desc
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation ASC""".stripMargin,
   )
 }

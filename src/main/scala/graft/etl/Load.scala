@@ -67,18 +67,25 @@ object Load {
     * @param updates columns (isrc, apple_music_url)
     * @return (updated rows — RETURNING set, new song table)
     */
-  def updateAppleMusicUrls(song: DataFrame, updates: DataFrame): (DataFrame, DataFrame) = {
-    val u = updates.select(col("isrc"), col("apple_music_url").as("__new_url"))
-      .where(col("__new_url").isNotNull)
-      .transform(keepBestRow(_, Seq("isrc"), Seq(col("__new_url").asc)))
-    val joined = song.join(u, Seq("isrc"), "left")
+  def updateAppleMusicUrls(song: DataFrame, updates: DataFrame): (DataFrame, DataFrame) =
+    updateColumn(song, updates, "isrc", "apple_music_url")
+
+  /** General fill-if-NULL column update (the set-based S10): rows of
+    * `base` whose `valueCol` is NULL take the update's value; non-NULL
+    * rows are never overwritten (the reference selects candidates with
+    * `… IS NULL`, P2). Returns (RETURNING set, new state). */
+  def updateColumn(base: DataFrame, updates: DataFrame, key: String, valueCol: String): (DataFrame, DataFrame) = {
+    val u = updates.select(col(key), col(valueCol).as("__new_val"))
+      .where(col("__new_val").isNotNull)
+      .transform(keepBestRow(_, Seq(key), Seq(col("__new_val").asc)))
+    val joined = base.join(u, Seq(key), "left")
     val applied = joined
-      .withColumn("__hit", col("apple_music_url").isNull && col("__new_url").isNotNull)
-      .withColumn("apple_music_url",
-        when(col("__hit"), col("__new_url")).otherwise(col("apple_music_url")))
-    val newSong = applied.select(song.columns.map(col).toSeq: _*)
-    val returning = applied.where(col("__hit")).select(song.columns.map(col).toSeq: _*)
-    (returning, newSong)
+      .withColumn("__hit", col(valueCol).isNull && col("__new_val").isNotNull)
+      .withColumn(valueCol,
+        when(col("__hit"), col("__new_val")).otherwise(col(valueCol)))
+    val newBase = applied.select(base.columns.map(col).toSeq: _*)
+    val returning = applied.where(col("__hit")).select(base.columns.map(col).toSeq: _*)
+    (returning, newBase)
   }
 
   /** Result of one daily batch load: the new state plus the four
