@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.TextOps
+import graft.vector.VectorOps
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (the north-star extension set: dedup family, text analysis,
+  * similarity search), each registered with a DuckDB oracle.
+  *
+  * The oracle SQL for the hash/LSH operators is GENERATED from the
+  * same constants the Spark plans use (stopword sets, MinHash salt
+  * count, band layout, LSH hyperplanes), so both engines run the
+  * same deterministic algorithm — see [[TextOps]]/[[VectorOps]]
+  * scaladoc for why the results match bit-for-bit.
+  */
+object CorpusQueries {
+
+  private val ShingleN = 3
+  private val MinhashK = 16
+  private val MinhashBands = 8
+  private val JaccardThreshold = 0.5
+  private val SimhashMaxHamming = 3
+  private val CosineDupThreshold = 0.45
+  private val AnnK = 10
+  private val LshK = 5
+  private val LshPlanes = VectorOps.hyperplanes(seed = 42L, planes = 4, dim = 64)
+
+  // ---- Spark-side queries ------------------------------------------
+
+  def q_doc_stats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id").asc)
+
+  def q_lang_id(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id").asc)
+
+  def q_quality_score(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id").asc)
+
+  def q_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id").asc)
+
+  def q_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactDupGroups(Tables.table(spark, dir, "documents"))
+      .orderBy(col("content_md5").asc)
+
+  def q_dedup_ngram(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramJaccardPairs(
+      Tables.table(spark, dir, "documents"), ShingleN, JaccardThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+
+  def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashDupPairs(
+      Tables.table(spark, dir, "documents"),
+      ShingleN, MinhashK, MinhashBands, JaccardThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+
+  def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashNearPairs(
+      Tables.table(spark, dir, "documents"), SimhashMaxHamming)
+      .orderBy(col("a").asc, col("b").asc)
+
+  def q_embed_nn(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.allNearestNeighbor(Tables.table(spark, dir, "embeddings"))
+      .orderBy(col("query_id").asc)
+
+  def q_embed_near_dup(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupPairs(
+      Tables.table(spark, dir, "embeddings"), CosineDupThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+
+  private def annQueries(vecs: DataFrame): DataFrame =
+    vecs.where(col("vec_id") % 100 === 0)
+
+  def q_ann_topk(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    VectorOps.bruteForceTopK(v, annQueries(v), AnnK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def q_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    VectorOps.lshTopK(v, annQueries(v), LshPlanes, LshK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_stats" -> (q_doc_stats _),
+    "q_lang_id" -> (q_lang_id _),
+    "q_quality_score" -> (q_quality_score _),
+    "q_fingerprint" -> (q_fingerprint _),
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_ngram" -> (q_dedup_ngram _),
+    "q_dedup_minhash" -> (q_dedup_minhash _),
+    "q_dedup_simhash" -> (q_dedup_simhash _),
+    "q_embed_nn" -> (q_embed_nn _),
+    "q_embed_near_dup" -> (q_embed_near_dup _),
+    "q_ann_topk" -> (q_ann_topk _),
+    "q_ann_lsh" -> (q_ann_lsh _),
+  )
+
+  // ---- generated DuckDB oracle SQL ---------------------------------
+
+  private val toks = "string_split(text, ' ')"
+
+  /** DuckDB sequential-fold sum over a list expression (mirrors
+    * Spark's `aggregate(…, 0, +)` element order exactly). */
+  private def foldSum(listExpr: String, zero: String): String =
+    s"list_reduce(list_prepend($zero, $listExpr), (x, y) -> x + y)"
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val docStatsSql: String =
+    s"""SELECT doc_id,
+  len($toks) AS n_tokens,
+  len(list_distinct($toks)) AS n_uniq,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+  round(${foldSum(s"list_transform($toks, t -> CAST(len(t) AS BIGINT))", "CAST(0 AS BIGINT)")}
+        / len($toks), 6) AS mean_token_len
+FROM documents ORDER BY doc_id ASC"""
+
+  private val langIdSql: String = {
+    val scores = TextOps.stopwordSets.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN ${inList(ws)})) AS s_$l"
+    }.mkString(",\n  ")
+    val m = TextOps.stopwordSets.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = TextOps.stopwordSets.map { case (l, _) =>
+      s"WHEN s_$l = m AND m > 0 THEN '$l'"
+    }.mkString("\n       ")
+    s"""WITH t AS (SELECT doc_id, lang AS actual, $toks AS toks FROM documents),
+s AS (SELECT doc_id, actual,
+  $scores
+FROM t),
+p AS (SELECT *, $m AS m
+FROM s),
+r AS (SELECT doc_id, actual,
+  CASE $cases
+       ELSE 'und' END AS predicted
+FROM p)
+SELECT doc_id, actual, predicted, predicted = actual AS is_match
+FROM r ORDER BY doc_id ASC"""
+  }
+
+  private val qualitySql: String = {
+    val stop = s"len(list_filter(toks, t -> t IN ${inList(TextOps.allStopwords)}))"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+SELECT doc_id,
+  round(len(list_distinct(toks)) / len(toks), 6) AS uniq_ratio,
+  round($stop / len(toks), 6) AS stopword_ratio,
+  round((len(list_distinct(toks)) / len(toks)) * 0.6
+        + (1.0 - $stop / len(toks)) * 0.4, 6) AS quality
+FROM t ORDER BY doc_id ASC"""
+  }
+
+  private val fingerprintSql: String =
+    s"""SELECT doc_id, md5(text) AS content_md5,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform($toks, t -> CAST(unicode(substr(md5(t), 1, 1)) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+FROM documents ORDER BY doc_id ASC"""
+
+  private val dedupExactSql: String =
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_doc_id,
+  COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY content_md5 ASC"""
+
+  /** Shared shingle CTEs (exploded relational form). */
+  private def shingleCtes(n: Int): String =
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+       FROM tok, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+       WHERE len(toks) >= $n)"""
+
+  private val dedupNgramSql: String =
+    s"""${shingleCtes(ShingleN)},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+cm AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+       FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       GROUP BY 1, 2),
+j AS (SELECT a, b,
+        round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+      FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id)
+SELECT a, b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
+ORDER BY a ASC, b ASC"""
+
+  private val dedupMinhashSql: String = {
+    val n = ShingleN
+    val sigExprs = (0 until MinhashK).map { i =>
+      s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i"
+    }.mkString(",\n  ")
+    val rows = MinhashK / MinhashBands
+    val bandSelects = (0 until MinhashBands).map { j =>
+      val parts = (0 until rows).map(r => s"mh${j * rows + r}")
+      val h = s"md5(${parts.mkString(" || '|' || ")})"
+      s"SELECT doc_id, shingles, $j AS band_idx, $h AS band_hash FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+shl AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS shingles
+FROM tok WHERE len(toks) >= $n),
+mh AS (SELECT doc_id, shingles,
+  $sigExprs
+FROM shl),
+bands AS ($bandSelects),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           x.shingles AS sa, y.shingles AS sb
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id),
+ver AS (SELECT a, b,
+  round(len(list_intersect(sa, sb))
+        / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM cand)
+SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold
+ORDER BY a ASC, b ASC"""
+  }
+
+  private val dedupSimhashSql: String = {
+    val n = ShingleN
+    val bit =
+      s"""CASE WHEN ${foldSum(
+        "list_transform(wins, t -> CASE WHEN substr(md5(t), b::INTEGER, 1) >= '8' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
+        "CAST(0 AS BIGINT)")} > 0 THEN '1' ELSE '0' END"""
+    val bandSelects = (0 until 4).map { j =>
+      s"SELECT doc_id, simhash, $j AS band_idx, substr(simhash, ${j * 8 + 1}, 8) AS band_val FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+win AS (SELECT doc_id,
+  list_transform(range(1, len(toks) - ${n - 2}),
+    i -> array_to_string(toks[i:i+${n - 1}], ' ')) AS wins
+FROM tok WHERE len(toks) >= $n),
+s AS (SELECT doc_id,
+  array_to_string(list_transform(range(1, 33), b -> $bit), '') AS simhash
+FROM win),
+bands AS ($bandSelects),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           x.simhash AS sa, y.simhash AS sb
+         FROM bands x JOIN bands y
+           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id),
+ham AS (SELECT a, b,
+  ${foldSum("list_transform(range(1, 33), i -> CASE WHEN substr(sa, i::INTEGER, 1) = substr(sb, i::INTEGER, 1) THEN 0 ELSE 1 END)", "0")} AS hamming
+FROM cand)
+SELECT a, b, hamming FROM ham WHERE hamming <= $SimhashMaxHamming
+ORDER BY a ASC, b ASC"""
+  }
+
+  /** DuckDB mirror of [[VectorOps.dot]]: same element order, same
+    * double casts, same left fold. */
+  private def dotSql(a: String, b: String): String =
+    foldSum(
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i::INTEGER] AS DOUBLE) * CAST($b[i::INTEGER] AS DOUBLE))",
+      "CAST(0.0 AS DOUBLE)")
+
+  private val vecCte: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+FROM embeddings)"""
+
+  private def pairCosine: String =
+    s"round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 10)"
+
+  private val embedNnSql: String =
+    s"""$vecCte
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $pairCosine AS cosine
+FROM v a JOIN v b ON a.vec_id <> b.vec_id
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+  ORDER BY cosine DESC, neighbor_id ASC) = 1
+ORDER BY query_id ASC"""
+
+  private val embedNearDupSql: String =
+    s"""$vecCte,
+p AS (SELECT a.vec_id AS a, b.vec_id AS b, $pairCosine AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT a, b, cosine FROM p WHERE cosine >= $CosineDupThreshold
+ORDER BY a ASC, b ASC"""
+
+  private val annTopkSql: String =
+    s"""$vecCte
+SELECT a.vec_id AS query_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+    ORDER BY $pairCosine DESC, b.vec_id ASC) AS INTEGER) AS rank,
+  b.vec_id AS neighbor_id, $pairCosine AS cosine
+FROM v a JOIN v b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+QUALIFY rank <= $AnnK
+ORDER BY query_id ASC, rank ASC"""
+
+  private val annLshSql: String = {
+    val sig = LshPlanes.map { p =>
+      val lits = p.map(d => BigDecimal(d).underlying.toPlainString).mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql("embedding", s"($lits::DOUBLE[])")} >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+    s"""WITH v AS (SELECT vec_id, embedding,
+  sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+  $sig AS sig
+FROM embeddings)
+SELECT a.vec_id AS query_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+    ORDER BY $pairCosine DESC, b.vec_id ASC) AS INTEGER) AS rank,
+  b.vec_id AS neighbor_id, $pairCosine AS cosine
+FROM v a JOIN v b ON a.vec_id % 100 = 0 AND a.sig = b.sig AND a.vec_id <> b.vec_id
+QUALIFY rank <= $LshK
+ORDER BY query_id ASC, rank ASC"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_stats" -> docStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_quality_score" -> qualitySql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_embed_nn" -> embedNnSql,
+    "q_embed_near_dup" -> embedNearDupSql,
+    "q_ann_topk" -> annTopkSql,
+    "q_ann_lsh" -> annLshSql,
+  )
+}

@@ -1,0 +1,274 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus operators for large-scale training-data pipelines:
+  * tokenization, token/quality statistics, language ID, document
+  * fingerprinting, and the deduplication family (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` —
+  * higher-order array functions, no UDFs — so plans stay codegen- and
+  * pushdown-friendly and the same computation is expressible as the
+  * DuckDB oracle SQL (see [[graft.queries.CorpusQueries]]).
+  *
+  * Determinism across engines is load-bearing for the oracle gate:
+  *  - hashes are md5 hex strings (identical in any engine), and
+  *    MinHash takes the lexicographic MIN of salted md5s — no
+  *    engine-specific integer hash anywhere;
+  *  - ratio outputs are IEEE double ops in a fixed expression shape,
+  *    rounded at the output boundary only.
+  *
+  * Scale (100 TB): token/shingle/signature computation is map-only
+  * (one pass, no shuffle). LSH candidate generation shuffles on
+  * (band_idx, band_hash) — bounded by bucket sizes, with the band
+  * count tuned to the similarity threshold — and exact verification
+  * touches candidate pairs only, never the n² cross product. The
+  * exact n-gram join ([[ngramJaccardPairs]]) is the small-scale
+  * oracle baseline; MinHash is the scale path.
+  */
+object TextOps {
+
+  /** Corpus is single-space tokenized; a general corpus would split
+    * on `\s+`. */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("tokens", split(col("text"), " "))
+
+  /** BPE-ish regex tokenization: letter runs, digit runs, single
+    * non-space symbols (a deterministic stand-in for a real
+    * subword tokenizer's pre-tokenization). */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  // ---- token & quality statistics ----------------------------------
+
+  /** Token counting + length stats per document (map-only). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      size(col("tokens")).as("n_tokens"),
+      size(array_distinct(col("tokens"))).as("n_uniq"),
+      size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).as("n_bpe"),
+      round(
+        aggregate(col("tokens"), lit(0L), (acc, t) => acc + length(t))
+          / size(col("tokens")), 6).as("mean_token_len"))
+
+  /** Language-ID stopword sets, in tie-break order. Tiny on purpose:
+    * the operator is the n-gram/stopword voting mechanism, not a
+    * linguistic resource. */
+  val stopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "is", "to"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "de", "y", "es", "un", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他"),
+  )
+
+  private def hits(set: Seq[String]): Column =
+    size(filter(col("tokens"), t => t.isInCollection(set)))
+
+  /** Heuristic language ID: stopword-set voting with a fixed
+    * tie-break order; no hits at all ⇒ "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = withTokens(docs)
+      .select(
+        col("doc_id") +: col("lang").as("actual") +:
+          stopwordSets.map { case (l, s) => hits(s).as(s"s_$l") }: _*)
+    val best = stopwordSets.map { case (l, _) => col(s"s_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = stopwordSets.foldRight(lit("und")) { case ((l, _), alt) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(alt)
+    }
+    // foldRight builds the when-chain in declaration order, so the
+    // FIRST set reaching the max wins — mirror the same CASE order in
+    // the oracle SQL
+    scored
+      .withColumn("predicted", pred)
+      .withColumn("is_match", col("predicted") === col("actual"))
+      .select("doc_id", "actual", "predicted", "is_match")
+  }
+
+  /** All-language stopword union, for quality scoring. */
+  val allStopwords: Seq[String] = stopwordSets.flatMap(_._2).distinct
+
+  /** Quality scoring: uniqueness + stopword ratios and a blended
+    * score — the length/punct/stopword-ratio family used to filter
+    * web corpora. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      round(size(array_distinct(col("tokens"))) / size(col("tokens")), 6)
+        .as("uniq_ratio"),
+      round(hits(allStopwords) / size(col("tokens")), 6).as("stopword_ratio"),
+      round(
+        (size(array_distinct(col("tokens"))) / size(col("tokens"))) * 0.6
+          + (lit(1.0) - hits(allStopwords) / size(col("tokens"))) * 0.4,
+        6).as("quality"))
+
+  // ---- fingerprinting & exact dedup --------------------------------
+
+  /** Rolling polynomial fingerprint over the token stream: each token
+    * contributes the codepoint of its first md5 hex digit; the fold is
+    * `acc·31 + v (mod 1e9+7)` — order-sensitive, so reordered
+    * documents fingerprint differently while md5 alone would not
+    * (it is content-hash of the raw bytes). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      md5(col("text")).as("content_md5"),
+      aggregate(
+        col("tokens"), lit(0L),
+        (acc, t) => (acc * 31 + ascii(substring(md5(t), 1, 1))) % 1000000007L)
+        .as("rolling_fp"))
+
+  /** Exact dedup: hash-groupBy on content md5; canonical = min doc_id
+    * (one shuffle on the hash — at 100 TB, hash first so the shuffle
+    * key is 32 bytes, not the document). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  // ---- shingling & the near-dup family -----------------------------
+
+  /** Per-doc DISTINCT n-token shingle set, as an array column
+    * (map-only; docs shorter than n tokens can't shingle and are
+    * excluded — they have no near-dup candidates at this n). */
+  def withShingles(docs: DataFrame, n: Int): DataFrame =
+    withTokens(docs)
+      .where(size(col("tokens")) >= n)
+      .withColumn(
+        "shingles",
+        array_distinct(
+          transform(
+            sequence(lit(1), size(col("tokens")) - (n - 1)),
+            i => array_join(slice(col("tokens"), i, lit(n)), " "))))
+
+  /** Exploded (doc_id, shingle) bipartite form — the relational shape
+    * shared with the DuckDB oracle and the scalable join layout. */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs via the relational
+    * explode–join (no LSH): |A∩B| from the shingle join, |A∪B| from
+    * per-doc sizes. The baseline the MinHash path approximates. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), "b")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash signature columns mh0..mh{k-1}: per hash i, the
+    * lexicographic MIN over shingles of md5("i:" ++ shingle) — the
+    * salted-md5 family is engine-portable and collision-behaved. */
+  def withMinhash(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("shingles"), s => md5(concat(lit(s"$i:"), s)))).as(s"mh$i")
+    }
+    withShingles(docs, n).select(col("doc_id") +: col("shingles") +: sigs: _*)
+  }
+
+  /** LSH banding: k signatures → `bands` bands of k/bands rows each;
+    * band hash = md5 of the concatenated rows. Returns exploded
+    * (doc_id, band_idx, band_hash). */
+  def lshBandRows(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"mh${j * rows + r}")): _*))
+    }
+    withMinhash(docs, n, k)
+      .select(col("doc_id"), col("shingles"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash+LSH near-dup pairs: candidates = docs sharing any full
+    * band; each candidate pair is then exactly verified with set
+    * Jaccard on the shingle arrays. With k=16, bands=8 (2 rows/band),
+    * P[candidate | J=0.5] ≈ 0.90 — tune bands to the threshold.
+    * Only candidate pairs ever meet, never the n² cross product. */
+  def minhashDupPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val br = lshBandRows(docs, n, k, bands)
+    val cand = br.as("x")
+      .join(br.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_common")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 32-bit SimHash as a bit-string: bit b is set when more tokens
+    * have a high b-th md5 nibble than not (ties ⇒ 0). Token multiset,
+    * not set — repeated tokens weigh more, as in the original
+    * algorithm. */
+  def withSimhash(docs: DataFrame, n: Int = 3): DataFrame = {
+    // Features are n-token shingle WINDOWS (multiset, not distinct):
+    // token-level simhash over a small vocabulary collapses every doc
+    // onto a few fingerprints and the LSH band join blows up; shingles
+    // spread the feature space so only truly similar docs collide.
+    // Relational form: explode windows, hash each ONCE, then one
+    // codegen'd hash-aggregation computes all 32 bit sums. (A per-doc
+    // array fold recomputes md5 32× per feature — CollapseProject
+    // inlines any cached-hash alias — and was ~5× slower.) The ±1 sum
+    // per bit is order-independent, so this equals the fold form.
+    val hashed = withTokens(docs)
+      .where(size(col("tokens")) >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("tokens")) - (n - 1)),
+          i => array_join(slice(col("tokens"), i, lit(n)), " "))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val bitSums = (1 to 32).map(b =>
+      sum(when(substring(col("h"), b, 1) >= "8", 1L).otherwise(-1L)).as(s"bit$b"))
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bits = concat((1 to 32).map(b =>
+      when(col(s"bit$b") > 0, lit("1")).otherwise(lit("0"))): _*)
+    docs.join(sums.withColumn("simhash", bits).select("doc_id", "simhash"), "doc_id")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * found via 4-band LSH over the 32-bit string (pigeonhole: any
+    * pair within Hamming 3 shares at least one of 4 bands — exact
+    * recall for maxHamming ≤ 3, candidates-only for larger). */
+  def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    val s = withSimhash(docs, n).select("doc_id", "simhash")
+    val bandArr = array((0 until 4).map(j => col("simhash").substr(j * 8 + 1, 8)): _*)
+    val br = s.select(col("doc_id"), col("simhash"),
+      posexplode(bandArr).as(Seq("band_idx", "band_val")))
+    val hamming = aggregate(
+      sequence(lit(1), lit(32)), lit(0),
+      (acc, i) => acc + when(
+        col("sa").substr(i, lit(1)) === col("sb").substr(i, lit(1)), 0).otherwise(1))
+    br.as("x")
+      .join(br.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

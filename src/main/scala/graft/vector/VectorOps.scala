@@ -1,0 +1,131 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Numeric determinism (load-bearing for the DuckDB oracle): every
+  * dot product is the SAME sequential left-fold over
+  * element-wise double products — `aggregate(zip_with(cast, cast, ·),
+  * 0.0, +)` here, `list_reduce(list_prepend(0.0, list_transform(...)),
+  * +)` in the oracle — so both engines produce bit-identical IEEE
+  * doubles, not merely close ones. Outputs are still rounded (1e-10)
+  * at the boundary as a guard.
+  *
+  * Scale (100 TB of vectors): norms are computed once per vector
+  * (map-only) and carried; brute force is O(Q·N) with Q a small
+  * broadcast query set; LSH turns the candidate set into same-bucket
+  * vectors only (shuffle on the signature), the standard
+  * sublinear-recall trade. A real deployment would add IVF
+  * (k-means-partitioned) re-using the same kernels.
+  */
+object VectorOps {
+
+  /** Deterministic pseudo-random hyperplanes from a 64-bit LCG; each
+    * coefficient is k/1000 with k ∈ [-1000, 1000], so its decimal
+    * literal parses to the exact same double in any engine. */
+  def hyperplanes(seed: Long, planes: Int, dim: Int): Seq[Seq[Double]] = {
+    var x = seed
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    Seq.fill(planes)(Seq.fill(dim)((math.floorMod(next() >>> 33, 2001L) - 1000L) / 1000.0))
+  }
+
+  /** Sequential-fold dot product of two array columns (float or
+    * double elements; cast element-wise to double first). A dim-
+    * unrolled straight-line Add tree was tried and is ~2× SLOWER:
+    * the 129-node expression blows the codegen method limit and falls
+    * back to recursive interpretation, while this single lambda loop
+    * stays in the optimized ArrayAggregate path. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Vectors with their norm precomputed once (map-only), renamed for
+    * side-specific joins. */
+  private def sided(vecs: DataFrame, side: String): DataFrame =
+    vecs.select(
+      col("vec_id").as(s"${side}_id"),
+      col("embedding").as(s"${side}_emb"),
+      l2norm(col("embedding")).as(s"${side}_norm"))
+
+  /** Brute-force cosine top-k: exact kNN of each query vector over
+    * the whole collection (the baseline ANN is judged against).
+    * Queries broadcast; candidates stream. */
+  def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = sided(queries, "q")
+    val c = sided(vecs, "c")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Exact nearest neighbor for EVERY vector (n² baseline — the
+    * all-pairs form LSH/IVF exists to avoid at scale). */
+  def allNearestNeighbor(vecs: DataFrame): DataFrame = {
+    val a = sided(vecs, "q")
+    val b = sided(vecs, "c")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
+  /** Near-duplicate pairs by cosine threshold (a < b once). */
+  def nearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = sided(vecs, "q")
+    val b = sided(vecs, "c")
+    a.join(b, col("q_id") < col("c_id"))
+      .select(
+        col("q_id").as("a"), col("c_id").as("b"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Random-hyperplane signature: one bit per plane, '1' iff
+    * dot(v, plane) ≥ 0 — cosine-LSH (Charikar). */
+  def signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.map(p =>
+      when(dot(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0")))
+      .reduce(concat(_, _))
+
+  /** LSH-bucketed ANN: query and candidates must share the full
+    * signature; exact cosine ranks within the bucket. Sublinear
+    * candidate sets at the cost of recall (more planes ⇒ smaller
+    * buckets ⇒ lower recall; multi-probe / multiple tables are the
+    * standard extensions). */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
+    val q = sided(queries, "q").withColumn("sig", signature(col("q_emb"), planes))
+    val c = sided(vecs, "c").withColumn("sig", signature(col("c_emb"), planes))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, Seq("sig")).where(col("q_id") =!= col("c_id"))
+      .select(
+        col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}
