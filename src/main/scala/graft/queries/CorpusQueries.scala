@@ -27,7 +27,7 @@ object CorpusQueries {
   private val CosineDupThreshold = 0.45
   private val AnnK = 10
   private val LshK = 5
-  private val LshPlanes = VectorOps.hyperplanes(seed = 42L, planes = 4, dim = 64)
+  private val LshTables = VectorOps.hyperplaneTables(seed = 42L, tables = 4, planes = 4, dim = 64)
 
   // ---- Spark-side queries ------------------------------------------
 
@@ -87,7 +87,7 @@ object CorpusQueries {
 
   def q_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.table(spark, dir, "embeddings")
-    VectorOps.lshTopK(v, annQueries(v), LshPlanes, LshK)
+    VectorOps.lshTopK(v, annQueries(v), LshTables, LshK)
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
@@ -296,19 +296,32 @@ QUALIFY rank <= $AnnK
 ORDER BY query_id ASC, rank ASC"""
 
   private val annLshSql: String = {
-    val sig = LshPlanes.map { p =>
+    def sigExpr(table: Seq[Seq[Double]]): String = table.map { p =>
       val lits = p.map(d => BigDecimal(d).underlying.toPlainString).mkString("[", ", ", "]")
       s"CASE WHEN ${dotSql("embedding", s"($lits::DOUBLE[])")} >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
+    val sigCols = LshTables.zipWithIndex
+      .map { case (t, i) => s"${sigExpr(t)} AS sig$i" }.mkString(",\n  ")
+    val buckets = LshTables.indices
+      .map(i => s"SELECT vec_id, embedding, nrm, $i AS table_idx, sig$i AS sig FROM v")
+      .mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, embedding,
   sqrt(${dotSql("embedding", "embedding")}) AS nrm,
-  $sig AS sig
-FROM embeddings)
-SELECT a.vec_id AS query_id,
-  CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
-    ORDER BY $pairCosine DESC, b.vec_id ASC) AS INTEGER) AS rank,
-  b.vec_id AS neighbor_id, $pairCosine AS cosine
-FROM v a JOIN v b ON a.vec_id % 100 = 0 AND a.sig = b.sig AND a.vec_id <> b.vec_id
+  $sigCols
+FROM embeddings),
+bk AS ($buckets),
+cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+           a.embedding AS qe, b.embedding AS ce, a.nrm AS qn, b.nrm AS cn
+         FROM bk a JOIN bk b
+           ON a.table_idx = b.table_idx AND a.sig = b.sig
+          AND a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+SELECT qid AS query_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+    ORDER BY round(${dotSql("qe", "ce")} / (qn * cn), 10) DESC, cid ASC)
+    AS INTEGER) AS rank,
+  cid AS neighbor_id,
+  round(${dotSql("qe", "ce")} / (qn * cn), 10) AS cosine
+FROM cand
 QUALIFY rank <= $LshK
 ORDER BY query_id ASC, rank ASC"""
   }

@@ -109,17 +109,32 @@ object VectorOps {
       when(dot(vec, typedLit(p)) >= 0, lit("1")).otherwise(lit("0")))
       .reduce(concat(_, _))
 
-  /** LSH-bucketed ANN: query and candidates must share the full
-    * signature; exact cosine ranks within the bucket. Sublinear
-    * candidate sets at the cost of recall (more planes ⇒ smaller
-    * buckets ⇒ lower recall; multi-probe / multiple tables are the
-    * standard extensions). */
-  def lshTopK(vecs: DataFrame, queries: DataFrame, planes: Seq[Seq[Double]], k: Int): DataFrame = {
-    val q = sided(queries, "q").withColumn("sig", signature(col("q_emb"), planes))
-    val c = sided(vecs, "c").withColumn("sig", signature(col("c_emb"), planes))
+  /** L independent hash tables of `planes` hyperplanes each (the
+    * standard recall amplifier: candidate iff ANY table's full
+    * signature matches). */
+  def hyperplaneTables(seed: Long, tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => hyperplanes(seed + 1000L * t, planes, dim))
+
+  /** Multi-table LSH ANN: candidates = vectors sharing a full
+    * signature in at least one table; exact cosine ranks the
+    * candidate set. Recall ≈ 1−(1−p^b)^L for per-bit agreement p —
+    * tune (tables, planes) to the target recall/candidate-size
+    * trade; candidates-only, never the n² cross product. */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, tables: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    def bucketRows(df: DataFrame, side: String): DataFrame = {
+      val sigs = array(tables.map(t => signature(col(s"${side}_emb"), t)): _*)
+      df.select(col(s"${side}_id"), col(s"${side}_emb"), col(s"${side}_norm"),
+        posexplode(sigs).as(Seq("table_idx", "sig")))
+    }
+    val q = bucketRows(sided(queries, "q"), "q")
+    val c = bucketRows(sided(vecs, "c"), "c")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, Seq("sig")).where(col("q_id") =!= col("c_id"))
+    broadcast(q).join(c, Seq("table_idx", "sig"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates("q_id", "c_id")
       .select(
         col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)

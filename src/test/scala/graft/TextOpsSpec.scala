@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Per-operator semantics of the text/dedup family on hand-built
+  * corpora with planted duplicates (SURVEY.md §5 + north-star ops). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // 0 and 1: exact duplicates
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    // 2: near-dup of 0 (one token changed late)
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),
+    // 3: unrelated
+    (3L, "completely different words appear here today friends", "en"),
+    // 4: reordered version of 3 (same multiset, different order)
+    (4L, "friends today here appear words different completely", "en"),
+  ).toDF("doc_id", "text", "lang")
+
+  test("token stats: counts and mean length") {
+    val r = TextOps.tokenStats(corpus).where($"doc_id" === 0).head()
+    assert(r.getAs[Int]("n_tokens") === 9)
+    assert(r.getAs[Int]("n_uniq") === 8) // "the" twice
+    assert(r.getAs[Int]("n_bpe") === 9)
+    assert(math.abs(r.getAs[Double]("mean_token_len") - 35.0 / 9) < 1e-4)
+  }
+
+  test("exact dedup groups duplicates under min doc_id") {
+    val groups = TextOps.exactDupGroups(corpus)
+    assert(groups.count() === 4) // 5 docs, one exact pair
+    val dup = groups.where($"n_copies" === 2).head()
+    assert(dup.getAs[Long]("canonical_doc_id") === 0L)
+  }
+
+  test("fingerprint is order-sensitive where md5 is not") {
+    val fp = TextOps.fingerprint(corpus)
+      .select("doc_id", "content_md5", "rolling_fp")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(0L) === fp(1L)) // exact dups agree on both
+    assert(fp(3L)._1 !== fp(4L)._1)
+    assert(fp(3L)._2 !== fp(4L)._2) // reorder changes rolling fp
+  }
+
+  test("n-gram Jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = TextOps.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers the exact-jaccard pairs on this corpus") {
+    val exact = TextOps.ngramJaccardPairs(corpus, 3, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = TextOps.minhashDupPairs(corpus, 3, 16, 8, 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs (exact verify)")
+    assert(lsh === exact, "with 8 bands the planted pairs must all be recalled")
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups within small hamming") {
+    val s = TextOps.withSimhash(corpus).select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s(0L) === s(1L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(s(0L), s(2L)) < ham(s(0L), s(3L)))
+    val pairs = TextOps.simhashNearPairs(corpus, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("language id votes by stopword sets with fixed tie-break") {
+    val docs = Seq(
+      (0L, "the cat is on the mat", "en"),
+      (1L, "le chat est dans la maison", "fr"),
+      (2L, "xyzzy plugh quux", "zz"),
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(docs).select("doc_id", "predicted")
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) === "en")
+    assert(got(1L) === "fr")
+    assert(got(2L) === "und")
+  }
+
+  test("quality: pure repetition scores below varied text") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam", "en"),
+      (1L, "a varied sentence with many distinct meaningful words", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val q = TextOps.qualityScore(docs).select("doc_id", "quality")
+      .as[(Long, Double)].collect().toMap
+    assert(q(0L) < q(1L))
+  }
+}
