@@ -76,6 +76,27 @@ object CorpusQueries {
       Tables.table(spark, dir, "embeddings"), CosineDupThreshold)
       .orderBy(col("a").asc, col("b").asc)
 
+  /** Multimodal plumbing over synthesized binary media (text bytes —
+    * ASCII, so the oracle can derive the same bytes from the text
+    * side; DuckDB 1.0 can't slice blobs): decode-side metadata plus
+    * the REAL [[graft.multimodal.Multimodal.frameSample]] chunk
+    * explode, counted per asset. */
+  def q_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
+    val withMedia = Tables.table(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"), col("text"),
+        encode(col("text"), "UTF-8").as("media"))
+    val sampled = graft.multimodal.Multimodal.frameSample(withMedia, 64, 4)
+      .groupBy("asset_id").agg(count(lit(1)).as("n_sampled"))
+    withMedia
+      .select(
+        col("asset_id"),
+        length(col("media")).as("byte_len"),
+        expr("(length(media) + 63) div 64").as("n_chunks"),
+        base64(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_b64"))
+      .join(sampled, "asset_id")
+      .orderBy(col("asset_id").asc)
+  }
+
   private def annQueries(vecs: DataFrame): DataFrame =
     vecs.where(col("vec_id") % 100 === 0)
 
@@ -104,6 +125,7 @@ object CorpusQueries {
     "q_embed_near_dup" -> (q_embed_near_dup _),
     "q_ann_topk" -> (q_ann_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
+    "q_multimodal_meta" -> (q_multimodal_meta _),
   )
 
   // ---- generated DuckDB oracle SQL ---------------------------------
@@ -339,5 +361,13 @@ ORDER BY query_id ASC, rank ASC"""
     "q_embed_near_dup" -> embedNearDupSql,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
+    "q_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS asset_id, text,
+  octet_length(encode(text)) AS byte_len FROM documents),
+c AS (SELECT asset_id, byte_len, (byte_len + 63) // 64 AS n_chunks,
+  base64(encode(substr(text, 1, 8))) AS header_b64 FROM m)
+SELECT asset_id, byte_len, n_chunks, header_b64,
+  (n_chunks + 3) // 4 AS n_sampled
+FROM c ORDER BY asset_id ASC""",
   )
 }

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.queries.ChartQueries
+
+/** Structured Streaming form of the chart pipeline (SURVEY.md §2.9):
+  * the reference is a daily batch, but its semantics — append-only
+  * fact, keyed dedup across batches, event-time retention — are
+  * exactly watermarked streaming semantics, so the engine exposes
+  * them as a streaming path too.
+  *
+  * Design: event-time watermark bounds state; per-event dedup uses
+  * `dropDuplicatesWithinWatermark`; daily scores are a windowed
+  * aggregation; cross-entity ranking (needs a per-day total order,
+  * which no per-key streaming state can see) runs in `foreachBatch`
+  * on the completed days the watermark releases — the streaming
+  * version of the reference's FK-ordered daily load stages.
+  *
+  * Scale: state is keyed by (day, platform, entity) and evicted by
+  * the watermark; shuffle partitioning follows the same keys as the
+  * batch path, so a backfill (batch) and live tail (stream) produce
+  * identical tables.
+  */
+object StreamingCharts {
+
+  /** At-least-once sources → exactly-once facts: drop duplicate
+    * event_ids, with state bounded by the watermark horizon
+    * (`ON CONFLICT DO NOTHING` across micro-batches). */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Daily per-entity score: 1-day event-time windows, emitted once
+    * the watermark closes the day (append mode). The streaming twin
+    * of [[ChartQueries]]' dailyScores. */
+  def dailyScores(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    dedupedEvents(events, watermark)
+      .groupBy(
+        window(col("ts"), "1 day").as("day"),
+        col("event_type").as("platform"),
+        col("user_id").as("entity_id"))
+      .agg(sum(col("value").cast("decimal(14,2)")).as("score"))
+      .select(
+        to_date(col("day.start")).as("date"),
+        col("platform"), col("entity_id"), col("score"))
+
+  /** Chart-streak tracking with explicit keyed state: consecutive
+    * charted days per (platform, entity). A `flatMapGroupsWithState`
+    * op — the kind of custom sessionization no built-in aggregate
+    * expresses. Input rows are (platform, entity_id, date) chart
+    * appearances in event-time order per key. */
+  final case class Appearance(platform: String, entity_id: Long, date: Date)
+  final case class StreakState(lastDate: Date, length: Int)
+  final case class Streak(platform: String, entity_id: Long, date: Date, streak: Int)
+
+  def trackStreaks(appearances: Dataset[Appearance]): Dataset[Streak] = {
+    import appearances.sparkSession.implicits._
+    appearances
+      .groupByKey(a => (a.platform, a.entity_id))
+      .flatMapGroupsWithState[StreakState, Streak](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((platform, entity), rows, state: GroupState[StreakState]) =>
+          // rows within a key arrive unordered inside a batch — sort
+          // by event time before folding the streak state
+          val sorted = rows.toSeq.sortBy(_.date.toLocalDate.toEpochDay)
+          val init = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Streak]
+          var cur = init
+          sorted.foreach { a =>
+            val len = cur match {
+              case Some(StreakState(last, n))
+                  if last.toLocalDate.plusDays(1) == a.date.toLocalDate => n + 1
+              case Some(StreakState(last, n)) if last == a.date => n
+              case _ => 1
+            }
+            cur = Some(StreakState(a.date, len))
+            out += Streak(platform, entity, a.date, len)
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** End-to-end micro-batch sink: rank the completed days of each
+    * micro-batch with the SAME batch operators (W2 ranking + W1
+    * delta run on the store afterwards), append idempotently.
+    * `foreachBatch` is where cross-entity total orders belong in a
+    * streaming job. Returns rankings appended per batch. */
+  def rankingSink(scores: DataFrame, store: RankingStore): org.apache.spark.sql.streaming.StreamingQuery =
+    scores.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.append(rankBatch(batch))
+        ()
+      }
+      .queryName("graft_ranking_sink")
+      .start()
+  // caller drains with processAllAvailable() between feeds — the
+  // watermark only advances across micro-batches of one live query
+
+  /** Top-10 ranking of a (date, platform, entity, score) batch —
+    * identical total order to the batch path. */
+  def rankBatch(scored: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window
+      .partitionBy("date", "platform")
+      .orderBy(col("score").desc, col("entity_id").asc)
+    scored
+      .withColumn("rank", row_number().over(byScore))
+      .where(col("rank") <= k)
+      .select("date", "platform", "entity_id", "rank")
+  }
+
+  /** Minimal append store for tests/demos: accumulates ranked days in
+    * memory; a deployment would append date-partitioned parquet. */
+  final class RankingStore(spark: SparkSession) {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    private val schema = StructType(Seq(
+      StructField("date", DateType), StructField("platform", StringType),
+      StructField("entity_id", LongType), StructField("rank", IntegerType)))
+    @volatile private var rows: Seq[Row] = Seq.empty
+    def append(df: DataFrame): Unit = synchronized {
+      rows = rows ++ df.collect().toSeq
+    }
+    def snapshot(): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), schema)
+  }
+}

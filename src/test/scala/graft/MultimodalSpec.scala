@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Asset
+
+/** Multimodal plumbing over synthesized binary fixtures (decode is a
+  * documented stub — no codecs in this environment; the schema,
+  * partition-batched UDF shape, chunk explode, and metadata joins are
+  * the real thing). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bytes(header: String, payloadLen: Int): Array[Byte] =
+    (header.getBytes("UTF-8") ++ Array.fill(payloadLen)(0x42.toByte))
+
+  private val assets = Seq(
+    Asset(1L, "image", bytes("IMG:640x480:", 100)),
+    Asset(2L, "image", bytes("IMG:100x2000:", 50)),
+    Asset(3L, "audio", bytes("AUD:44100:2500:", 400)),
+    Asset(4L, "blob", bytes("RAW:", 10)),
+  ).toDS()
+
+  test("stub decode extracts typed metadata per kind") {
+    val m = Multimodal.decodeMeta(assets).collect().map(d => d.asset_id -> d).toMap
+    assert(m(1L).width === 640 && m(1L).height === 480)
+    assert(m(2L).height === 2000)
+    assert(m(3L).sample_rate === 44100 && m(3L).duration_ms === 2500)
+    assert(m(4L).width === 0 && m(4L).byte_len === 14)
+  }
+
+  test("resize metadata preserves aspect ratio under max edge") {
+    val r = Multimodal.resizeMeta(Multimodal.decodeMeta(assets), maxEdge = 200)
+      .select("asset_id", "out_width", "out_height")
+      .as[(Long, Int, Int)].collect().map { case (k, v, w) => k -> (v, w) }.toMap
+    assert(r(1L) === (200, 150))   // 640x480 → 200x150
+    assert(r(2L) === (10, 200))    // 100x2000 → 10x200
+    assert(r(3L) === (0, 0))       // audio has no dims
+  }
+
+  test("frame sampling chunks the payload with stride") {
+    val frames = Multimodal.frameSample(assets.toDF(), chunkSize = 32, stride = 2)
+      .where($"asset_id" === 3L)
+    val idxs = frames.select("frame_idx").as[Int].collect().toSeq.sorted
+    // 415 bytes → 13 chunks → stride 2 keeps 0,2,4,6,8,10,12
+    assert(idxs === Seq(0, 2, 4, 6, 8, 10, 12))
+    val lens = frames.select(length($"frame")).as[Int].collect()
+    assert(lens.count(_ === 32) === 6) // all but the tail chunk full
+  }
+
+  test("frame features: constant payload has zero entropy, header raises it") {
+    val f = Multimodal.frameFeatures(
+      Multimodal.frameSample(assets.toDF(), 32, 1))
+      .collect().groupBy(_.asset_id)
+    // asset 1 payload chunks are all 0x42 → entropy 0, mean 0x42
+    val tail = f(1L).filter(_.frame_idx > 0)
+    assert(tail.forall(c => c.entropy === 0.0 && c.mean_byte === 0x42.toDouble))
+    assert(f(1L).find(_.frame_idx == 0).get.entropy > 0.0)
+  }
+}

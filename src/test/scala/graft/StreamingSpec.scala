@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingCharts
+import graft.streaming.StreamingCharts.{Appearance, Streak}
+
+/** Top-level so Spark can derive an Encoder without an outer
+  * instance. */
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming semantics: watermarked daily aggregation, cross-batch
+  * dedup, keyed streak state, and batch/stream parity of the ranking
+  * pipeline. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked daily scores emit completed days once, summed exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingCharts.dailyScores(in.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("daily_scores_t").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.50),
+      Ev(2, ts("2024-01-01 11:00:00"), 7, "click", 2.25),
+      Ev(2, ts("2024-01-01 11:00:00"), 7, "click", 2.25), // dup event_id
+      Ev(3, ts("2024-01-01 12:00:00"), 8, "click", 9.00))
+    q.processAllAvailable()
+    // advance watermark past day 1 (watermark = 2 days)
+    in.addData(Ev(9, ts("2024-01-04 00:00:01"), 7, "click", 1.00))
+    q.processAllAvailable()
+    val got = spark.table("daily_scores_t")
+      .select($"date".cast("string"), $"entity_id", $"score".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    q.stop()
+    assert(got === Set(("2024-01-01", 7L, "3.75"), ("2024-01-01", 8L, "9.00")))
+  }
+
+  test("streak state counts consecutive chart days, resets on gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Appearance]
+    val q = StreamingCharts.trackStreaks(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("streaks_t").start()
+    in.addData(
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-01")),
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-02")))
+    q.processAllAvailable()
+    in.addData(
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-03")),
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-05")), // gap resets
+      Appearance("Apple Music", 1L, Date.valueOf("2024-01-05"))) // isolated key
+    q.processAllAvailable()
+    val got = spark.table("streaks_t").as[Streak].collect()
+      .map(s => (s.platform, s.entity_id, s.date.toString, s.streak)).toSet
+    q.stop()
+    assert(got === Set(
+      ("Spotify", 1L, "2024-01-01", 1),
+      ("Spotify", 1L, "2024-01-02", 2),
+      ("Spotify", 1L, "2024-01-03", 3),
+      ("Spotify", 1L, "2024-01-05", 1),
+      ("Apple Music", 1L, "2024-01-05", 1)))
+  }
+
+  test("foreachBatch ranking sink matches the batch ranking on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      (1 to 15).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:00:00"), i.toLong, "click", 100.0 - i)): _*)
+    val store = new StreamingCharts.RankingStore(spark)
+    val scored = StreamingCharts.dailyScores(in.toDF(), watermark = "0 seconds")
+    val q = StreamingCharts.rankingSink(scored, store)
+    q.processAllAvailable()
+    // push watermark forward so day 1 closes, then drain again
+    in.addData(Ev(99, ts("2024-01-03 00:00:01"), 99, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = store.snapshot()
+      .select($"date".cast("string"), $"platform", $"entity_id", $"rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    val batch = graft.queries.ChartQueries.rankings(
+      (1 to 15).map(i => (i.toLong, ts("2024-01-01 10:00:00"), i.toLong, "click", 100.0 - i))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .select($"date".cast("string"), $"platform", $"entity_id", $"rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(batch.subsetOf(streamed))
+    assert(streamed.map(_._1).contains("2024-01-01"))
+  }
+}
