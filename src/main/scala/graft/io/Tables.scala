@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Readers for the driver-generated synthetic testdata (TESTDATA.md).
   *
@@ -33,6 +33,21 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with a time-range predicate pushed to the parquet scan:
+    * the converted `ts` is a derived column (nanos→micros), so range
+    * filters on it can NOT push down — filtering the RAW nanos long
+    * first gives the scan a pushable `[from, until)` range, then the
+    * conversion runs on the survivors only. At scale this is the
+    * difference between reading a day and reading the table. */
+  def eventsBetween(spark: SparkSession, sfDir: String, fromIso: String, untilIso: String): DataFrame = {
+    val fromNs = java.time.Instant.parse(fromIso).getEpochSecond * 1000000000L
+    val untilNs = java.time.Instant.parse(untilIso).getEpochSecond * 1000000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("ts") >= fromNs && col("ts") < untilNs)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Register every testdata table as a temp view (for spark.sql paths). */

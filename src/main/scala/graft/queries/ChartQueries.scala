@@ -23,7 +23,14 @@ import graft.io.Tables
   */
 object ChartQueries {
 
-  /** Exact daily per-entity score: sum(value) as decimal (2-dp input). */
+  /** Exact daily per-entity score: sum(value) as decimal (2-dp input).
+    *
+    * Partitioned by (date, platform) up front: HashPartitioning on a
+    * SUBSET of the groupBy keys satisfies the aggregation's clustered
+    * distribution AND the downstream ranking window's requirement, so
+    * the agg and the top-k window share ONE exchange instead of
+    * re-shuffling between them (verified in PLANS.md). Partial
+    * aggregation still combines map-side before the exchange. */
   private def dailyScores(events: DataFrame): DataFrame =
     events
       .select(
@@ -31,6 +38,7 @@ object ChartQueries {
         col("event_type").as("platform"),
         col("user_id").as("entity_id"),
         col("value").cast("decimal(14,2)").as("v"))
+      .repartition(col("date"), col("platform"))
       .groupBy("date", "platform", "entity_id")
       .agg(sum("v").as("score"))
 

@@ -126,9 +126,10 @@ object ParityQueries {
     * stack that must all reach the scan (pushdown-verified in
     * PLANS.md). */
   def q_point_filter(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    // date predicate via the raw-nanos range reader so it reaches the
+    // scan (see Tables.eventsBetween); IN-list and null test push as-is
+    Tables.eventsBetween(spark, dir, "2024-01-15T00:00:00Z", "2024-01-16T00:00:00Z")
       .where(
-        to_date(col("ts")) === lit("2024-01-15") &&
         col("user_id").isin((1L to 50L): _*) &&
         col("props").isNotNull)
       .select(
