@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ChartQueries, CorpusQueries, ParityQueries}
+import graft.queries.{ChartQueries, CorpusQueries, ParityQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,9 +50,10 @@ object SparkEntry {
     "q_date_funcs" -> (ParityQueries.q_date_funcs _),
     "q_delta_glyph" -> (ParityQueries.q_delta_glyph _),
     "q_rolling_window" -> (ParityQueries.q_rolling_window _),
-  ) ++ CorpusQueries.queries
-  // ^ training-data pipeline ops: dedup family, text analysis,
-  //   similarity search (SURVEY.md §7.3 north-star extensions)
+  ) ++ CorpusQueries.queries ++ ScaleQueries.queries
+  // ^ training-data pipeline ops (dedup family, text analysis,
+  //   similarity search) + scale techniques (skew salting, exact
+  //   distinct, star rollup) — SURVEY.md §7.3 north-star extensions
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -250,5 +251,5 @@ object SparkEntry {
         |    AS by_balance_desc
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation ASC""".stripMargin,
-  ) ++ CorpusQueries.oracles
+  ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles
 }

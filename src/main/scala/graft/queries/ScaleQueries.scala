@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scale-technique operators: the shapes that keep a 100 TB job alive
+  * — skew-salted aggregation, exact distinct, multi-join star
+  * rollups with broadcast dims. Results are exactly equal to the
+  * naive plans (the oracle SQL IS the naive plan), only the physical
+  * shuffle layout differs.
+  */
+object ScaleQueries {
+
+  /** Two-phase skew-salted aggregation: phase 1 aggregates
+    * (key, salt) — splitting each hot key across `salts` reducers —
+    * phase 2 merges the partials per key. Exact for any commutative
+    * merge (decimal sum here). The manual form of what AQE's skew
+    * handling does for joins, applied to aggregation. */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: Column, salts: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).as("total"))
+  }
+
+  /** Skewed aggregation demo: lineitem has only 3 returnflag groups —
+    * maximal key skew. The salted plan spreads each group over 16
+    * partial reducers; the merged totals are decimal-exact and equal
+    * to the naive GROUP BY (the oracle). */
+  def q_skew_salted_agg(spark: SparkSession, dir: String): DataFrame =
+    saltedSum(
+      Tables.table(spark, dir, "lineitem"),
+      Seq("l_returnflag"),
+      col("l_quantity").cast("decimal(14,2)"),
+      salts = 16)
+      .select(col("l_returnflag"), col("total").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Exact distinct counting per group (the shuffle-heavy exact form;
+    * approx_count_distinct is the sketch alternative, compared in
+    * ScaleOpsSpec since sketches can't hash-match an oracle). */
+  def q_distinct_users(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy(col("event_type").as("platform"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("platform").asc)
+
+  /** Star-schema revenue rollup (TPC-H Q5 shape): fact ⋈ fact ⋈ dim ⋈
+    * dim ⋈ dim with every dim broadcast — the fact tables stream
+    * through broadcast hash joins and shuffle only for the final
+    * small aggregation. */
+  def q_revenue_per_nation(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.table(spark, dir, "lineitem")
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer")
+    val n = Tables.table(spark, dir, "nation")
+    val r = Tables.table(spark, dir, "region")
+    val price = col("l_extendedprice").cast("decimal(14,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        sum(price * (lit(1) - disc)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("region").asc, col("nation").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_agg" -> (q_skew_salted_agg _),
+    "q_distinct_users" -> (q_distinct_users _),
+    "q_revenue_per_nation" -> (q_revenue_per_nation _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type AS platform, COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY platform ASC""".stripMargin,
+    "q_revenue_per_nation" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY region ASC, nation ASC""".stripMargin,
+  )
+}
