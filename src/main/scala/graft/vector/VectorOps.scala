@@ -34,16 +34,15 @@ object VectorOps {
     Seq.fill(planes)(Seq.fill(dim)((math.floorMod(next() >>> 33, 2001L) - 1000L) / 1000.0))
   }
 
-  /** Sequential-fold dot product of two array columns (float or
-    * double elements; cast element-wise to double first). A dim-
-    * unrolled straight-line Add tree was tried and is ~2× SLOWER:
-    * the 129-node expression blows the codegen method limit and falls
-    * back to recursive interpretation, while this single lambda loop
-    * stays in the optimized ArrayAggregate path. */
+  /** Sequential-fold dot product via the native codegen expression
+    * [[graft.functions.DotProductExpr]] — bit-identical to the lambda
+    * fold `aggregate(zip_with(cast·mul), 0.0, +)` (same index order,
+    * same double casts, same left accumulation) but compiled to a
+    * tight loop instead of per-element interpreted lambdas. A dim-
+    * unrolled Add tree was also tried and is ~2× slower than even the
+    * lambda (codegen method-limit fallback). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
