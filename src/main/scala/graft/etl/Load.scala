@@ -48,9 +48,14 @@ object Load {
       priority: Seq[Column]): (DataFrame, DataFrame) = {
     val cols = existing.columns.map(col).toSeq
     // dedup while the priority columns (e.g. ingestion position) are
-    // still present, THEN project to the table's schema
+    // still present, THEN project to the table's schema.
+    // SQL UNIQUE never treats NULL keys as conflicting, so rows with
+    // any NULL key column bypass the dedup window (a partitionBy on
+    // them would wrongly collapse all NULL-keyed rows into one).
     val deduped = constraints.foldLeft(batch) { (b, keys) =>
-      keepBestRow(b, keys, priority)
+      val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+      keepBestRow(b.where(!anyNull), keys, priority)
+        .unionByName(b.where(anyNull))
     }.select(cols: _*)
     val inserted = constraints.foldLeft(deduped) { (b, keys) =>
       b.join(existing, keys, "left_anti")

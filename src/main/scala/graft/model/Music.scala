@@ -84,5 +84,14 @@ object Music {
       ranking: DataFrame) {
     def cached(): MusicDb =
       MusicDb(artist.cache(), song.cache(), artistSongMap.cache(), ranking.cache())
+
+    /** Truncate lineage between daily runs: each load layers joins/
+      * windows over the previous state, so N chained days analyze in
+      * O(planᴺ) without a cut. A deployment persists tables between
+      * runs (parquet write = the checkpoint); in-memory pipelines and
+      * tests use this. */
+    def checkpointed(): MusicDb = MusicDb(
+      artist.localCheckpoint(), song.localCheckpoint(),
+      artistSongMap.localCheckpoint(), ranking.localCheckpoint())
   }
 }

@@ -75,10 +75,36 @@ object ScaleQueries {
       .orderBy(col("region").asc, col("nation").asc)
   }
 
+  /** §2.7 completeness beyond the reference: INTERSECT / EXCEPT
+    * proper (customers active in both/only-one event window). */
+  def q_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events").withColumn("date", to_date(col("ts")))
+    val week1 = e.where(col("date") <= lit("2024-01-07")).select("user_id").distinct()
+    val week4 = e.where(col("date") >= lit("2024-01-24")).select("user_id").distinct()
+    week1.intersect(week4).withColumn("set_op", lit("both"))
+      .unionByName(week1.except(week4).withColumn("set_op", lit("only_early")))
+      .orderBy(col("set_op").asc, col("user_id").asc)
+  }
+
+  /** Pivot (wide matrix): daily event counts, one column per
+    * platform — the conditional-aggregation form every BI layer
+    * needs; platforms enumerated explicitly so the plan is one pass. */
+  def q_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val platforms = Seq("click", "error", "purchase", "signup", "view")
+    Tables.table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("date"))
+      .pivot("event_type", platforms)
+      .agg(count(lit(1)))
+      .na.fill(0L, platforms)
+      .orderBy(col("date").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_salted_agg" -> (q_skew_salted_agg _),
     "q_distinct_users" -> (q_distinct_users _),
     "q_revenue_per_nation" -> (q_revenue_per_nation _),
+    "q_set_ops" -> (q_set_ops _),
+    "q_pivot" -> (q_pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +115,24 @@ object ScaleQueries {
       """SELECT event_type AS platform, COUNT(DISTINCT user_id) AS n_users,
         |       COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY platform ASC""".stripMargin,
+    "q_set_ops" ->
+      """WITH w1 AS (SELECT DISTINCT user_id FROM events
+        |            WHERE CAST(ts AS DATE) <= DATE '2024-01-07'),
+        |     w4 AS (SELECT DISTINCT user_id FROM events
+        |            WHERE CAST(ts AS DATE) >= DATE '2024-01-24')
+        |SELECT * FROM (
+        |  SELECT user_id, 'both' AS set_op FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w4)
+        |  UNION ALL
+        |  SELECT user_id, 'only_early' FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w4))
+        |ORDER BY set_op ASC, user_id ASC""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY date ASC""".stripMargin,
     "q_revenue_per_nation" ->
       """SELECT r_name AS region, n_name AS nation,
         |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
