@@ -81,6 +81,18 @@ object CorpusQueries {
     * side; DuckDB 1.0 can't slice blobs): decode-side metadata plus
     * the REAL [[graft.multimodal.Multimodal.frameSample]] chunk
     * explode, counted per asset. */
+  /** IVF ANN (registered WITHOUT an oracle — k-means centroid update
+    * averages doubles across partitions, which is summation-order-
+    * dependent, so no cross-engine bit-match exists; the driver
+    * records a rows-only check and IvfIndexSpec carries the recall
+    * gate). */
+  def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    val centroids = graft.vector.IvfIndex.train(v, k = 8, iters = 2)
+    graft.vector.IvfIndex.topK(v, annQueries(v), centroids, nProbe = 2, k = 5)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   def q_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
     val withMedia = Tables.table(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"), col("text"),
@@ -126,6 +138,7 @@ object CorpusQueries {
     "q_ann_topk" -> (q_ann_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
+    "q_ann_ivf" -> (q_ann_ivf _),
   )
 
   // ---- generated DuckDB oracle SQL ---------------------------------
