@@ -100,11 +100,32 @@ object DotProductExpr {
 /** Session extension registering the engine's native functions for
   * SQL use: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`), then
-  * `SELECT graft_dot(a.embedding, b.embedding) ...`. */
+  * `SELECT graft_dot(a.embedding, b.embedding) ...`. Int parameters
+  * of the text kernels must be foldable literals. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       DotProductExpr.info,
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getCanonicalName, "graft_shingles"),
+      (c: Seq[Expression]) => ShinglesExpr(c(0), intArg(c(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBandsExpr].getCanonicalName, "graft_lsh_bands"),
+      (c: Seq[Expression]) => LshBandsExpr(c(0), intArg(c(1)), intArg(c(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getCanonicalName, "graft_minhash"),
+      (c: Seq[Expression]) => MinHashSigsExpr(c(0), intArg(c(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getCanonicalName, "graft_simhash"),
+      (c: Seq[Expression]) => SimHashExpr(c(0), intArg(c(1)))))
+  }
 }

@@ -133,16 +133,15 @@ object TextOps {
 
   /** Per-doc DISTINCT n-token shingle set, as an array column
     * (map-only; docs shorter than n tokens can't shingle and are
-    * excluded — they have no near-dup candidates at this n). */
+    * excluded — they have no near-dup candidates at this n).
+    * Computed by the native single-pass kernel
+    * [[graft.functions.TextKernels.shingles]], bit-identical to
+    * `array_distinct(transform(sequence(...), array_join∘slice))`
+    * but without the per-window interpreted-lambda dispatch. */
   def withShingles(docs: DataFrame, n: Int): DataFrame =
     withTokens(docs)
       .where(size(col("tokens")) >= n)
-      .withColumn(
-        "shingles",
-        array_distinct(
-          transform(
-            sequence(lit(1), size(col("tokens")) - (n - 1)),
-            i => array_join(slice(col("tokens"), i, lit(n)), " "))))
+      .withColumn("shingles", graft.functions.TextExprs.shingles(col("tokens"), n))
 
   /** Exploded (doc_id, shingle) bipartite form — the relational shape
     * shared with the DuckDB oracle and the scalable join layout. */
@@ -179,17 +178,18 @@ object TextOps {
   }
 
   /** LSH banding: k signatures → `bands` bands of k/bands rows each;
-    * band hash = md5 of the concatenated rows. Returns exploded
-    * (doc_id, band_idx, band_hash). */
-  def lshBandRows(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame = {
-    val rows = k / bands
-    val bandCols = (0 until bands).map { j =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"mh${j * rows + r}")): _*))
-    }
-    withMinhash(docs, n, k)
+    * band hash = md5 of the '|'-concatenated rows. Returns exploded
+    * (doc_id, band_idx, band_hash). Signature minimization + band
+    * hashing run fused in one native pass per document
+    * ([[graft.functions.TextKernels.lshBands]]) — same md5-hex values
+    * as the column-per-row form in [[withMinhash]], without
+    * k × |shingles| interpreted md5 expression evals (and immune to
+    * CollapseProject re-inlining the signature per band). */
+  def lshBandRows(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame =
+    withShingles(docs, n)
       .select(col("doc_id"), col("shingles"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-  }
+        posexplode(graft.functions.TextExprs.lshBands(col("shingles"), k, bands))
+          .as(Seq("band_idx", "band_hash")))
 
   /** MinHash+LSH near-dup pairs: candidates = docs sharing any full
     * band; each candidate pair is then exactly verified with set
@@ -220,30 +220,21 @@ object TextOps {
     * have a high b-th md5 nibble than not (ties ⇒ 0). Token multiset,
     * not set — repeated tokens weigh more, as in the original
     * algorithm. */
-  def withSimhash(docs: DataFrame, n: Int = 3): DataFrame = {
+  def withSimhash(docs: DataFrame, n: Int = 3): DataFrame =
     // Features are n-token shingle WINDOWS (multiset, not distinct):
     // token-level simhash over a small vocabulary collapses every doc
     // onto a few fingerprints and the LSH band join blows up; shingles
     // spread the feature space so only truly similar docs collide.
-    // Relational form: explode windows, hash each ONCE, then one
-    // codegen'd hash-aggregation computes all 32 bit sums. (A per-doc
-    // array fold recomputes md5 32× per feature — CollapseProject
-    // inlines any cached-hash alias — and was ~5× slower.) The ±1 sum
-    // per bit is order-independent, so this equals the fold form.
-    val hashed = withTokens(docs)
+    // One native pass per document (graft.functions.TextKernels
+    // .simhash) hashes each window once and accumulates all 32 ±1 bit
+    // sums — map-only, no explode/groupBy shuffle. (History: a HOF
+    // array fold recomputed md5 32× per feature because CollapseProject
+    // inlines any cached-hash alias — ~5× slower — and the previous
+    // explode→hash-aggregate form shuffled |docs|·|windows| rows.)
+    withTokens(docs)
       .where(size(col("tokens")) >= n)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("tokens")) - (n - 1)),
-          i => array_join(slice(col("tokens"), i, lit(n)), " "))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-    val bitSums = (1 to 32).map(b =>
-      sum(when(substring(col("h"), b, 1) >= "8", 1L).otherwise(-1L)).as(s"bit$b"))
-    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val bits = concat((1 to 32).map(b =>
-      when(col(s"bit$b") > 0, lit("1")).otherwise(lit("0"))): _*)
-    docs.join(sums.withColumn("simhash", bits).select("doc_id", "simhash"), "doc_id")
-  }
+      .withColumn("simhash", graft.functions.TextExprs.simhash(col("tokens"), n))
+      .drop("tokens")
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
     * found via 4-band LSH over the 32-bit string (pigeonhole: any
@@ -254,10 +245,12 @@ object TextOps {
     val bandArr = array((0 until 4).map(j => col("simhash").substr(j * 8 + 1, 8)): _*)
     val br = s.select(col("doc_id"), col("simhash"),
       posexplode(bandArr).as(Seq("band_idx", "band_val")))
-    val hamming = aggregate(
-      sequence(lit(1), lit(32)), lit(0),
-      (acc, i) => acc + when(
-        col("sa").substr(i, lit(1)) === col("sb").substr(i, lit(1)), 0).otherwise(1))
+    // Hamming over 32-char bit-strings as codegen builtins: parse base-2
+    // → xor → popcount. Equal to the per-position substring compare
+    // (both strings are exactly 32 chars of '0'/'1', values < 2^32).
+    val hamming = bit_count(
+      conv(col("sa"), 2, 10).cast("bigint")
+        .bitwiseXOR(conv(col("sb"), 2, 10).cast("bigint"))).cast("int")
     br.as("x")
       .join(br.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -40,36 +40,58 @@ object IvfIndex {
   def assignCell(vec: Column, centroids: Seq[Centroid]): Column =
     nearestCells(vec, centroids, 1)(0).getField("cell")
 
-  /** Lloyd's k-means with deterministic seeding (every ⌈n/k⌉-th
-    * vector by id) and a fixed iteration count. Centroids are the
-    * small driver-side index state — the legitimate driver loop. */
-  def train(vecs: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
-    val n = vecs.count()
-    val step = math.max(n / k, 1L)
-    val seedRows = vecs
-      .withColumn("__rn", row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
-      .where(col("__rn") % step === 0)
-      .limit(k)
+  /** Lloyd's k-means over a bounded, deterministic sample (the first
+    * `maxSample` vectors by id), iterated driver-side: coarse-
+    * quantizer training state is k × dim doubles, and training it on
+    * a sample is the standard IVF recipe (FAISS trains its quantizer
+    * on a capped sample regardless of collection size) — so the
+    * cluster never runs per-iteration assign/update jobs, only the
+    * one `TakeOrderedAndProject` that fetches the sample. Seeding is
+    * every ⌈n/k⌉-th sample vector; empty cells keep their previous
+    * centroid; all arithmetic is in fixed vec_id order, so training
+    * is bit-reproducible across runs and cluster layouts. */
+  def train(vecs: DataFrame, k: Int, iters: Int, maxSample: Int = 16384): Seq[Centroid] = {
+    val sample: Array[Array[Double]] = vecs
+      .orderBy(col("vec_id").asc)
+      .limit(maxSample)
       .select(col("embedding"))
       .collect()
-    var centroids = seedRows.zipWithIndex.map { case (r, i) =>
-      Centroid(i, r.getSeq[Float](0).map(_.toDouble))
-    }.toSeq
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = sample.length
+    require(n > 0, "cannot train IVF on an empty collection")
+    val dim = sample(0).length
+    val step = math.max(n / k, 1)
+    var centroids = (0 until k)
+      .flatMap { i =>
+        val idx = i.toLong * step
+        if (idx < n) Some(Centroid(i, sample(idx.toInt).toSeq)) else None
+      }
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("cell", assignCell(col("embedding"), centroids))
-      val updated = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("v")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
-        .select(col("cell"), col("dims.m").as("vec"))
-        .collect()
-        .map(r => Centroid(r.getInt(0), r.getSeq[Double](1)))
-        .toSeq
-      // cells can empty out; keep the previous centroid for those
-      val byCell = updated.map(c => c.cell -> c).toMap
-      centroids = centroids.map(c => byCell.getOrElse(c.cell, c))
+      val cents = centroids.map(_.vec.toArray).toArray
+      val cells = centroids.map(_.cell).toArray
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        // argmin squared distance, ties to the smaller cell id (the
+        // same order assignCell's (dist, cell) struct-sort produces)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Centroid(cells(c), sums(c).map(_ / counts(c)).toSeq)
+      }
     }
     centroids
   }

@@ -73,20 +73,26 @@ object VectorOps {
   }
 
   /** Exact nearest neighbor for EVERY vector (n² baseline — the
-    * all-pairs form LSH/IVF exists to avoid at scale). */
+    * all-pairs form LSH/IVF exists to avoid at scale). Top-1 per
+    * query is a `max_by` hash aggregation, not a window: partial
+    * aggregation folds the n² pair stream map-side, so the shuffle
+    * carries one row per (query, partition) instead of sorting all
+    * n² rows by query. The ordering key (cosine, −neighbor_id) is a
+    * total order — ties on rounded cosine break to the SMALLEST
+    * neighbor id — matching the window/QUALIFY form bit-for-bit. */
   def allNearestNeighbor(vecs: DataFrame): DataFrame = {
     val a = sided(vecs, "q")
     val b = sided(vecs, "c")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     a.join(b, col("q_id") =!= col("c_id"))
       .select(
         col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
           .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("query_id", "neighbor_id", "cosine")
+      .groupBy("query_id")
+      .agg(max_by(
+        struct(col("neighbor_id"), col("cosine")),
+        struct(col("cosine"), (-col("neighbor_id")).as("inv_id"))).as("best"))
+      .select(col("query_id"), col("best.neighbor_id"), col("best.cosine"))
   }
 
   /** Near-duplicate pairs by cosine threshold (a < b once). */
