@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ChartQueries, CorpusQueries, ParityQueries, ScaleQueries}
+import graft.queries.{AdvancedQueries, ChartQueries, CorpusQueries, ParityQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,10 +50,12 @@ object SparkEntry {
     "q_date_funcs" -> (ParityQueries.q_date_funcs _),
     "q_delta_glyph" -> (ParityQueries.q_delta_glyph _),
     "q_rolling_window" -> (ParityQueries.q_rolling_window _),
-  ) ++ CorpusQueries.queries ++ ScaleQueries.queries
+  ) ++ CorpusQueries.queries ++ ScaleQueries.queries ++ AdvancedQueries.queries
   // ^ training-data pipeline ops (dedup family, text analysis,
   //   similarity search) + scale techniques (skew salting, exact
-  //   distinct, star rollup) — SURVEY.md §7.3 north-star extensions
+  //   distinct, star rollup) + advanced ops (as-of/range joins,
+  //   sessionization, dedup clustering, TF-IDF, quantiles, hash
+  //   sampling) — SURVEY.md §7.3 north-star extensions
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -251,5 +253,5 @@ object SparkEntry {
         |    AS by_balance_desc
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation ASC""".stripMargin,
-  ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles
+  ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++ AdvancedQueries.oracles
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns pairwise near-duplicate hits (MinHash/SimHash/embedding
+  * pairs) into dedup CLUSTERS with a canonical representative per
+  * cluster (min node id). Without it a dedup pipeline can only drop
+  * one side of each pair and transitive duplicates survive.
+  *
+  * Algorithm: iterative min-label propagation (the Pregel/GraphX
+  * formulation as plain DataFrame joins): every node starts as its
+  * own label; each round takes the min of its label and its
+  * neighbors' labels; at fixpoint every node carries the min node id
+  * reachable from it — exactly the transitive closure a recursive
+  * CTE computes, so the DuckDB oracle can mirror it.
+  *
+  * Scale: each round is one join + one aggregation, both shuffling
+  * on node id; rounds needed = graph diameter, and near-dup graphs
+  * are unions of small cliques (diameter ~2-3). Edges and labels are
+  * cached across rounds; the driver only ever sees a per-round
+  * changed-count (a scalar), never the data.
+  */
+object Components {
+
+  /** `edges` must have columns (a, b). Returns (node, component)
+    * for every node incident to an edge, component = min reachable
+    * node id. Converges by fixpoint, `maxIters` is a safety bound.
+    *
+    * Each round ends in `localCheckpoint(eager)` — iterative
+    * DataFrame algorithms MUST truncate lineage or the logical plan
+    * doubles per round (cache alone keeps the full plan tree and
+    * planning itself OOMs long before the data does; on a real
+    * cluster this would be `checkpoint()` to reliable storage). */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    var labels = und.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("y"), col("label").as("nbr_label")), "y")
+        .groupBy(col("x").as("node"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+          col("label"))
+        .localCheckpoint(true)
+      converged = updated.where(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      iters += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.{AsofJoin, Components, Sessionize}
+import graft.text.TextOps
+
+/** Advanced large-pipeline operators beyond the reference's surface
+  * and the first training-data wave: temporal joins (as-of),
+  * inequality range joins, gap sessionization, transitive dedup
+  * clustering (connected components over near-dup pairs), TF-IDF
+  * term scoring, exact interpolated quantiles, and deterministic
+  * hash sampling. Each with a DuckDB oracle; the as-of oracle uses
+  * DuckDB's NATIVE `ASOF LEFT JOIN`, proving the union+window
+  * composition implements the standard operator's semantics.
+  */
+object AdvancedQueries {
+
+  private val SessionGapUs = 30L * 60 * 1000000 // 30 min
+
+  /** Gap sessionization of the event stream per user. */
+  def q_sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionStats(
+      Tables.table(spark, dir, "events").select("user_id", "event_id", "ts"),
+      "user_id", "ts", "event_id", SessionGapUs)
+      .orderBy(col("user_id").asc, col("session_seq").asc)
+
+  /** Purchase→view attribution: each purchase matched with the same
+    * user's latest view at-or-before it (LEFT: purchases with no
+    * prior view keep nulls). Views are deduped per (user, instant)
+    * first — the as-of contract. */
+  def q_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+    val views = e.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("view_event_id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    AsofJoin.joinAsOf(purchases, views, Seq("user_id"), "ts")
+      .orderBy(col("event_id").asc)
+  }
+
+  private val priceBands = Seq(
+    ("b1_low", 0.0, 100000.0),
+    ("b2_mid", 100000.0, 200000.0),
+    ("b3_high", 200000.0, 300000.0),
+    ("b4_top", 300000.0, 600000.0))
+
+  /** Inequality range join: orders binned into price bands via a
+    * broadcast `lo <= x < hi` join (BroadcastNestedLoopJoin — the
+    * right physical shape when one side is a handful of ranges). */
+  def q_range_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = priceBands.toDF("band", "lo", "hi")
+    Tables.table(spark, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("total"))
+      .orderBy(col("band").asc)
+  }
+
+  /** Transitive dedup clustering: MinHash near-dup pairs → connected
+    * components → (doc, canonical doc). The step that makes pairwise
+    * dedup hits actionable at corpus scale. */
+  def q_dedup_components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.minhashDupPairs(
+      Tables.table(spark, dir, "documents"),
+      CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
+      .select("a", "b")
+    Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df). Scores are
+    * rounded BEFORE ranking so the double `ln` (which can differ in
+    * the last ulp across engines) can never flip a rank. */
+  def q_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val tok = TextOps.withTokens(docs)
+      .select(col("doc_id"), explode(col("tokens")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy(col("doc_id").asc, col("rank").asc)
+  }
+
+  /** Exact interpolated quantiles of lineitem quantity/price per
+    * return flag (the sort-based exact form; approx_percentile is
+    * the sketch alternative, recall-tested in specs since sketches
+    * can't hash-match an oracle). */
+  def q_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity").cast("double")
+    Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(qty, lit(0.25)), 6).as("qty_p25"),
+        round(percentile(qty, lit(0.5)), 6).as("qty_p50"),
+        round(percentile(qty, lit(0.75)), 6).as("qty_p75"),
+        round(percentile(qty, lit(0.9)), 6).as("qty_p90"),
+        round(percentile(col("l_extendedprice").cast("double"), lit(0.5)), 6)
+          .as("price_p50"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Deterministic hash sampling: keep a doc iff the first hex byte
+    * of md5("smpl:" ++ id) falls under the rate threshold — stable
+    * across runs/engines/cluster layouts, per-stratum auditable. */
+  def q_sample_hash(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .where(substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 2) < "28")
+      .select("doc_id", "lang", "source")
+      .orderBy(col("doc_id").asc)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (q_sessionize _),
+    "q_asof_join" -> (q_asof_join _),
+    "q_range_join" -> (q_range_join _),
+    "q_dedup_components" -> (q_dedup_components _),
+    "q_tfidf" -> (q_tfidf _),
+    "q_quantiles" -> (q_quantiles _),
+    "q_sample_hash" -> (q_sample_hash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+        |               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+        |      FROM g)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS duration_sec
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id ASC, session_seq ASC""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, ts, MAX(event_id) AS view_event_id
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS asof_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id ASC""".stripMargin,
+    "q_range_join" -> {
+      val values = priceBands
+        .map { case (b, lo, hi) => s"('$b', ${lo.toInt}, ${hi.toInt})" }
+        .mkString(", ")
+      s"""SELECT b.band, COUNT(*) AS n_orders,
+         |       SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+         |FROM orders o
+         |JOIN (VALUES $values) AS b(band, lo, hi)
+         |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+         |GROUP BY b.band ORDER BY b.band ASC""".stripMargin
+    },
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a, b FROM (
+         |${CorpusQueries.minhashPairsBody}
+         |  ) mh
+         |),
+         |und AS (SELECT a AS x, b AS y FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+         |  UNION
+         |  SELECT u.x, r.lab FROM reach r JOIN und u ON u.y = r.node
+         |)
+         |SELECT node AS doc_id, MIN(lab) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id ASC""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS score
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, term ASC) AS INTEGER) AS rank,
+        |       term, score
+        |FROM s QUALIFY rank <= 3
+        |ORDER BY doc_id ASC, rank ASC""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS qty_p25,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS qty_p50,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS qty_p75,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS qty_p90,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+        |ORDER BY doc_id ASC""".stripMargin,
+  )
+}

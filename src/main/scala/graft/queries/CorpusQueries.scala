@@ -19,10 +19,10 @@ import graft.vector.VectorOps
   */
 object CorpusQueries {
 
-  private val ShingleN = 3
-  private val MinhashK = 16
-  private val MinhashBands = 8
-  private val JaccardThreshold = 0.5
+  private[queries] val ShingleN = 3
+  private[queries] val MinhashK = 16
+  private[queries] val MinhashBands = 8
+  private[queries] val JaccardThreshold = 0.5
   private val SimhashMaxHamming = 3
   private val CosineDupThreshold = 0.45
   private val AnnK = 10
@@ -227,7 +227,9 @@ j AS (SELECT a, b,
 SELECT a, b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
 ORDER BY a ASC, b ASC"""
 
-  private val dedupMinhashSql: String = {
+  /** The minhash pair pipeline WITHOUT the final sort — reused as a
+    * subquery by the dedup-clustering oracle in [[AdvancedQueries]]. */
+  private[queries] val minhashPairsBody: String = {
     val n = ShingleN
     val sigExprs = (0 until MinhashK).map { i =>
       s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i"
@@ -256,9 +258,11 @@ ver AS (SELECT a, b,
   round(len(list_intersect(sa, sb))
         / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
 FROM cand)
-SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold
-ORDER BY a ASC, b ASC"""
+SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold"""
   }
+
+  private val dedupMinhashSql: String =
+    minhashPairsBody + "\nORDER BY a ASC, b ASC"
 
   private val dedupSimhashSql: String = {
     val n = ShingleN

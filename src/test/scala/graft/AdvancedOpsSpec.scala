@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsofJoin, Components, Sessionize}
+
+/** As-of join, sessionization, and connected-components semantics:
+  * the edge cases the oracle queries can't isolate (inclusive-ts
+  * matching, exact gap boundaries, transitive chains). */
+class AdvancedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("as-of join: latest at-or-before wins, inclusive ts, left keeps unmatched") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after two rights → latest wins
+      (2L, 10L, ts("2024-01-01 08:00:00")), // exactly at a right ts → inclusive
+      (3L, 10L, ts("2024-01-01 06:00:00")), // before any right → null
+      (4L, 20L, ts("2024-01-01 10:00:00")), // other key isolated
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 07:00:00"), "r7"),
+      (10L, ts("2024-01-01 08:00:00"), "r8"),
+      (20L, ts("2024-01-01 09:00:00"), "r9"),
+    ).toDF("user_id", "ts", "payload")
+    val got = AsofJoin.joinAsOf(left, right, Seq("user_id"), "ts")
+      .orderBy("event_id")
+      .select("event_id", "payload", "asof_ts")
+      .collect()
+    assert(got(0).getString(1) == "r8" && got(0).getTimestamp(2) == ts("2024-01-01 08:00:00"))
+    assert(got(1).getString(1) == "r8") // inclusive: right at same instant matches
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2))
+    assert(got(3).getString(1) == "r9")
+  }
+
+  test("sessionize: gap strictly over threshold splits; exact gap does not") {
+    val gapUs = 30L * 60 * 1000000
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:30:00")), // exactly 30 min → same session
+      (3L, 1L, ts("2024-01-01 11:00:01")), // 30 min 1 s → new session
+      (4L, 2L, ts("2024-01-01 10:00:00")), // other user → own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessionize.sessionize(e, "user_id", "ts", "event_id", gapUs)
+      .orderBy("user_id", "event_id")
+      .select("event_id", "session_seq").as[(Long, Int)].collect()
+    assert(got.toSeq == Seq((1L, 1), (2L, 1), (3L, 2), (4L, 1)))
+    val stats = Sessionize.sessionStats(e, "user_id", "ts", "event_id", gapUs)
+      .where(col("user_id") === 1 && col("session_seq") === 1)
+      .select("n_events", "duration_sec").as[(Long, Long)].head()
+    assert(stats == ((2L, 1800L)))
+  }
+
+  test("connected components: transitive chains merge, islands stay apart") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), // chain {3,5,9} → component 3
+      (7L, 8L),           // pair {7,8} → component 7
+      (11L, 11L),         // self-loop → singleton 11
+    ).toDF("a", "b")
+    val got = Components.connectedComponents(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 3L), (5L, 3L), (7L, 7L), (8L, 7L), (9L, 3L), (11L, 11L)))
+  }
+
+  test("connected components: long path needs multiple rounds, still converges") {
+    // path 1-2-3-...-8: diameter 7 forces several propagation rounds
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 8L).map(i => (i, 1L)))
+  }
+}
