@@ -117,6 +117,20 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Custom whole-operator plan ([[graft.plans.TopKPerGroupPlan]]):
+    * top-3 orders per order priority — partial per-partition heaps
+    * bound the shuffle to k rows per (group × partition) where the
+    * window form shuffles and sorts every row. Result is identical
+    * to QUALIFY row_number() <= k (the oracle). */
+  def q_topk_per_group(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      Tables.table(spark, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority").asc, col("rank").asc)
+
   /** Deterministic hash sampling: keep a doc iff the first hex byte
     * of md5("smpl:" ++ id) falls under the rate threshold — stable
     * across runs/engines/cluster layouts, per-stratum auditable. */
@@ -134,6 +148,7 @@ object AdvancedQueries {
     "q_tfidf" -> (q_tfidf _),
     "q_quantiles" -> (q_quantiles _),
     "q_sample_hash" -> (q_sample_hash _),
+    "q_topk_per_group" -> (q_topk_per_group _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +230,13 @@ object AdvancedQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 2) < '28'
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank,
+        |       o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY rank <= 3
+        |ORDER BY o_orderpriority ASC, rank ASC""".stripMargin,
   )
 }

@@ -107,16 +107,14 @@ object IvfIndex {
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       VectorOps.l2norm(col("embedding")).as("q_norm"),
       explode(nearestCells(col("embedding"), centroids, nProbe).getField("cell")).as("cell"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, Seq("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("q_id") =!= col("c_id"))
       .select(
         col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
           .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 }

@@ -56,19 +56,20 @@ object VectorOps {
 
   /** Brute-force cosine top-k: exact kNN of each query vector over
     * the whole collection (the baseline ANN is judged against).
-    * Queries broadcast; candidates stream. */
+    * Queries broadcast; candidates stream into the custom partial
+    * top-k operator ([[graft.plans.TopK]]) — only k rows per (query,
+    * partition) ever reach the exchange, vs the window form sorting
+    * every scored pair. */
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = sided(queries, "q")
     val c = sided(vecs, "c")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .select(
         col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
           .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
@@ -133,9 +134,7 @@ object VectorOps {
     }
     val q = bucketRows(sided(queries, "q"), "q")
     val c = bucketRows(sided(vecs, "c"), "c")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(c, Seq("table_idx", "sig"))
+    val scored = broadcast(q).join(c, Seq("table_idx", "sig"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
         col("q_norm"), col("c_norm"))
@@ -144,8 +143,8 @@ object VectorOps {
         col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
         round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
           .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 }
