@@ -107,6 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval().asInstanceOf[Number].intValue
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKThroughWindowRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       DotProductExpr.info,

@@ -23,6 +23,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path flows through here: install the engine's
+    // planner strategy + top-k rewrite on sessions built without
+    // GraftExtensions (the driver's Verify/Bench sessions)
+    graft.plans.TopK.install(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read it as a long and truncate to micros EXACTLY

@@ -42,6 +42,7 @@ object Components {
       .localCheckpoint(true)
     var iters = 0
     var converged = false
+    var spent = List.empty[DataFrame] // checkpoint blocks to free
     while (!converged && iters < maxIters) {
       val nbrMin = und
         .join(labels.select(col("node").as("y"), col("label").as("nbr_label")), "y")
@@ -55,9 +56,15 @@ object Components {
           col("label"))
         .localCheckpoint(true)
       converged = updated.where(col("new_label") < col("label")).isEmpty
+      spent ::= labels
       labels = updated.select(col("node"), col("new_label").as("label"))
       iters += 1
     }
+    // free every intermediate round's blocks (the result reads only
+    // the LAST checkpoint) — leaked checkpoint blocks otherwise
+    // pressure executor storage for the rest of the session
+    spent.foreach(_.unpersist())
+    und.unpersist()
     labels
   }
 }

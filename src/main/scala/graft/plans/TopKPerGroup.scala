@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, EqualTo, Expression, GenericInternalRow, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.GraftPlanBridge
 import org.apache.spark.sql.types.IntegerType
@@ -27,13 +28,15 @@ import org.apache.spark.sql.types.IntegerType
   *   - **final phase**: per-group heaps again, then each group's k
   *     rows emitted in sort order with their rank.
   *
-  * The window form must shuffle and SORT every row of every group
-  * (WindowExec sorts the whole partition); this plan moves the k-
-  * bound BEFORE the wire, which at 1000 executors × top-10-per-day
-  * is the difference between shuffling 10·p rows and the whole fact
-  * table. Same result set as the window+filter form whenever the
-  * sort order is total within groups (ties otherwise fall
-  * arbitrarily, exactly like row_number).
+  * Versus the window form: WindowExec sorts every surviving row and,
+  * without group-limit inference, shuffles the entire input; Spark's
+  * InferWindowGroupLimit (3.5+) bounds the shuffle for the
+  * rank-filter pattern but still runs sort-based WindowGroupLimit +
+  * a sorted WindowExec. This operator replaces both phases with
+  * bounded heaps (O(n log k), no sort operator anywhere) and
+  * materializes the rank during emission. Same result set as the
+  * window+filter form whenever the sort order is total within groups
+  * (ties otherwise fall arbitrarily, exactly like row_number).
   */
 case class TopKPerGroupPlan(
     groupExprs: Seq[Expression],
@@ -135,11 +138,70 @@ case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
+/** Optimizer rule: rewrites the `Filter(row_number <= k)` over a
+  * single-function ranking Window into [[TopKPerGroupPlan]] — every
+  * windowed top-k in the engine gets the heap-based sort-free plan
+  * without code changes. (Spark's own InferWindowGroupLimit already
+  * bounds the SHUFFLE for this pattern; this rewrite additionally
+  * removes the WindowExec sort entirely — heaps, not sorts — and
+  * materializes the rank during emission.) Strictly guarded: exactly
+  * one window expression, it is row_number, the partition spec is
+  * non-empty (a global top-k is TakeOrderedAndProject's job), and
+  * the filter is a plain `rn <= k` / `rn < k` / `rn = 1` on the rank
+  * output. Ties behave like row_number: arbitrary unless the order
+  * is total — identical caveat, so the rewrite never changes a
+  * deterministic result. */
+object TopKThroughWindowRule extends Rule[LogicalPlan] {
+  private def kFrom(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, w: Window) =>
+      w.windowExpressions match {
+        case Seq(al @ Alias(WindowExpression(_: RowNumber, spec), _))
+            if w.partitionSpec.nonEmpty && spec.orderSpec.nonEmpty =>
+          kFrom(cond, al.toAttribute) match {
+            case Some(k) if k >= 1 =>
+              // InferWindowGroupLimit may have already slid a
+              // WindowGroupLimit under the Window for this same
+              // rank filter — our operator subsumes it, so strip it
+              // or its sort+exchange would run redundantly below us
+              val child = w.child match {
+                case wgl: WindowGroupLimit
+                    if wgl.partitionSpec == w.partitionSpec &&
+                      wgl.orderSpec == spec.orderSpec => wgl.child
+                case c => c
+              }
+              TopKPerGroupPlan(
+                w.partitionSpec, spec.orderSpec, k,
+                al.toAttribute.asInstanceOf[AttributeReference], child)
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}
+
 /** DataFrame API. Group/order columns are named child columns;
   * `order` pairs are (column, ascending?). The sort should be total
   * within groups for deterministic results (same caveat as
   * row_number). */
 object TopK {
+  /** Idempotently installs the strategy + rewrite rule on a session
+    * built without [[graft.functions.GraftExtensions]]. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(GraftStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GraftStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKThroughWindowRule))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ TopKThroughWindowRule
+  }
+
   def perGroup(
       df: DataFrame,
       groupCols: Seq[String],
@@ -147,8 +209,7 @@ object TopK {
       k: Int,
       rankName: String = "rank"): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GraftStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GraftStrategy
+    install(spark)
     val child = df.queryExecution.analyzed
     def attr(n: String): Attribute = child.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no column '$n' in ${child.output.map(_.name).mkString(",")}"))

@@ -54,6 +54,18 @@ object VectorOps {
       col("embedding").as(s"${side}_emb"),
       l2norm(col("embedding")).as(s"${side}_norm"))
 
+  /** Ensure the STREAMED side of an n²-ish join uses every core: a
+    * small single-file collection scans as one partition, and a
+    * broadcast/nested-loop join inherits the streamed side's
+    * partitioning — without this the whole pairwise compute can land
+    * on a single task. No-op when the input is already parallel
+    * (a 100 TB collection has thousands of partitions; forcing a
+    * repartition there would be a pointless full shuffle). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Brute-force cosine top-k: exact kNN of each query vector over
     * the whole collection (the baseline ANN is judged against).
     * Queries broadcast; candidates stream into the custom partial
@@ -62,7 +74,7 @@ object VectorOps {
     * every scored pair. */
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = sided(queries, "q")
-    val c = sided(vecs, "c")
+    val c = spread(sided(vecs, "c"))
     val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .select(
         col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
@@ -82,7 +94,7 @@ object VectorOps {
     * total order — ties on rounded cosine break to the SMALLEST
     * neighbor id — matching the window/QUALIFY form bit-for-bit. */
   def allNearestNeighbor(vecs: DataFrame): DataFrame = {
-    val a = sided(vecs, "q")
+    val a = spread(sided(vecs, "q"))
     val b = sided(vecs, "c")
     a.join(b, col("q_id") =!= col("c_id"))
       .select(
@@ -96,9 +108,14 @@ object VectorOps {
       .select(col("query_id"), col("best.neighbor_id"), col("best.cosine"))
   }
 
-  /** Near-duplicate pairs by cosine threshold (a < b once). */
+  /** Near-duplicate pairs by cosine threshold (a < b once). The
+    * streamed side is explicitly spread over the cluster: a small
+    * single-file collection reads as ONE partition, and a nested-loop
+    * inequality join inherits the streamed side's partitioning — so
+    * without the repartition the whole n² compute can land on a
+    * single task. */
   def nearDupPairs(vecs: DataFrame, threshold: Double): DataFrame = {
-    val a = sided(vecs, "q")
+    val a = spread(sided(vecs, "q"))
     val b = sided(vecs, "c")
     a.join(b, col("q_id") < col("c_id"))
       .select(

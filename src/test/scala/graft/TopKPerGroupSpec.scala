@@ -54,6 +54,36 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == Seq((1, 1, 11), (1, 2, 10), (2, 1, 20)))
   }
 
+  test("rewrite rule: window row_number filter plans as TopKPerGroupExec") {
+    graft.plans.TopK.install(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = orders.select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), plan)
+    // rank values survive the rewrite (same attribute id)
+    val ranks = df.select("rank").distinct().as[Int].collect().toSet
+    assert(ranks == Set(1, 2))
+  }
+
+  test("rewrite rule leaves global (unpartitioned) and non-row_number windows alone") {
+    graft.plans.TopK.install(spark)
+    val global = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_orderkey").asc)))
+      .where(col("rn") <= 5)
+    global.collect()
+    assert(global.queryExecution.executedPlan.toString().contains("Window"))
+    val rank = orders.withColumn("rk",
+      dense_rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)))
+      .where(col("rk") <= 2)
+    rank.collect()
+    assert(rank.queryExecution.executedPlan.toString().contains("Window"))
+  }
+
   test("multiple groups per partition and duplicate sort values behave like row_number") {
     val df = (1 to 100).map(i => (i % 7, i, (i % 3).toDouble)).toDF("g", "id", "v")
       .repartition(5)
