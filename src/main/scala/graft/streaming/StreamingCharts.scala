@@ -50,6 +50,27 @@ object StreamingCharts {
         to_date(col("day.start")).as("date"),
         col("platform"), col("entity_id"), col("score"))
 
+  /** Streaming gap sessionization — the streaming twin of
+    * [[graft.operators.Sessionize]]: `session_window` grows/merges
+    * event-time windows separated by less than `gap`, and the
+    * watermark closes and emits a session once no more events can
+    * join it. Session end here is last-event + gap (the windowing
+    * definition); the batch operator reports last-event itself —
+    * both carried so the two paths reconcile. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes", watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_event"),
+        max(col("ts")).as("last_event"))
+      .select(
+        col("user_id"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("first_event"), col("last_event"), col("n_events"))
+
   /** Chart-streak tracking with explicit keyed state: consecutive
     * charted days per (platform, entity). A `flatMapGroupsWithState`
     * op — the kind of custom sessionization no built-in aggregate

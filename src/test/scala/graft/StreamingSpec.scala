@@ -69,6 +69,41 @@ class StreamingSpec extends SparkSpec {
       ("Apple Music", 1L, "2024-01-05", 1)))
   }
 
+  test("streaming session windows merge within the gap and agree with the batch sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingCharts.sessionStats(in.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_t").start()
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:29:00"), 7, "click", 1.0), // merges (29 min)
+      Ev(3, ts("2024-01-01 11:30:00"), 7, "click", 1.0), // 61 min → new session
+      Ev(4, ts("2024-01-01 10:00:00"), 8, "click", 1.0)) // other user isolated
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    in.addData(Ev(9, ts("2024-01-04 00:00:01"), 9, "click", 1.0)) // advance watermark
+    q.processAllAvailable()
+    val got = spark.table("sessions_t")
+      .select($"user_id", $"session_start".cast("string"),
+        $"last_event".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(
+      (7L, "2024-01-01 10:00:00", "2024-01-01 10:29:00", 2L),
+      (7L, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1L),
+      (8L, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1L)))
+    // batch operator over the same events: same sessions (start,
+    // last event, count) — streaming end = last + gap by definition
+    val batch = graft.operators.Sessionize.sessionStats(
+      evs.toDF().select($"user_id", $"event_id", $"ts"),
+      "user_id", "ts", "event_id", 30L * 60 * 1000000)
+      .select($"user_id", $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(batch === got)
+  }
+
   test("foreachBatch ranking sink matches the batch ranking on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
