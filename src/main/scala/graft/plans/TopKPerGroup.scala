@@ -79,6 +79,13 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (rankAttr.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+  // row-preserving per partition: an upstream hash partitioning on the
+  // group keys still holds afterwards — without this (the SparkPlan
+  // default is UnknownPartitioning) EnsureRequirements re-shuffles
+  // input that is ALREADY clustered, e.g. top-k directly over a
+  // groupBy on the same keys
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
