@@ -140,7 +140,65 @@ object AdvancedQueries {
       .select("doc_id", "lang", "source")
       .orderBy(col("doc_id").asc)
 
+  /** CUBE + grouping_id: all four aggregation levels of the pricing
+    * matrix in one pass with the level encoded (Postgres-compatible
+    * bit order: first cube column = MSB). */
+  def q_grouping_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n_rows"))
+      .orderBy(col("gid").asc, col("returnflag").asc, col("linestatus").asc)
+
+  /** Calendar gap-filling (time-series densification): every platform
+    * gets its full min..max date range via `sequence`+explode, missing
+    * days land as 0, and the cumulative sum runs over the DENSE
+    * series — the step every daily-metrics pipeline needs before
+    * window math, done without a driver-side calendar. */
+  def q_gap_fill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+    val daily = e.groupBy(
+      col("event_type").as("platform"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_events"))
+    val cal = daily.groupBy("platform")
+      .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+      .select(col("platform"), explode(sequence(col("d0"), col("d1"))).as("date"))
+    val w = Window.partitionBy("platform").orderBy(col("date").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("platform", "date"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .orderBy(col("platform").asc, col("date").asc)
+  }
+
+  /** True RANGE frame (value-based, not row-count): 7-day trailing sum
+    * over possibly-sparse daily counts — ROWS BETWEEN 6 PRECEDING is
+    * WRONG on sparse series (it spans whatever 7 rows exist); the
+    * RANGE frame on the day number is scale-independent and correct. */
+  def q_range_frame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type").as("platform"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num",
+        datediff(col("date"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy("platform").orderBy(col("day_num").asc)
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum(col("n_events")).over(w))
+      .select("platform", "date", "n_events", "n_7d")
+      .orderBy(col("platform").asc, col("date").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_cube" -> (q_grouping_cube _),
+    "q_gap_fill" -> (q_gap_fill _),
+    "q_range_frame" -> (q_range_frame _),
     "q_sessionize" -> (q_sessionize _),
     "q_asof_join" -> (q_asof_join _),
     "q_range_join" -> (q_range_join _),
@@ -152,6 +210,41 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid ASC, returnflag ASC, linestatus ASC""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS platform, CAST(ts AS DATE) AS date,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT platform, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM (SELECT platform, MIN(date) AS d0, MAX(date) AS d1
+        |        FROM daily GROUP BY platform))
+        |SELECT cal.platform, cal.date,
+        |       COALESCE(daily.n_events, 0) AS n_events,
+        |       SUM(COALESCE(daily.n_events, 0)) OVER (
+        |         PARTITION BY cal.platform ORDER BY cal.date ASC
+        |         ROWS UNBOUNDED PRECEDING) AS cum_events
+        |FROM cal LEFT JOIN daily
+        |  ON cal.platform = daily.platform AND cal.date = daily.date
+        |ORDER BY cal.platform ASC, cal.date ASC""".stripMargin,
+    "q_range_frame" ->
+      """WITH daily AS (
+        |  SELECT event_type AS platform, CAST(ts AS DATE) AS date,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT platform, date, n_events,
+        |       SUM(n_events) OVER (PARTITION BY platform
+        |         ORDER BY date - DATE '2024-01-01'
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+        |FROM daily ORDER BY platform ASC, date ASC""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, event_id, ts,
