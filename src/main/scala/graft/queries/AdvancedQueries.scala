@@ -195,7 +195,57 @@ object AdvancedQueries {
       .orderBy(col("platform").asc, col("date").asc)
   }
 
+  private val Denylist = Seq("customer", "secret", "spark")
+  private val DenyPattern = Denylist.mkString("\\b(", "|", ")\\b")
+
+  /** Denylist redaction (content filtering): replace denylisted terms
+    * with a marker, count hits, and fingerprint the redacted text —
+    * the filter stage every training corpus passes through. The
+    * pattern is plain alternation + word boundaries, identical under
+    * Java regex and RE2. */
+  def q_redact(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(DenyPattern), lit(0)))
+          .as("n_redacted"),
+        md5(regexp_replace(col("text"), DenyPattern, "[REDACTED]"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id").asc)
+
+  /** Int8 embedding quantization (the memory-side of billion-scale
+    * ANN): symmetric max-abs scale to [-127,127], with saturation
+    * count and the exact L2 reconstruction error (sequential fold,
+    * bit-matched by the oracle). */
+  def q_vec_quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = col("embedding")
+    val maxAbs = greatest(
+      array_max(transform(emb, x => abs(x.cast("double")))), lit(1e-30))
+    val scale = lit(127.0) / maxAbs
+    val quant = transform(emb, x => round(x.cast("double") * scale).cast("int"))
+    Tables.table(spark, dir, "embeddings")
+      .withColumn("q", quant)
+      .withColumn("scale", scale)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        size(filter(col("q"), qi => abs(qi) === 127)).as("n_saturated"),
+        round(
+          sqrt(aggregate(
+            zip_with(emb, col("q"), (x, qi) => {
+              // squared via multiplication, not pow(): Math.pow and
+              // libm pow may differ in the last ulp; x*x never does
+              val d = x.cast("double") - qi.cast("double") / col("scale")
+              d * d
+            }),
+            lit(0.0), (acc, v) => acc + v)),
+          6).as("recon_err"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_redact" -> (q_redact _),
+    "q_vec_quantize" -> (q_vec_quantize _),
     "q_grouping_cube" -> (q_grouping_cube _),
     "q_gap_fill" -> (q_gap_fill _),
     "q_range_frame" -> (q_range_frame _),
@@ -210,6 +260,35 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_redact" -> {
+      val p = DenyPattern
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$p')) AS n_redacted,
+         |  md5(regexp_replace(text, '$p', '[REDACTED]', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id ASC""".stripMargin
+    },
+    "q_vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / greatest(
+        |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |      1e-30) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qv
+        |  FROM v)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  len(list_filter(qv, qi -> abs(qi) = 127)) AS n_saturated,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> (CAST(embedding[i::INTEGER] AS DOUBLE)
+        |              - CAST(qv[i::INTEGER] AS DOUBLE) / scale)
+        |           * (CAST(embedding[i::INTEGER] AS DOUBLE)
+        |              - CAST(qv[i::INTEGER] AS DOUBLE) / scale))),
+        |    (a, b) -> a + b)), 6) AS recon_err
+        |FROM q ORDER BY vec_id ASC""".stripMargin,
     "q_grouping_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
