@@ -150,17 +150,23 @@ object TextOps {
 
   /** Exact n-gram Jaccard near-dup pairs via the relational
     * explode–join (no LSH): |A∩B| from the shingle join, |A∪B| from
-    * per-doc sizes. The baseline the MinHash path approximates. */
+    * per-doc sizes. The baseline the MinHash path approximates.
+    *
+    * The per-doc size rides ALONG the exploded rows and through the
+    * join as extra grouping keys (functionally dependent on the doc
+    * ids) — the earlier separate `sizes` aggregation + two re-joins
+    * made the planner scan and re-shingle the corpus four times. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), "b")
       .withColumn("jaccard",
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
