@@ -71,6 +71,33 @@ object StreamingCharts {
         col("session.end").as("session_end"),
         col("first_event"), col("last_event"), col("n_events"))
 
+  /** Watermarked stream-stream interval join: each purchase joined to
+    * the same user's views from the preceding hour — the streaming
+    * attribution join. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so state for either side
+    * is dropped once the watermark passes the interval (unbounded
+    * state otherwise). The batch twin is [[graft.operators.AsofJoin]]
+    * (latest-one semantics); the interval join keeps ALL views in
+    * the window — streaming can't know "latest" until the watermark
+    * closes, which is why the operator family differs. */
+  def purchaseViewJoin(
+      purchases: DataFrame,
+      views: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "leftOuter")
+      .select("purchase_id", "user_id", "p_ts", "view_id", "v_ts")
+  }
+
   /** Chart-streak tracking with explicit keyed state: consecutive
     * charted days per (platform, entity). A `flatMapGroupsWithState`
     * op — the kind of custom sessionization no built-in aggregate

@@ -104,6 +104,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("stream-stream interval join: views within the hour attach, older ones age out") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val q = StreamingCharts.purchaseViewJoin(pIn.toDF(), vIn.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pv_join_t").start()
+    vIn.addData(
+      Ev(10, ts("2024-01-01 09:30:00"), 7, "view", 1.0), // 30 min before → joins
+      Ev(11, ts("2024-01-01 08:30:00"), 7, "view", 1.0), // 90 min before → outside interval
+      Ev(12, ts("2024-01-01 09:45:00"), 8, "view", 1.0)) // other user
+    pIn.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "purchase", 5.0))
+    q.processAllAvailable()
+    // advance both watermarks so the left-outer null side emits
+    vIn.addData(Ev(98, ts("2024-01-01 23:00:00"), 9, "view", 1.0))
+    pIn.addData(
+      Ev(2, ts("2024-01-01 13:00:00"), 7, "purchase", 5.0), // no view in window
+      Ev(99, ts("2024-01-01 23:00:00"), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    vIn.addData(Ev(100, ts("2024-01-02 12:00:00"), 9, "view", 1.0))
+    pIn.addData(Ev(101, ts("2024-01-02 12:00:00"), 9, "purchase", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("pv_join_t")
+      .where($"purchase_id".isin(1L, 2L))
+      .select($"purchase_id", $"view_id")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(got === Set((1L, Some(10L)), (2L, None)))
+  }
+
   test("foreachBatch ranking sink matches the batch ranking on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
