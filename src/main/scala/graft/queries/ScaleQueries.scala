@@ -99,7 +99,64 @@ object ScaleQueries {
       .orderBy(col("date").asc)
   }
 
+  /** Skew-salted JOIN: the big side gets a synthetic salt, the small
+    * side is replicated once per salt value, and the join key becomes
+    * (key, salt) — each hot key spreads over `salts` reducers. The
+    * result is EXACTLY the plain join (each big row meets exactly its
+    * salt's replica); only the shuffle layout differs. The manual
+    * form of AQE's skew-join splitting, for when stats miss the skew. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Salted-join demo: lineitem ⋈ orders spread over 8 salts, then a
+    * small rollup; hash-matches the plain-join oracle. */
+  def q_skew_salted_join(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables.table(spark, dir, "lineitem").withColumn("orderkey", col("l_orderkey")),
+      Tables.table(spark, dir, "orders").withColumn("orderkey", col("o_orderkey")),
+      Seq("orderkey"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(14,2)")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** Data-quality audit: the reference's CHECK/FK constraints as a
+    * batch validation pass — one (check, n_violations) row per rule,
+    * anti-joins for referential ones. The shape every ingest gate
+    * needs before promoting a batch. */
+  def q_validate(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    val customer = Tables.table(spark, dir, "customer")
+    val events = Tables.table(spark, dir, "events")
+    val checks: Seq[(String, DataFrame)] = Seq(
+      "events_null_user" -> events.where(col("user_id").isNull),
+      "lineitem_orphan_order" ->
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti"),
+      "lineitem_qty_range" ->
+        lineitem.where(col("l_quantity") < 1 || col("l_quantity") > 50),
+      "orders_nonneg_price" -> orders.where(col("o_totalprice") < 0),
+      "orders_orphan_customer" ->
+        orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti"),
+    )
+    checks
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_violations")).withColumn("check", lit(name))
+      }
+      .reduce(_ unionByName _)
+      .select("check", "n_violations")
+      .orderBy(col("check").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_join" -> (q_skew_salted_join _),
+    "q_validate" -> (q_validate _),
     "q_skew_salted_agg" -> (q_skew_salted_agg _),
     "q_distinct_users" -> (q_distinct_users _),
     "q_revenue_per_nation" -> (q_revenue_per_nation _),
@@ -108,6 +165,29 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_validate" ->
+      """SELECT * FROM (
+        |  SELECT 'events_null_user' AS check, COUNT(*) AS n_violations
+        |  FROM events WHERE user_id IS NULL
+        |  UNION ALL
+        |  SELECT 'lineitem_orphan_order', COUNT(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', COUNT(*) FROM lineitem
+        |  WHERE l_quantity < 1 OR l_quantity > 50
+        |  UNION ALL
+        |  SELECT 'orders_nonneg_price', COUNT(*) FROM orders
+        |  WHERE o_totalprice < 0
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', COUNT(*) FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |ORDER BY "check" ASC""".stripMargin,
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,

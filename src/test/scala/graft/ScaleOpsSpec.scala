@@ -28,4 +28,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile tracks the exact interpolated percentile within rank accuracy") {
+    val li = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.agg(
+      org.apache.spark.sql.functions.percentile(col("l_quantity").cast("double"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_quantity").cast("double"), lit(0.5), lit(1000)).as("approx")).head()
+    val exact = r.getDouble(0)
+    val approx = r.getDouble(1)
+    // quantities are 1..50: at accuracy 1000 the sketch's rank error
+    // keeps the estimate within one integer step of the exact median
+    assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
+  }
+
+  test("salted join equals the plain join row-for-row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.io.Tables.table(spark, dir, "lineitem").withColumn("orderkey", col("l_orderkey"))
+    val o = graft.io.Tables.table(spark, dir, "orders").withColumn("orderkey", col("o_orderkey"))
+    val salted = graft.queries.ScaleQueries.saltedJoin(li, o, Seq("orderkey"), 8)
+      .groupBy("orderkey").count().as[(Long, Long)].collect().toMap
+    val plain = li.join(o, "orderkey")
+      .groupBy("orderkey").count().as[(Long, Long)].collect().toMap
+    assert(salted == plain && plain.nonEmpty)
+  }
 }
