@@ -243,7 +243,47 @@ object AdvancedQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Bigram language-model scoring: add-1-smoothed corpus bigram
+    * probabilities, each document scored by its mean log-probability
+    * (perplexity's log domain) — the LM-based quality filter family.
+    *
+    * Determinism trick: per-bigram log-probs are rounded to 9 dp and
+    * summed as DECIMAL(20,9) — double SUMs are partition-order-
+    * dependent and can never hash-match across engines, but a
+    * quantized decimal sum is exact in any order; the single double
+    * division happens once at the end. */
+  def q_bigram_lm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val tok = TextOps.withTokens(docs).where(size(col("tokens")) >= 2)
+    val bg = tok.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("tokens")) - 1),
+        i => struct(
+          element_at(col("tokens"), i).as("w1"),
+          element_at(col("tokens"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cu = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = TextOps.withTokens(docs)
+      .select(explode(col("tokens")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val logp = round(
+      log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 9)
+      .cast("decimal(20,9)")
+    bg.join(cb, Seq("w1", "w2"))
+      .join(broadcast(cu), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", logp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("s"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
     "q_vec_quantize" -> (q_vec_quantize _),
     "q_grouping_cube" -> (q_grouping_cube _),
@@ -260,6 +300,22 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, toks[i::INTEGER] AS w1, toks[(i + 1)::INTEGER] AS w2
+        |       FROM tok, UNNEST(range(1, len(toks))) AS u(i)),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1),
+        |vocab AS (SELECT COUNT(DISTINCT t) AS v
+        |          FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln((c12 + 1.0) / (c1 + v)), 9) AS DECIMAL(20,9)) AS logp
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "q_redact" -> {
       val p = DenyPattern
       s"""SELECT doc_id,
