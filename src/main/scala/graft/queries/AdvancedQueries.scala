@@ -282,7 +282,22 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Deterministic fixed-size stratified sample: per language, the 10
+    * docs with the smallest salted-md5 of their id — a uniform-ish
+    * fixed-k draw that is stable across runs, engines, and cluster
+    * layouts (reservoir sampling without the nondeterminism), and
+    * another consumer of the custom top-k operator. */
+  def q_sample_stratified(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(lit("rs:"), col("doc_id").cast("string"))).as("h")),
+      Seq("lang"), Seq(("h", true)), 10)
+      .select("lang", "rank", "doc_id")
+      .orderBy(col("lang").asc, col("rank").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
     "q_vec_quantize" -> (q_vec_quantize _),
@@ -300,6 +315,16 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |             md5('rs:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents)
+        |SELECT lang,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC)
+        |         AS INTEGER) AS rank,
+        |       doc_id
+        |FROM h QUALIFY rank <= 10
+        |ORDER BY lang ASC, rank ASC""".stripMargin,
     "q_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
         |             FROM documents WHERE len(string_split(text, ' ')) >= 2),
