@@ -1,7 +1,6 @@
 package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.vector.VectorOps.dot
@@ -13,13 +12,15 @@ import graft.vector.VectorOps.dot
   * standard billion-scale layout (FAISS-style IVF-Flat).
   *
   * Deterministic by construction: seeded initialization from fixed
-  * vec_ids, a fixed iteration count, and ties broken by cell id —
-  * reproducible across runs and cluster sizes.
+  * vec_ids, a fixed iteration count, fixed-order arithmetic, and
+  * ties broken by cell id — reproducible across runs and cluster
+  * sizes.
   *
-  * Scale: training touches the (optionally sampled) collection a few
-  * times (assign = map-only vs broadcast centroids; update = one
-  * narrow shuffle on (cell, dim)); centroids are tiny driver state
-  * (k × dim doubles). Search joins each query to nProbe cells only —
+  * Scale: the coarse quantizer trains driver-side on a bounded
+  * deterministic sample (the FAISS recipe — index state is k × dim
+  * doubles, so the cluster never runs per-iteration jobs); cell
+  * ASSIGNMENT of the full collection is map-only against broadcast
+  * centroid literals. Search joins each query to nProbe cells only —
   * candidate count ≈ nProbe/k of the collection.
   */
 object IvfIndex {
