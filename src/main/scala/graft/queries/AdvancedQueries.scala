@@ -296,7 +296,28 @@ object AdvancedQueries {
       .select("lang", "rank", "doc_id")
       .orderBy(col("lang").asc, col("rank").asc)
 
+  /** Benchmark decontamination: training docs sharing ≥1 3-token
+    * shingle with the (held-out) eval set, with the overlap count and
+    * a contamination flag at ≥5 shared shingles — the eval-leakage
+    * scrub every LLM corpus needs. The eval side's distinct shingle
+    * set is small by construction, so at scale it BROADCASTS and the
+    * training corpus streams through map-side — no shuffle of the
+    * big side until the tiny per-doc hit aggregation. */
+  def q_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val isEval = col("doc_id") % 97 === 0 // stand-in eval-set membership
+    val evalShingles = TextOps.shingleRows(docs.where(isEval), CorpusQueries.ShingleN)
+      .select("shingle").distinct()
+    TextOps.shingleRows(docs.where(!isEval), CorpusQueries.ShingleN)
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 5)
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (q_decontaminate _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -315,6 +336,19 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> {
+      val n = CorpusQueries.ShingleN
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+         |       FROM tok, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+         |       WHERE len(toks) >= $n),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_shared
+         |         FROM sh JOIN ev USING (shingle)
+         |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+         |SELECT doc_id, n_shared, n_shared >= 5 AS contaminated
+         |FROM hits ORDER BY doc_id ASC""".stripMargin
+    },
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |             md5('rs:' || CAST(doc_id AS VARCHAR)) AS h
