@@ -1,0 +1,66 @@
+package graft
+
+/** The PLANS.md claims as executable assertions: pushdown reaches the
+  * scan, small sides broadcast, top-k avoids global sorts, the
+  * ranking pipeline shares one exchange, and the custom top-k plan
+  * replaces windows. Plan shape is a correctness surface at 100 TB —
+  * these tests make regressions loud. */
+class PlanPropertiesSpec extends SparkSpec {
+
+  // sf0.01, not sf0.001: at the tiniest scale AQE collapses to
+  // single-partition plans (no partial aggregates, extra coalesced
+  // exchanges) and the properties under test degenerate
+  private val dir = "/root/testdata/sf0.01"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // let AQE finalize
+    // keep only the final plan: under AQE, toString appends the
+    // initial plan too, which double-counts any operator search
+    df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+  }
+
+  test("pricing summary: date filter pushed to parquet, partial agg before exchange") {
+    val p = planOf("q_pricing_summary")
+    assert(p.contains("LessThan(l_shipdate,2024-07-01"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dim joins broadcast the dimension side") {
+    val p = planOf("q_string_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("event point filter pushes the raw nanos time range to the scan") {
+    val p = planOf("q_point_filter")
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+    assert(p.contains("LessThan(ts"), p)
+  }
+
+  test("rank delta: one exchange serves agg + custom top-k; window rewrite applied") {
+    val p = planOf("q_rank_delta")
+    assert(p.contains("TopKPerGroup"), p)
+    val dateExchanges = "Exchange hashpartitioning\\(date".r.findAllIn(p).size
+    assert(dateExchanges == 1, s"expected the shared (date,platform) exchange, got $dateExchanges:\n$p")
+  }
+
+  test("decontamination broadcasts the eval shingle set") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("no query plan contains a cartesian product") {
+    // BroadcastNestedLoopJoin is expected (range/inequality joins);
+    // an unconstrained CartesianProduct is never intended
+    val names = Seq("q_range_join", "q_embed_near_dup", "q_ann_topk", "q_dedup_minhash")
+    names.foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+  }
+}
