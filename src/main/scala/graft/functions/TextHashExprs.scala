@@ -175,13 +175,19 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** 32-bit SimHash bit-string over the MULTISET of n-token windows
-    * (repeats weigh more, as in the original algorithm). */
+  /** 64-bit SimHash bit-string over the MULTISET of n-token windows
+    * (repeats weigh more, as in the original algorithm). Bit b
+    * (0-based) is fed by BIT b of the window's md5 — i.e. bit
+    * `8 >> (b & 3)` of hex digit `b / 4` — so the fingerprint uses
+    * the digest's full first 64 bits. 64 bits is the standard
+    * (Google-scale) width: 16-bit LSH bands give 65536-way bucket
+    * spread where a 32-bit fingerprint's 8-bit bands cap at 256
+    * buckets and its candidate joins explode at corpus scale. */
   def simhash(tokens: ArrayData, n: Int): UTF8String = {
     val md = md5()
     val toks = tokenBytes(tokens)
     val nWin = toks.length - n + 1
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](64)
     val tmp = new Array[Byte](16)
     var i = 0
     while (i < nWin) {
@@ -189,18 +195,19 @@ object TextKernels {
       md.update(windowBytes(toks, i, n))
       md.digest(tmp, 0, 16)
       var b = 0
-      while (b < 32) {
+      while (b < 64) {
+        val hexIdx = b >> 2
         val nibble =
-          if ((b & 1) == 0) (tmp(b >> 1) >> 4) & 0xf
-          else tmp(b >> 1) & 0xf
-        if (nibble >= 8) counts(b) += 1 else counts(b) -= 1
+          if ((hexIdx & 1) == 0) (tmp(hexIdx >> 1) >> 4) & 0xf
+          else tmp(hexIdx >> 1) & 0xf
+        if ((nibble & (8 >> (b & 3))) != 0) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
       i += 1
     }
-    val bits = new Array[Byte](32)
+    val bits = new Array[Byte](64)
     var b = 0
-    while (b < 32) {
+    while (b < 64) {
       bits(b) = if (counts(b) > 0) '1'.toByte else '0'.toByte
       b += 1
     }

@@ -266,12 +266,23 @@ SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold"""
 
   private val dedupSimhashSql: String = {
     val n = ShingleN
+    // bit b (1-based) of the 64-bit simhash reads BIT `8 >> ((b-1)%4)`
+    // of hex digit `(b-1)/4 + 1` — as hex-char set membership, the
+    // only per-bit test both engines evaluate identically
+    def hexSet(weight: Int): String =
+      (0 until 16).filter(v => (v & weight) != 0)
+        .map(v => s"'${Integer.toHexString(v)}'").mkString("(", ", ", ")")
     val bit =
       s"""CASE WHEN ${foldSum(
-        "list_transform(wins, t -> CASE WHEN substr(md5(t), b::INTEGER, 1) >= '8' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
+        s"""list_transform(wins, t -> CASE WHEN substr(md5(t), ((b - 1) // 4 + 1)::INTEGER, 1)
+            IN ${hexSet(8)} AND (8 >> ((b - 1) % 4)::INTEGER) = 8
+            OR substr(md5(t), ((b - 1) // 4 + 1)::INTEGER, 1) IN ${hexSet(4)} AND (8 >> ((b - 1) % 4)::INTEGER) = 4
+            OR substr(md5(t), ((b - 1) // 4 + 1)::INTEGER, 1) IN ${hexSet(2)} AND (8 >> ((b - 1) % 4)::INTEGER) = 2
+            OR substr(md5(t), ((b - 1) // 4 + 1)::INTEGER, 1) IN ${hexSet(1)} AND (8 >> ((b - 1) % 4)::INTEGER) = 1
+            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""",
         "CAST(0 AS BIGINT)")} > 0 THEN '1' ELSE '0' END"""
     val bandSelects = (0 until 4).map { j =>
-      s"SELECT doc_id, simhash, $j AS band_idx, substr(simhash, ${j * 8 + 1}, 8) AS band_val FROM s"
+      s"SELECT doc_id, simhash, $j AS band_idx, substr(simhash, ${j * 16 + 1}, 16) AS band_val FROM s"
     }.mkString("\n  UNION ALL ")
     s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
 win AS (SELECT doc_id,
@@ -279,7 +290,7 @@ win AS (SELECT doc_id,
     i -> array_to_string(toks[i:i+${n - 1}], ' ')) AS wins
 FROM tok WHERE len(toks) >= $n),
 s AS (SELECT doc_id,
-  array_to_string(list_transform(range(1, 33), b -> $bit), '') AS simhash
+  array_to_string(list_transform(range(1, 65), b -> $bit), '') AS simhash
 FROM win),
 bands AS ($bandSelects),
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
@@ -288,7 +299,7 @@ cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            ON x.band_idx = y.band_idx AND x.band_val = y.band_val
           AND x.doc_id < y.doc_id),
 ham AS (SELECT a, b,
-  ${foldSum("list_transform(range(1, 33), i -> CASE WHEN substr(sa, i::INTEGER, 1) = substr(sb, i::INTEGER, 1) THEN 0 ELSE 1 END)", "0")} AS hamming
+  ${foldSum("list_transform(range(1, 65), i -> CASE WHEN substr(sa, i::INTEGER, 1) = substr(sb, i::INTEGER, 1) THEN 0 ELSE 1 END)", "0")} AS hamming
 FROM cand)
 SELECT a, b, hamming FROM ham WHERE hamming <= $SimhashMaxHamming
 ORDER BY a ASC, b ASC"""

@@ -222,9 +222,9 @@ object TextOps {
       .select("a", "b", "jaccard")
   }
 
-  /** 32-bit SimHash as a bit-string: bit b is set when more tokens
-    * have a high b-th md5 nibble than not (ties ⇒ 0). Token multiset,
-    * not set — repeated tokens weigh more, as in the original
+  /** 64-bit SimHash as a bit-string: bit b is set when more windows
+    * have md5 bit b set than not (ties ⇒ 0). Window multiset, not
+    * set — repeated windows weigh more, as in the original
     * algorithm. */
   def withSimhash(docs: DataFrame, n: Int = 3): DataFrame =
     // Features are n-token shingle WINDOWS (multiset, not distinct):
@@ -243,20 +243,25 @@ object TextOps {
       .drop("tokens")
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
-    * found via 4-band LSH over the 32-bit string (pigeonhole: any
+    * found via 4-band LSH over the 64-bit string (pigeonhole: any
     * pair within Hamming 3 shares at least one of 4 bands — exact
-    * recall for maxHamming ≤ 3, candidates-only for larger). */
+    * recall for maxHamming ≤ 3, candidates-only for larger). The
+    * 16-bit bands spread candidates over 65536 buckets per band —
+    * the layout that keeps the candidate join bounded at corpus
+    * scale (Google's 64-bit/Hamming-3 configuration). */
   def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
     val s = withSimhash(docs, n).select("doc_id", "simhash")
-    val bandArr = array((0 until 4).map(j => col("simhash").substr(j * 8 + 1, 8)): _*)
+    val bandArr = array((0 until 4).map(j => col("simhash").substr(j * 16 + 1, 16)): _*)
     val br = s.select(col("doc_id"), col("simhash"),
       posexplode(bandArr).as(Seq("band_idx", "band_val")))
-    // Hamming over 32-char bit-strings as codegen builtins: parse base-2
-    // → xor → popcount. Equal to the per-position substring compare
-    // (both strings are exactly 32 chars of '0'/'1', values < 2^32).
-    val hamming = bit_count(
-      conv(col("sa"), 2, 10).cast("bigint")
-        .bitwiseXOR(conv(col("sb"), 2, 10).cast("bigint"))).cast("int")
+    // Hamming over 64-char bit-strings as codegen builtins, in two
+    // 32-bit halves (a full 64-char parse could overflow signed
+    // conv): parse base-2 → xor → popcount per half. Equal to the
+    // per-position substring compare.
+    def halfHamming(from: Int) = bit_count(
+      conv(col("sa").substr(from, 32), 2, 10).cast("bigint")
+        .bitwiseXOR(conv(col("sb").substr(from, 32), 2, 10).cast("bigint")))
+    val hamming = (halfHamming(1) + halfHamming(33)).cast("int")
     br.as("x")
       .join(br.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -73,7 +73,7 @@ class TextKernelsSpec extends SparkSpec {
       .foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2)))
   }
 
-  test("native simhash equals the explode/groupBy bit-sum form") {
+  test("native 64-bit simhash equals the explode/groupBy bit-sum form") {
     val hashed = TextOps.withTokens(docs)
       .where(size(col("tokens")) >= n)
       .select(col("doc_id"),
@@ -81,16 +81,22 @@ class TextKernelsSpec extends SparkSpec {
           sequence(lit(1), size(col("tokens")) - (n - 1)),
           i => array_join(slice(col("tokens"), i, lit(n)), " "))).as("t"))
       .select(col("doc_id"), md5(col("t")).as("h"))
-    val bitSums = (1 to 32).map(b =>
-      sum(when(substring(col("h"), b, 1) >= "8", 1L).otherwise(-1L)).as(s"bit$b"))
-    val bits = concat((1 to 32).map(b =>
+    def hexSet(w: Int): Seq[String] =
+      (0 until 16).filter(v => (v & w) != 0).map(Integer.toHexString)
+    val bitSums = (1 to 64).map { b =>
+      val ci = (b - 1) / 4 + 1
+      val w = 8 >> ((b - 1) % 4)
+      sum(when(substring(col("h"), ci, 1).isin(hexSet(w): _*), 1L).otherwise(-1L))
+        .as(s"bit$b")
+    }
+    val bits = concat((1 to 64).map(b =>
       when(col(s"bit$b") > 0, lit("1")).otherwise(lit("0"))): _*)
     val hof = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), bits.as("hof"))
     val native = TextOps.withSimhash(docs, n).select(col("doc_id"), col("simhash"))
     val joined = native.join(hof, "doc_id").collect()
     assert(joined.length == 5)
-    joined.foreach(r => assert(r.getString(1) == r.getString(2)))
+    joined.foreach(r => assert(r.getString(1).length == 64 && r.getString(1) == r.getString(2)))
   }
 
   test("interpreted eval matches codegen for all three kernels") {
