@@ -106,6 +106,16 @@ object Views {
       .orderBy(viewOrder: _*)
   }
 
+  /** Registers the three views under the reference's SQL names, so a
+    * user coming from `psql` runs the same `SELECT * FROM
+    * all_rankings_with_delta_view WHERE date = …` unchanged via
+    * `spark.sql`. */
+  def register(db: MusicDb): Unit = {
+    allRankings(db).createOrReplaceTempView("all_rankings_view")
+    allRankingsWithUrls(db).createOrReplaceTempView("all_rankings_with_urls_view")
+    allRankingsWithDelta(db).createOrReplaceTempView("all_rankings_with_delta_view")
+  }
+
   /** X2 `calculate_rank_delta_between_dates_fn` (behavior.sql:36-54):
     * equi self-join on (isrc, source) with per-side date predicates;
     * delta = comparison.rank - baseline.rank. Pushdown reduces each

@@ -92,6 +92,22 @@ class ViewsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("I2", 3), ("I1", -2)))
   }
 
+  test("register exposes the views under the reference's SQL names") {
+    val db = mkDb(Seq(
+      ("I1", "2024-01-01", 1, "Spotify"),
+      ("I1", "2024-01-02", 2, "Spotify"),
+      ("I2", "2024-01-02", 1, "Spotify")))
+    Views.register(db)
+    val r = spark.sql(
+      """SELECT platform, rank, song, delta
+        |FROM all_rankings_with_delta_view WHERE date = DATE '2024-01-02'
+        |ORDER BY rank""".stripMargin).collect()
+    assert(r.length == 2)
+    assert(r(1).getAs[Int]("delta") == -1) // I1 slid 1 → 2
+    assert(spark.sql("SELECT COUNT(*) FROM all_rankings_view").head().getLong(0) == 3)
+    assert(spark.sql("SELECT spotify_url FROM all_rankings_with_urls_view").count() == 3)
+  }
+
   test("GOLDEN: render for 2026-07-24 reproduces the reference README byte-for-byte") {
     val db = MusicCsv.loadSeedDir(spark, "/root/reference/db/csv").cached()
     val got = Render.renderForDate(db, java.time.LocalDate.of(2026, 7, 24))
