@@ -1,0 +1,50 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the table-maintenance job every streaming
+  * or daily-append layout needs: micro-batch appends leave thousands
+  * of KB-sized part files per partition, and scan cost at 100 TB is
+  * dominated by file-open overhead long before bytes matter.
+  *
+  * Strategy: size the output file count from the actual bytes on
+  * disk (`targetBytes` per file, at least one), rewrite with
+  * `coalesce` (no shuffle — compaction must not pay a repartition of
+  * the whole table), and replace atomically-enough via a temp dir +
+  * swap. A table format with transactions (Delta/Iceberg) would do
+  * the swap transactionally; plain parquet gets the same layout.
+  */
+object Compaction {
+
+  /** Bytes of all data files under `path` (driver-side listing — the
+    * same listing any planner does). */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrites `path` (parquet) into ⌈bytes/targetBytes⌉ files.
+    * Returns (files before, files after). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    def fileCount(p: String): Long =
+      spark.read.parquet(p).select(input_file_name()).distinct().count()
+    val before = fileCount(path)
+    val nFiles = math.max(1L, (dataBytes(spark, path) + targetBytes - 1) / targetBytes).toInt
+    val tmp = path.stripSuffix("/") + "__compacting"
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    (before, fileCount(path))
+  }
+}

@@ -222,6 +222,40 @@ object TextOps {
       .select("a", "b", "jaccard")
   }
 
+  /** INCREMENTAL MinHash dedup: match a (daily) batch against an
+    * already-indexed corpus WITHOUT touching corpus text again — the
+    * shape that makes dedup affordable at 100 TB, where the corpus
+    * index is petabytes of history and the batch is a day's crawl.
+    *
+    * `index` is a persisted [[lshBandRows]] output (doc_id, shingles,
+    * band_idx, band_hash) — at scale a bucketed table on
+    * (band_idx, band_hash) so this join is co-located and
+    * shuffle-free on the index side. Only the batch is shingled and
+    * banded here (map-only); candidates verify exactly as in
+    * [[minhashDupPairs]]. Emits (batch doc a, corpus doc b, jaccard).
+    */
+  def minhashDupAgainstIndex(
+      index: DataFrame, batch: DataFrame,
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val br = lshBandRows(batch, n, k, bands)
+    val cand = br.as("x")
+      .join(index.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("n_common")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** 64-bit SimHash as a bit-string: bit b is set when more windows
     * have md5 bit b set than not (ties ⇒ 0). Window multiset, not
     * set — repeated windows weigh more, as in the original
