@@ -316,7 +316,13 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The end-to-end curation funnel ([[graft.text.Curation]]) with its
+    * per-stage audit flags, oracle-checked as one query. */
+  def q_curate(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Curation.curate(Tables.table(spark, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate" -> (q_curate _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
@@ -336,6 +342,61 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_curate" -> {
+      val n = CorpusQueries.ShingleN
+      val stop = TextOps.allStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      val scores = TextOps.stopwordSets.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(toks, t -> t IN $in)) AS s_$l"
+      }.mkString(",\n    ")
+      val m = TextOps.stopwordSets.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val cases = TextOps.stopwordSets.map { case (l, _) =>
+        s"WHEN s_$l = m AND m > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  round((len(list_distinct(toks)) / len(toks)) * 0.6
+         |        + (1.0 - len(list_filter(toks, t -> t IN $stop)) / len(toks)) * 0.4,
+         |        6) AS quality
+         |FROM t),
+         |ls AS (SELECT doc_id,
+         |    $scores
+         |  FROM t),
+         |lg AS (SELECT doc_id,
+         |  CASE $cases ELSE 'und' END AS predicted
+         |  FROM (SELECT *, $m AS m FROM ls)),
+         |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
+         |exg AS (SELECT h, MIN(doc_id) AS canon, COUNT(*) AS c FROM ex GROUP BY h),
+         |exl AS (SELECT e.doc_id FROM ex e JOIN exg g USING (h)
+         |        WHERE g.c > 1 AND e.doc_id <> g.canon),
+         |nl AS (SELECT DISTINCT b AS doc_id FROM (
+         |${CorpusQueries.minhashPairsBody}
+         |) mp),
+         |shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+         |        FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+         |        WHERE len(toks) >= $n),
+         |ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
+         |ct AS (SELECT doc_id FROM shd JOIN ev USING (shingle)
+         |       WHERE doc_id % 97 <> 0 GROUP BY doc_id HAVING COUNT(*) >= 5)
+         |SELECT *,
+         |  (NOT is_eval AND sampled_in AND NOT is_exact_dup AND NOT is_near_dup
+         |   AND NOT is_contaminated AND predicted <> 'und'
+         |   AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000) AS kept
+         |FROM (
+         |  SELECT d.doc_id, st.n_tokens, st.quality, lg.predicted,
+         |    d.doc_id % 97 = 0 AS is_eval,
+         |    exl.doc_id IS NOT NULL AS is_exact_dup,
+         |    nl.doc_id IS NOT NULL AS is_near_dup,
+         |    ct.doc_id IS NOT NULL AS is_contaminated,
+         |    substr(md5('smpl:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < 'e' AS sampled_in
+         |  FROM documents d
+         |  JOIN st USING (doc_id) JOIN lg USING (doc_id)
+         |  LEFT JOIN exl ON d.doc_id = exl.doc_id
+         |  LEFT JOIN nl ON d.doc_id = nl.doc_id
+         |  LEFT JOIN ct ON d.doc_id = ct.doc_id)
+         |ORDER BY doc_id ASC""".stripMargin
+    },
     "q_decontaminate" -> {
       val n = CorpusQueries.ShingleN
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -30,6 +30,31 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(incremental == crossPairs, s"\ninc:  $incremental\nfull: $crossPairs")
   }
 
+  test("curation funnel: flags are consistent and kept docs pass every gate") {
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val out = graft.text.Curation.curate(docs).cache()
+    val total = out.count()
+    assert(total == docs.count())
+    val kept = out.where(col("kept"))
+    assert(kept.count() > 0 && kept.count() < total) // funnel actually filters
+    // no kept doc violates any gate
+    assert(kept.where(
+      col("is_eval") || col("is_exact_dup") || col("is_near_dup") ||
+        col("is_contaminated") || !col("sampled_in") ||
+        col("predicted") === "und" || col("quality") < 0.5 ||
+        !col("n_tokens").between(5, 1000)).isEmpty)
+    // every eval doc is excluded from training regardless of other flags
+    assert(out.where(col("is_eval") && col("kept")).isEmpty)
+    // exact-dup groups keep exactly their canonical member
+    val exDup = out.where(col("is_exact_dup")).count()
+    val exGroups = graft.text.TextOps.exactDupGroups(docs)
+      .where(col("n_copies") > 1)
+    val expectedLosers = exGroups.agg(
+      coalesce(sum(col("n_copies") - 1), lit(0L))).head().getLong(0)
+    assert(exDup == expectedLosers)
+    out.unpersist()
+  }
+
   test("compaction collapses many small files into the computed target count") {
     val path = "/tmp/graft_compact/orders"
     val src = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "orders")
