@@ -55,6 +55,38 @@ class MaintenanceOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("a bucketed band index joins the daily batch without shuffling the index side") {
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val isBatch = col("doc_id") % 5 === 0
+    // persist the historical index bucketed on the join key (writer
+    // aligned: one file per bucket)
+    TextOps.lshBandRows(docs.where(!isBatch), 3, 16, 8)
+      .repartition(8, col("band_idx"), col("band_hash"))
+      .write.mode("overwrite")
+      .bucketBy(8, "band_idx", "band_hash")
+      .option("path", "/tmp/graft_band_index").format("parquet")
+      .saveAsTable("graft_band_index")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = TextOps.minhashDupAgainstIndex(
+        spark.table("graft_band_index"), docs.where(isBatch), 3, 16, 8, 0.5)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), plan)
+      // ONE exchange on the band keys: the (small) batch side aligning
+      // to the index's buckets — the index itself never shuffles
+      val bandExchanges =
+        "Exchange hashpartitioning\\(band_idx".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"only the batch side should shuffle on the band keys, got $bandExchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_band_index")
+    }
+  }
+
   test("compaction collapses many small files into the computed target count") {
     val path = "/tmp/graft_compact/orders"
     val src = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "orders")
