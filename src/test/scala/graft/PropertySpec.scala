@@ -118,4 +118,77 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // ---- advanced-operator invariants --------------------------------
+
+  private val tsGen = Gen.chooseNum(0L, 100L) // event times in minutes
+
+  test("as-of join: adding right rows AFTER a left row never changes its match") {
+    val rightsGen = Gen.nonEmptyListOf(Gen.zip(keyGen, tsGen))
+    forAll2(Gen.zip(keyGen, tsGen), rightsGen) { case ((lk, lt), rights) =>
+      def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+      val left = Seq((1L, lk.toLong, ts(lt))).toDF("event_id", "k", "ts")
+      val dedup = rights.distinct
+      val right = dedup.zipWithIndex
+        .map { case ((k, t), i) => (k.toLong, ts(t), s"p$i") }
+        .toDF("k", "ts", "payload")
+        .transform(MusicCsv.keepBestRow(_, Seq("k", "ts"), Seq(col("payload").asc)))
+      val before = graft.operators.AsofJoin
+        .joinAsOf(left, right, Seq("k"), "ts")
+        .select("payload").collect().map(r => Option(r.getString(0))).toSeq
+      // append strictly-later right rows for the same key
+      val later = Seq((lk.toLong, ts(lt + 1), "zz_late"), (lk.toLong, ts(lt + 50), "zz_later"))
+        .toDF("k", "ts", "payload")
+      val after = graft.operators.AsofJoin
+        .joinAsOf(left, right.unionByName(later), Seq("k"), "ts")
+        .select("payload").collect().map(r => Option(r.getString(0))).toSeq
+      assert(before == after)
+    }
+  }
+
+  test("sessionize: per-user session ids are contiguous 1..n and respect the gap") {
+    val evGen = Gen.nonEmptyListOf(Gen.zip(keyGen, tsGen))
+    forAll(evGen) { evs =>
+      val gapUs = 10L * 60 * 1000000 // 10 minutes
+      val df = evs.distinct.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k.toLong, new java.sql.Timestamp(t * 60000L)) }
+        .toDF("event_id", "user_id", "ts")
+      val out = graft.operators.Sessionize
+        .sessionize(df, "user_id", "ts", "event_id", gapUs)
+        .select("user_id", "ts", "session_seq")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getInt(2)))
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        // ids contiguous from 1
+        assert(sorted.map(_._3).distinct.sorted.toSeq == (1 to sorted.map(_._3).max).toSeq)
+        // consecutive events in one session are within gap; session
+        // breaks imply a strict gap
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            if (a._3 == b._3) assert(b._2 - a._2 <= 10 * 60000L)
+            else assert(b._2 - a._2 > 10 * 60000L)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("connected components: labels are invariant to edge order and direction") {
+    val edgeGen = Gen.nonEmptyListOf(Gen.zip(keyGen, keyGen))
+    forAll(edgeGen) { edges =>
+      val e1 = edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("a", "b")
+      val e2 = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .shuffle(edges.map { case (a, b) => (b.toLong, a.toLong) }).toDF("a", "b")
+      val l1 = graft.operators.Components.connectedComponents(e1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val l2 = graft.operators.Components.connectedComponents(e2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(l1 == l2)
+      // every label is the min of its own component's members
+      val byLabel = l1.groupBy(_._2)
+      byLabel.foreach { case (label, members) =>
+        assert(members.map(_._1).min == label)
+      }
+    }
+  }
 }
