@@ -321,7 +321,44 @@ object AdvancedQueries {
   def q_curate(spark: SparkSession, dir: String): DataFrame =
     graft.text.Curation.curate(Tables.table(spark, dir, "documents"))
 
+  /** Vocabulary building: global term/document frequencies, top-50 by
+    * collection frequency — the tokenizer-training precursor. Global
+    * top-k over an aggregated (small) term table plans as
+    * TakeOrderedAndProject, no full sort. */
+  def q_vocab(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TextOps.withTokens(Tables.table(spark, dir, "documents"))
+      .select(col("doc_id"), explode(col("tokens")).as("term"))
+    tok.groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(50)
+  }
+
+  // per-source keep-rates as hex thresholds over the first 2 hash
+  // chars (src0 heavily downsampled … src3 kept fully; everything
+  // else at the default) — the shape of a source-mixture recipe
+  private val mixtureRates: Seq[(String, String)] = Seq(
+    "src0" -> "20", "src1" -> "40", "src2" -> "80", "src3" -> "ff")
+  private val mixtureDefault = "c0"
+
+  /** Data-mixture sampling: per-SOURCE deterministic keep-rates (the
+    * "2 epochs of wiki, 0.25 of web" recipe) via per-stratum hash
+    * thresholds — reproducible across engines and cluster layouts,
+    * and auditable per source. */
+  def q_mixture_sample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = mixtureRates.foldLeft(lit(mixtureDefault)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.table(spark, dir, "documents")
+      .where(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 2) < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab" -> (q_vocab _),
+    "q_mixture_sample" -> (q_mixture_sample _),
     "q_curate" -> (q_curate _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_sample_stratified" -> (q_sample_stratified _),
@@ -342,6 +379,21 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab" ->
+      """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin,
+    "q_mixture_sample" -> {
+      val cases = mixtureRates
+        .map { case (s, r) => s"WHEN source = '$s' THEN '$r'" }
+        .mkString(" ")
+      s"""SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc_id
+         |FROM documents
+         |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2)
+         |      < CASE $cases ELSE '$mixtureDefault' END
+         |GROUP BY source ORDER BY source ASC""".stripMargin
+    },
     "q_curate" -> {
       val n = CorpusQueries.ShingleN
       val stop = TextOps.allStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
