@@ -104,6 +104,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("streaming curation: content dedup within watermark + quality gates, batch-consistent") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingCuration.curateStream(docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curated_t").start()
+    val good = "the quick brown fox jumps over the lazy dog in a field"
+    in.addData(
+      (1L, good, ts("2024-01-01 10:00:00")),
+      (2L, good, ts("2024-01-01 11:00:00")),            // exact dup → dropped
+      (3L, "a a a a a a a a a a", ts("2024-01-01 10:05:00")), // low quality
+      (4L, "too short", ts("2024-01-01 10:06:00")),     // under minTokens
+      (5L, good + " again", ts("2024-01-01 10:07:00")))
+    q.processAllAvailable()
+    val got = spark.table("curated_t").select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L, 5L))
+    // the quality value matches the batch operator's for the same text
+    val batchQ = graft.text.TextOps.qualityScore(
+      Seq((1L, good)).toDF("doc_id", "text")).select("quality").head().getDouble(0)
+    val streamQ = spark.table("curated_t")
+      .where($"doc_id" === 1L).select("quality").head().getDouble(0)
+    assert(batchQ == streamQ)
+  }
+
   test("stream-stream interval join: views within the hour attach, older ones age out") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[Ev]
