@@ -356,7 +356,30 @@ object AdvancedQueries {
       .orderBy(col("source").asc)
   }
 
+  /** Ranking-function family over TIE-HEAVY data (balance bands):
+    * rank/dense_rank/percent_rank/cume_dist are tie-deterministic by
+    * definition; ntile is NOT (equal keys split across tiles
+    * arbitrarily), so its window orders by a TOTAL key — the same
+    * discipline as everywhere else in the engine. */
+  def q_window_funcs(spark: SparkSession, dir: String): DataFrame = {
+    val band = floor(col("c_acctbal") / 1000).cast("long")
+    val tied = Window.partitionBy("c_mktsegment").orderBy(col("band").asc)
+    val total = Window.partitionBy("c_mktsegment")
+      .orderBy(col("band").asc, col("c_custkey").asc)
+    Tables.table(spark, dir, "customer")
+      .withColumn("band", band)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("band"),
+        rank().over(tied).cast("int").as("rnk"),
+        dense_rank().over(tied).cast("int").as("drnk"),
+        round(percent_rank().over(tied), 6).as("prank"),
+        round(cume_dist().over(tied), 6).as("cdist"),
+        ntile(4).over(total).cast("int").as("quartile"))
+      .orderBy(col("c_mktsegment").asc, col("c_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funcs" -> (q_window_funcs _),
     "q_vocab" -> (q_vocab _),
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_curate" -> (q_curate _),
@@ -379,6 +402,20 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_funcs" ->
+      """WITH c AS (SELECT c_mktsegment, c_custkey,
+        |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |           FROM customer)
+        |SELECT c_mktsegment, c_custkey, band,
+        |  CAST(RANK() OVER wt AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER wt AS INTEGER) AS drnk,
+        |  round(PERCENT_RANK() OVER wt, 6) AS prank,
+        |  round(CUME_DIST() OVER wt, 6) AS cdist,
+        |  CAST(NTILE(4) OVER wo AS INTEGER) AS quartile
+        |FROM c
+        |WINDOW wt AS (PARTITION BY c_mktsegment ORDER BY band ASC),
+        |       wo AS (PARTITION BY c_mktsegment ORDER BY band ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment ASC, c_custkey ASC""".stripMargin,
     "q_vocab" ->
       """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
