@@ -378,7 +378,30 @@ object AdvancedQueries {
       .orderBy(col("c_mktsegment").asc, col("c_custkey").asc)
   }
 
+  /** Group-level similarity via the mergeable MinHash aggregate
+    * ([[graft.functions.MinHashAgg]]): one k-row signature per SOURCE
+    * over the union of its docs' shingles (partial-agg map-side, k×16
+    * bytes per group on the wire), then pairwise signature agreement
+    * — the estimator of Jaccard between source vocabularies. Finds
+    * near-duplicate sites/feeds without ever joining documents. */
+  def q_source_similarity(spark: SparkSession, dir: String): DataFrame = {
+    val k = CorpusQueries.MinhashK
+    val sigs = TextOps.withShingles(
+      Tables.table(spark, dir, "documents"), CorpusQueries.ShingleN)
+      .groupBy("source")
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("shingles"), k).as("sig"))
+    sigs.as("x").join(sigs.as("y"), col("x.source") < col("y.source"))
+      .select(
+        col("x.source").as("a"), col("y.source").as("b"),
+        size(filter(
+          zip_with(col("x.sig"), col("y.sig"), (p, q) => p === q),
+          m => m)).as("n_agree"))
+      .withColumn("est_jaccard", round(col("n_agree") / lit(k.toDouble), 6))
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_similarity" -> (q_source_similarity _),
     "q_window_funcs" -> (q_window_funcs _),
     "q_vocab" -> (q_vocab _),
     "q_mixture_sample" -> (q_mixture_sample _),
@@ -402,6 +425,29 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_similarity" -> {
+      val n = CorpusQueries.ShingleN
+      val k = CorpusQueries.MinhashK
+      val mins = (0 until k)
+        .map(i => s"MIN(md5('$i:' || shingle)) AS mh$i").mkString(",\n    ")
+      val agree = (0 until k)
+        .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |             FROM documents),
+         |sh AS (SELECT DISTINCT source, doc_id,
+         |         array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+         |       FROM tok, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+         |       WHERE len(toks) >= $n),
+         |mh AS (SELECT source,
+         |    $mins
+         |  FROM sh GROUP BY source)
+         |SELECT x.source AS a, y.source AS b,
+         |  $agree AS n_agree,
+         |  round(($agree) / $k.0, 6) AS est_jaccard
+         |FROM mh x JOIN mh y ON x.source < y.source
+         |ORDER BY a ASC, b ASC""".stripMargin
+    },
     "q_window_funcs" ->
       """WITH c AS (SELECT c_mktsegment, c_custkey,
         |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band

@@ -119,6 +119,29 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("minhash aggregate: merge-invariant under partitioning; singleton group = doc signature") {
+    val sh = TextOps.withShingles(docs, n)
+    // one group with all docs: signature must not depend on partitioning
+    val sig1 = sh.repartition(1).agg(
+      graft.functions.MinHashAgg.minhashAgg(col("shingles"), k)).head().getSeq[String](0)
+    val sig7 = sh.repartition(7).agg(
+      graft.functions.MinHashAgg.minhashAgg(col("shingles"), k)).head().getSeq[String](0)
+    assert(sig1 == sig7 && sig1.length == k)
+    // a single-doc group equals the per-document signature kernel
+    val both = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("shingles"), k).as("agg_sig"))
+      .join(sh.select(col("doc_id"),
+        TextExprs.minhashSigs(col("shingles"), k).as("doc_sig")), "doc_id")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2)))
+    // group signature rows are the MIN of member signature rows
+    val members = sh.select(TextExprs.minhashSigs(col("shingles"), k).as("s")).collect()
+      .map(_.getSeq[String](0))
+    val expected = (0 until k).map(i => members.map(_(i)).min)
+    assert(sig1 == expected)
+  }
+
   test("null tokens array gives null, repeated-token docs dedup shingles") {
     val withNull = Seq((1L, Option(Seq("a", "b", "c", "d"))), (2L, None))
       .toDF("id", "toks")
