@@ -135,6 +135,57 @@ object StreamingCharts {
       }
   }
 
+  /** [[trackStreaks]] on Spark 4's arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor` + typed
+    * `ValueState`): same streak semantics, but state is a declared,
+    * schema-evolvable store the engine can TTL/timer against, and
+    * the runtime requires the RocksDB state store (changelog
+    * checkpointing, bounded memory) — the API new stateful pipelines
+    * should target. Parity with the flatMapGroupsWithState form is
+    * spec-enforced. */
+  class StreakProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(String, Long), Appearance, Streak] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var state: ValueState[StreakState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StreakState](
+        "streak", Encoders.product[StreakState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[Appearance],
+        timerValues: TimerValues): Iterator[Streak] = {
+      val sorted = rows.toSeq.sortBy(_.date.toLocalDate.toEpochDay)
+      var cur = Option(state.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[Streak]
+      sorted.foreach { a =>
+        val len = cur match {
+          case Some(StreakState(last, n))
+              if last.toLocalDate.plusDays(1) == a.date.toLocalDate => n + 1
+          case Some(StreakState(last, n)) if last == a.date => n
+          case _ => 1
+        }
+        cur = Some(StreakState(a.date, len))
+        out += Streak(key._1, key._2, a.date, len)
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def trackStreaksV2(appearances: Dataset[Appearance]): Dataset[Streak] = {
+    import appearances.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    appearances
+      .groupByKey(a => (a.platform, a.entity_id))
+      .transformWithState(new StreakProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** End-to-end micro-batch sink: rank the completed days of each
     * micro-batch with the SAME batch operators (W2 ranking + W1
     * delta run on the store afterwards), append idempotently.

@@ -160,6 +160,44 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, Some(10L)), (2L, None)))
   }
 
+  test("transformWithState streaks match the flatMapGroupsWithState form") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the new arbitrary-state API requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Appearance]
+      val q = StreamingCharts.trackStreaksV2(in.toDS())
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("streaks_v2_t").start()
+      in.addData(
+        Appearance("Spotify", 1L, Date.valueOf("2024-01-01")),
+        Appearance("Spotify", 1L, Date.valueOf("2024-01-02")))
+      q.processAllAvailable()
+      in.addData(
+        Appearance("Spotify", 1L, Date.valueOf("2024-01-03")),
+        Appearance("Spotify", 1L, Date.valueOf("2024-01-05")), // gap resets
+        Appearance("Apple Music", 1L, Date.valueOf("2024-01-05")))
+      q.processAllAvailable()
+      val got = spark.table("streaks_v2_t")
+        .select($"platform", $"date".cast("string"), $"streak")
+        .as[(String, String, Int)].collect().toSet
+      q.stop()
+      assert(got === Set(
+        ("Spotify", "2024-01-01", 1),
+        ("Spotify", "2024-01-02", 2),
+        ("Spotify", "2024-01-03", 3),
+        ("Spotify", "2024-01-05", 1),
+        ("Apple Music", "2024-01-05", 1)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch ranking sink matches the batch ranking on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
