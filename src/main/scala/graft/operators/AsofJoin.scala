@@ -30,7 +30,19 @@ object AsofJoin {
     * payload columns (null when no right row is at-or-before), then
     * `asof_ts` = the matched right timestamp. Column sets other than
     * (keys, ts) must be disjoint between the two sides. */
-  def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame = {
+  def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame =
+    joinAsOfImpl(left, right, keys, ts, forward = false)
+
+  /** FORWARD as-of: each left row matched with the FIRST right row at
+    * or after it — "next event" enrichment (DuckDB `ASOF … ON
+    * l.ts <= r.ts`). Same union+window shape, descending time order:
+    * the running `last` then carries the smallest right ts ≥ left. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String): DataFrame =
+    joinAsOfImpl(left, right, keys, ts, forward = true)
+
+  private def joinAsOfImpl(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], ts: String, forward: Boolean): DataFrame = {
     val common = keys :+ ts
     val leftPayload = left.columns.filterNot(common.contains).toSeq
     val rightPayload = right.columns.filterNot(common.contains).toSeq
@@ -49,8 +61,9 @@ object AsofJoin {
         rightPayload.map(col) ++
         Seq(col(ts).as("asof_ts"), lit(0).as("__side")): _*)
 
+    val timeOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = (rightPayload :+ "asof_ts").foldLeft(lTagged.unionByName(rTagged)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -42,6 +42,18 @@ object AdvancedQueries {
       .orderBy(col("event_id").asc)
   }
 
+  /** View→conversion: each view matched with the same user's NEXT
+    * purchase at-or-after it (forward as-of). */
+  def q_asof_forward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("purchase_event_id"))
+    val views = e.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    AsofJoin.joinAsOfForward(views, purchases, Seq("user_id"), "ts")
+      .orderBy(col("event_id").asc)
+  }
+
   private val priceBands = Seq(
     ("b1_low", 0.0, 100000.0),
     ("b2_mid", 100000.0, 200000.0),
@@ -416,6 +428,7 @@ object AdvancedQueries {
     "q_range_frame" -> (q_range_frame _),
     "q_sessionize" -> (q_sessionize _),
     "q_asof_join" -> (q_asof_join _),
+    "q_asof_forward" -> (q_asof_forward _),
     "q_range_join" -> (q_range_join _),
     "q_dedup_components" -> (q_dedup_components _),
     "q_tfidf" -> (q_tfidf _),
@@ -660,6 +673,15 @@ object AdvancedQueries {
         |SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.ts AS asof_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id ASC""".stripMargin,
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |p AS (SELECT user_id, ts, MAX(event_id) AS purchase_event_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, v.ts, p.purchase_event_id, p.ts AS asof_ts
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+        |ORDER BY v.event_id ASC""".stripMargin,
     "q_range_join" -> {
       val values = priceBands
         .map { case (b, lo, hi) => s"('$b', ${lo.toInt}, ${hi.toInt})" }
