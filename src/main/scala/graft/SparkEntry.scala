@@ -151,8 +151,7 @@ object SparkEntry {
         |FROM e, m WHERE date > maxd - INTERVAL 15 DAY
         |GROUP BY event_type ORDER BY platform ASC""".stripMargin,
     "q_point_filter" ->
-      """SELECT event_id, user_id, event_type AS platform,
-        |       CAST(value AS DECIMAL(14,2)) AS value
+      """SELECT event_id, user_id, event_type AS platform, value
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |  AND user_id BETWEEN 1 AND 50 AND props IS NOT NULL
@@ -173,19 +172,24 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+        |            AS DECIMAL(38,2)) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag ASC, linestatus ASC""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+        |       AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+        |       AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
         |      * (1 - CAST(l_discount AS DECIMAL(4,2)))
-        |      * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+        |      * (1 + CAST(l_tax AS DECIMAL(4,2))))
+        |       AS DECIMAL(38,6)) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2024-06-30'
@@ -244,8 +248,8 @@ object SparkEntry {
         |         COUNT(*) AS n_events
         |  FROM events GROUP BY 1, 2)
         |SELECT date, platform, n_events,
-        |  SUM(n_events) OVER (PARTITION BY platform ORDER BY date ASC
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d
+        |  CAST(SUM(n_events) OVER (PARTITION BY platform ORDER BY date ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
         |FROM daily ORDER BY date ASC, platform ASC""".stripMargin,
     "q_ordered_agg_struct" ->
       """SELECT n_name AS nation,

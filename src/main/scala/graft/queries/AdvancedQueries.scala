@@ -72,7 +72,8 @@ object AdvancedQueries {
       .groupBy("band")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(14,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("total"))
       .orderBy(col("band").asc)
   }
 
@@ -159,7 +160,8 @@ object AdvancedQueries {
     Tables.table(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"),
+        sum(col("l_quantity").cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
         count(lit(1)).as("n_rows"),
         grouping_id().as("gid"))
       .select(
@@ -220,7 +222,7 @@ object AdvancedQueries {
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(DenyPattern), lit(0)))
-          .as("n_redacted"),
+          .cast("bigint").as("n_redacted"),
         md5(regexp_replace(col("text"), DenyPattern, "[REDACTED]"))
           .as("redacted_md5"))
       .orderBy(col("doc_id").asc)
@@ -241,7 +243,8 @@ object AdvancedQueries {
       .select(
         col("vec_id"),
         round(col("scale"), 6).as("scale_r"),
-        size(filter(col("q"), qi => abs(qi) === 127)).as("n_saturated"),
+        size(filter(col("q"), qi => abs(qi) === 127))
+          .cast("bigint").as("n_saturated"),
         round(
           sqrt(aggregate(
             zip_with(emb, col("q"), (x, qi) => {
@@ -617,7 +620,8 @@ object AdvancedQueries {
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-        |       SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+        |            AS DECIMAL(38,2)) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid ASC, returnflag ASC, linestatus ASC""".stripMargin,
@@ -632,9 +636,9 @@ object AdvancedQueries {
         |        FROM daily GROUP BY platform))
         |SELECT cal.platform, cal.date,
         |       COALESCE(daily.n_events, 0) AS n_events,
-        |       SUM(COALESCE(daily.n_events, 0)) OVER (
+        |       CAST(SUM(COALESCE(daily.n_events, 0)) OVER (
         |         PARTITION BY cal.platform ORDER BY cal.date ASC
-        |         ROWS UNBOUNDED PRECEDING) AS cum_events
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
         |FROM cal LEFT JOIN daily
         |  ON cal.platform = daily.platform AND cal.date = daily.date
         |ORDER BY cal.platform ASC, cal.date ASC""".stripMargin,
@@ -644,9 +648,9 @@ object AdvancedQueries {
         |         COUNT(*) AS n_events
         |  FROM events GROUP BY 1, 2)
         |SELECT platform, date, n_events,
-        |       SUM(n_events) OVER (PARTITION BY platform
+        |       CAST(SUM(n_events) OVER (PARTITION BY platform
         |         ORDER BY date - DATE '2024-01-01'
-        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
         |FROM daily ORDER BY platform ASC, date ASC""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -687,7 +691,8 @@ object AdvancedQueries {
         .map { case (b, lo, hi) => s"('$b', ${lo.toInt}, ${hi.toInt})" }
         .mkString(", ")
       s"""SELECT b.band, COUNT(*) AS n_orders,
-         |       SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+         |            AS DECIMAL(38,2)) AS total
          |FROM orders o
          |JOIN (VALUES $values) AS b(band, lo, hi)
          |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi

@@ -102,7 +102,7 @@ object CorpusQueries {
     withMedia
       .select(
         col("asset_id"),
-        length(col("media")).as("byte_len"),
+        length(col("media")).cast("bigint").as("byte_len"),
         expr("(length(media) + 63) div 64").as("n_chunks"),
         base64(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_b64"))
       .join(sampled, "asset_id")

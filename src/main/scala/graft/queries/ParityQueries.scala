@@ -135,7 +135,9 @@ object ParityQueries {
       .select(
         col("event_id"), col("user_id"),
         col("event_type").as("platform"),
-        col("value").cast("decimal(14,2)").as("value"))
+        // raw DOUBLE passthrough: untouched input bytes are identical in
+        // both engines; a double→decimal cast would re-round per engine
+        col("value"))
       .orderBy(col("event_id").asc)
 
   /** O1/O2: global top-k under a total order (TakeOrderedAndProject —
@@ -167,7 +169,10 @@ object ParityQueries {
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"),
+        // decimal(38,2): pin the SUM output width so the result type is
+        // engine-independent (Spark's natural sum width is input+10)
+        sum(col("l_quantity").cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -186,10 +191,12 @@ object ParityQueries {
     l.where(to_date(col("l_shipdate")) <= lit("2024-06-30"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"),
-        sum(price).as("sum_base_price"),
-        sum(price * (lit(1) - disc)).as("sum_disc_price"),
-        sum(price * (lit(1) - disc) * (lit(1) + tax)).as("sum_charge"),
+        sum(col("l_quantity").cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("sum_qty"),
+        sum(price).cast("decimal(38,2)").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax))
+          .cast("decimal(38,6)").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }

@@ -38,7 +38,9 @@ object ScaleQueries {
       Seq("l_returnflag"),
       col("l_quantity").cast("decimal(14,2)"),
       salts = 16)
-      .select(col("l_returnflag"), col("total").as("sum_qty"))
+      // decimal(38,2): pin the two-level SUM width to the engine-
+      // independent max so the output type matches the naive oracle
+      .select(col("l_returnflag"), col("total").cast("decimal(38,2)").as("sum_qty"))
       .orderBy(col("l_returnflag").asc)
 
   /** Exact distinct counting per group (the shuffle-heavy exact form;
@@ -70,7 +72,7 @@ object ScaleQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
-        sum(price * (lit(1) - disc)).as("revenue"),
+        sum(price * (lit(1) - disc)).cast("decimal(38,4)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("region").asc, col("nation").asc)
   }
@@ -122,7 +124,8 @@ object ScaleQueries {
       Seq("orderkey"), salts = 8)
       .groupBy(col("o_orderpriority"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(14,2)")).as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(14,2)"))
+          .cast("decimal(38,2)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority").asc)
 
@@ -167,7 +170,8 @@ object ScaleQueries {
   val oracles: Map[String, String] = Map(
     "q_skew_salted_join" ->
       """SELECT o_orderpriority,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
+        |       AS DECIMAL(38,2)) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
@@ -189,7 +193,9 @@ object ScaleQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
         |ORDER BY "check" ASC""".stripMargin,
     "q_skew_salted_agg" ->
-      """SELECT l_returnflag, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+        |       AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type AS platform, COUNT(DISTINCT user_id) AS n_users,
@@ -215,8 +221,9 @@ object ScaleQueries {
         |FROM events GROUP BY 1 ORDER BY date ASC""".stripMargin,
     "q_revenue_per_nation" ->
       """SELECT r_name AS region, n_name AS nation,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DECIMAL(38,4)) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

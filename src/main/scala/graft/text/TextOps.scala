@@ -46,9 +46,11 @@ object TextOps {
   def tokenStats(docs: DataFrame): DataFrame =
     withTokens(docs).select(
       col("doc_id"),
-      size(col("tokens")).as("n_tokens"),
-      size(array_distinct(col("tokens"))).as("n_uniq"),
-      size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).as("n_bpe"),
+      // bigint: counter columns match DuckDB len() output type exactly
+      size(col("tokens")).cast("bigint").as("n_tokens"),
+      size(array_distinct(col("tokens"))).cast("bigint").as("n_uniq"),
+      size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0)))
+        .cast("bigint").as("n_bpe"),
       round(
         aggregate(col("tokens"), lit(0L), (acc, t) => acc + length(t))
           / size(col("tokens")), 6).as("mean_token_len"))
