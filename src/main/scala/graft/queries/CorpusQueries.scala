@@ -27,7 +27,13 @@ object CorpusQueries {
   private val CosineDupThreshold = 0.45
   private val AnnK = 10
   private val LshK = 5
-  private val LshTables = VectorOps.hyperplaneTables(seed = 42L, tables = 4, planes = 4, dim = 64)
+  private val VecDim = 64
+  private val LshTables = VectorOps.hyperplaneTables(seed = 42L, tables = 4, planes = 4, dim = VecDim)
+  private val IvfK = 8
+  private val IvfIters = 2
+  private val IvfNProbe = 2
+  private val IvfTopK = 5
+  private val IvfMaxSample = 16384
 
   // ---- Spark-side queries ------------------------------------------
 
@@ -76,23 +82,24 @@ object CorpusQueries {
       Tables.table(spark, dir, "embeddings"), CosineDupThreshold)
       .orderBy(col("a").asc, col("b").asc)
 
+  /** IVF ANN. Fully oracle-gated: [[graft.vector.IvfIndex.train]] is
+    * driver-side, sample-bounded, and fixed-order (seeded from every
+    * ⌈n/k⌉-th sample vector, sequential per-dim folds), so the ENTIRE
+    * pipeline — 2 Lloyd iterations included — replays in DuckDB SQL
+    * with the same float op order (see [[annIvfSql]]); no baked
+    * centroid literals, so the oracle tracks any input data. */
+  def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    val centroids = graft.vector.IvfIndex.train(v, k = IvfK, iters = IvfIters)
+    graft.vector.IvfIndex.topK(v, annQueries(v), centroids, nProbe = IvfNProbe, k = IvfTopK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Multimodal plumbing over synthesized binary media (text bytes —
     * ASCII, so the oracle can derive the same bytes from the text
     * side; DuckDB 1.0 can't slice blobs): decode-side metadata plus
     * the REAL [[graft.multimodal.Multimodal.frameSample]] chunk
     * explode, counted per asset. */
-  /** IVF ANN (registered WITHOUT an oracle — k-means centroid update
-    * averages doubles across partitions, which is summation-order-
-    * dependent, so no cross-engine bit-match exists; the driver
-    * records a rows-only check and IvfIndexSpec carries the recall
-    * gate). */
-  def q_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.table(spark, dir, "embeddings")
-    val centroids = graft.vector.IvfIndex.train(v, k = 8, iters = 2)
-    graft.vector.IvfIndex.topK(v, annQueries(v), centroids, nProbe = 2, k = 5)
-      .orderBy(col("query_id").asc, col("rank").asc)
-  }
-
   def q_multimodal_meta(spark: SparkSession, dir: String): DataFrame = {
     val withMedia = Tables.table(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"), col("text"),
@@ -376,6 +383,84 @@ QUALIFY rank <= $LshK
 ORDER BY query_id ASC, rank ASC"""
   }
 
+  /** IVF oracle: replays the WHOLE pipeline — bounded sample, seeded
+    * centroids, [[IvfIters]] Lloyd iterations, collection assignment,
+    * nProbe probing, exact top-k — in DuckDB with the same float op
+    * order as [[graft.vector.IvfIndex]] (sequential per-dim folds,
+    * sums over vec_id order, ties to the lower cell id). Data-
+    * independent: no trained-centroid literals are baked in, so the
+    * same SQL is the oracle at every scale factor. */
+  private val annIvfSql: String = {
+    // training distance: Scala's `d += (v_i − c_i)²` loop (IvfIndex
+    // .train) as a left fold in the same index order
+    def trainDist(v: String, c: String): String =
+      foldSum(
+        s"list_transform(range(1, $VecDim + 1), i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))",
+        "CAST(0.0 AS DOUBLE)")
+    val zeros = s"list_transform(range(1, $VecDim + 1), i -> CAST(0.0 AS DOUBLE))"
+    // one Lloyd iteration: argmin assignment (ties → lower cell, like
+    // the strict `<` in the Scala loop), per-cell elementwise sums in
+    // vec_id order, mean; empty cells keep the previous centroid
+    def lloydIter(prev: String, a: String, u: String, out: String): String =
+      s"""$a AS (
+         |  SELECT s.vec_id, s.v, c.cell
+         |  FROM samp s CROSS JOIN $prev c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${trainDist("s.v", "c.v")} ASC, c.cell ASC) = 1),
+         |$u AS (
+         |  SELECT cell, COUNT(*) AS cnt,
+         |    list_reduce(list_prepend($zeros, list(v ORDER BY vec_id ASC)),
+         |      (acc, e) -> list_transform(range(1, $VecDim + 1),
+         |                    i -> acc[i::INTEGER] + e[i::INTEGER])) AS s
+         |  FROM $a GROUP BY cell),
+         |$out AS (
+         |  SELECT p.cell, COALESCE(list_transform(u.s, x -> x / u.cnt), p.v) AS v
+         |  FROM $prev p LEFT JOIN $u u ON p.cell = u.cell)""".stripMargin
+    val iters = (0 until IvfIters)
+      .map(i => lloydIter(s"c$i", s"a${i + 1}", s"u${i + 1}", s"c${i + 1}"))
+      .mkString(",\n")
+    // assignment distance: IvfIndex.nearestCells' |v|² − 2·v·c + |c|²
+    // with the same association order
+    val assignDist =
+      s"((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "cen.v")}) + cen.nsq)"
+    s"""WITH
+       |samp AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings QUALIFY idx < $IvfMaxSample),
+       |prm AS (SELECT greatest(COUNT(*) // $IvfK, 1) AS step FROM samp),
+       |c0 AS (
+       |  SELECT CAST(idx // step AS INTEGER) AS cell, v
+       |  FROM samp, prm WHERE idx % step = 0 AND idx // step < $IvfK),
+       |$iters,
+       |cen AS (
+       |  SELECT cell, v,
+       |    ${foldSum("list_transform(v, x -> x * x)", "CAST(0.0 AS DOUBLE)")} AS nsq
+       |  FROM c$IvfIters),
+       |col AS (
+       |  SELECT e.vec_id AS c_id, e.embedding AS c_emb,
+       |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS c_norm, cen.cell
+       |  FROM embeddings e CROSS JOIN cen
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY $assignDist ASC, cen.cell ASC) = 1),
+       |q AS (
+       |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+       |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_norm, cen.cell
+       |  FROM embeddings e CROSS JOIN cen
+       |  WHERE e.vec_id % 100 = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY $assignDist ASC, cen.cell ASC) <= $IvfNProbe)
+       |SELECT q_id AS query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY round(${dotSql("q_emb", "c_emb")} / (q_norm * c_norm), 10) DESC, c_id ASC)
+       |    AS INTEGER) AS rank,
+       |  c_id AS neighbor_id,
+       |  round(${dotSql("q_emb", "c_emb")} / (q_norm * c_norm), 10) AS cosine
+       |FROM q JOIN col ON q.cell = col.cell AND q_id <> c_id
+       |QUALIFY rank <= $IvfTopK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_doc_stats" -> docStatsSql,
     "q_lang_id" -> langIdSql,
@@ -389,6 +474,7 @@ ORDER BY query_id ASC, rank ASC"""
     "q_embed_near_dup" -> embedNearDupSql,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS asset_id, text,
   octet_length(encode(text)) AS byte_len FROM documents),
