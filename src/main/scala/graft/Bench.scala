@@ -22,19 +22,23 @@ object Bench {
     // cross-tenant contention (identical runs swing 1.5×, spikes land
     // on random queries), and min-of-warm-runs is the standard way to
     // report the code's own cost rather than the neighbours'
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      (name, times.head, times(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
+    // median alongside min: run-to-run variance on this box exceeds
+    // any plausible regression, so regressions are judged on min and
+    // sanity-checked against median
+    val medianTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","median_total":$medianTotal}""")
     spark.stop()
   }
 }
