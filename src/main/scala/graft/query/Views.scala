@@ -130,6 +130,9 @@ object Views {
         col("ranking_source").as("platform"),
         col("isrc"),
         (col("t2.rank") - col("t1.rank")).as("delta"))
-      .orderBy(sourceEnumOrder(col("platform")).asc, col("delta").desc)
+      // isrc tie-break makes the sort a total order — equal deltas
+      // would otherwise land in partition-dependent order
+      .orderBy(sourceEnumOrder(col("platform")).asc, col("delta").desc,
+        col("isrc").asc)
   }
 }

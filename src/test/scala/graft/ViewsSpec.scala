@@ -92,6 +92,22 @@ class ViewsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("I2", 3), ("I1", -2)))
   }
 
+  test("rankDeltaBetweenDates: total order — delta ties break on isrc, stable under repartitioning") {
+    // four isrcs all with delta 0 → only the isrc tie-break orders them
+    val days = Seq("2026-01-01", "2026-01-02")
+    val db = mkDb(for {
+      (i, r) <- Seq(("I4", 4), ("I2", 2), ("I3", 3), ("I1", 1))
+      dt <- days
+    } yield (i, dt, r, "Spotify"))
+    val expected = Seq("I1", "I2", "I3", "I4")
+    (1 to 7 by 3).foreach { n =>
+      val shuffled = db.copy(ranking = db.ranking.repartition(n))
+      val out = Views.rankDeltaBetweenDates(shuffled, d("2026-01-01"), d("2026-01-02"))
+        .select("isrc").as[String].collect().toSeq
+      assert(out == expected, s"order unstable at $n partitions")
+    }
+  }
+
   test("register exposes the views under the reference's SQL names") {
     val db = mkDb(Seq(
       ("I1", "2024-01-01", 1, "Spotify"),
