@@ -40,8 +40,66 @@ object Sources {
     }
   }
 
-  /** S3 OAuth2 client-credentials: the base64(id:secret) header value.
-    * The POST itself lives behind [[Fetcher]] in a real deployment. */
+  final class HttpStatusError(val status: Int, url: String)
+    extends RuntimeException(s"HTTP $status for '$url'")
+
+  /** S1/S2 real HTTP impl over `java.net.http.HttpClient` (reference
+    * `etl_pipeline.py:177-257`): GET with optional bearer header,
+    * Content-Type dispatch (text/html → [[Html]], application/json →
+    * [[Json]], else [[UnexpectedContentTypeError]]), non-2xx →
+    * [[HttpStatusError]]. Constructor-injected wherever a [[Fetcher]]
+    * is needed, so zero-egress builds and specs keep [[FileFetcher]].
+    * Fetching stays a driver-side control-plane concern — bodies go
+    * straight into DataFrames and all parsing runs on executors. */
+  final class HttpFetcher(
+      client: java.net.http.HttpClient =
+        java.net.http.HttpClient.newBuilder()
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+          .connectTimeout(java.time.Duration.ofSeconds(10))
+          .build()) extends Fetcher {
+    import java.net.http.{HttpRequest, HttpResponse}
+
+    def fetch(url: String, bearerToken: Option[String]): Fetched = {
+      val b = HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+      bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+      dispatch(url, client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
+    }
+
+    /** S3: OAuth2 client-credentials token exchange (reference
+      * `etl_pipeline.py:259-293`) — form-encoded POST with the Basic
+      * header from [[clientCredentialsHeader]]; the token endpoint
+      * must answer JSON. */
+    def postForm(url: String, authHeader: String, form: Map[String, String]): Json = {
+      val body = form
+        .map { case (k, v) =>
+          java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+            java.net.URLEncoder.encode(v, "UTF-8")
+        }
+        .mkString("&")
+      val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Authorization", authHeader)
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      dispatch(url, client.send(req, HttpResponse.BodyHandlers.ofString())) match {
+        case j: Json => j
+        case _ =>
+          throw new UnexpectedContentTypeError(s"Expected JSON token response from '$url'")
+      }
+    }
+
+    private def dispatch(url: String, resp: HttpResponse[String]): Fetched = {
+      if (resp.statusCode() / 100 != 2) throw new HttpStatusError(resp.statusCode(), url)
+      val ct = resp.headers().firstValue("Content-Type").orElse("")
+      if (ct.startsWith("text/html")) Html(resp.body())
+      else if (ct.startsWith("application/json")) Json(resp.body())
+      else throw new UnexpectedContentTypeError(
+        s"Unexpected content type '$ct' for '$url'")
+    }
+  }
+
+  /** S3 OAuth2 client-credentials: the base64(id:secret) header value
+    * ([[HttpFetcher.postForm]] carries it on the token POST). */
   def clientCredentialsHeader(clientId: String, clientSecret: String): String =
     "Basic " + java.util.Base64.getEncoder.encodeToString(
       s"$clientId:$clientSecret".getBytes("UTF-8"))

@@ -80,6 +80,52 @@ class SourcesSpec extends SparkSpec {
     assert(out.toSeq == Seq("row_url"))
   }
 
+  test("S1-S3: HttpFetcher dispatch, auth headers, token POST, error paths (local stub server)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handle(path: String)(f: HttpExchange => (Int, String, String)): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        val (status, ctype, body) = f(ex)
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    handle("/page") { _ => (200, "text/html; charset=utf-8", "<html>ok</html>") }
+    handle("/api") { ex =>
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (auth.contains("Bearer tok123")) (200, "application/json", """{"ok":true}""")
+      else (401, "application/json", """{"error":"unauthorized"}""")
+    }
+    handle("/weird") { _ => (200, "application/octet-stream", "bytes") }
+    handle("/token") { ex =>
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (auth.contains(Sources.clientCredentialsHeader("id", "secret")) &&
+        body == "grant_type=client_credentials")
+        (200, "application/json", """{"access_token":"tok123"}""")
+      else (400, "application/json", """{"error":"bad request"}""")
+    }
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new Sources.HttpFetcher()
+      // S1 content-type dispatch
+      assert(f.fetch(s"$base/page") == Sources.Html("<html>ok</html>"))
+      intercept[Sources.UnexpectedContentTypeError](f.fetch(s"$base/weird"))
+      // S3 token exchange: Basic header + form body verified server-side
+      val tok = f.postForm(s"$base/token",
+        Sources.clientCredentialsHeader("id", "secret"),
+        Map("grant_type" -> "client_credentials"))
+      assert(tok == Sources.Json("""{"access_token":"tok123"}"""))
+      // S2 bearer pass-through: 401 without the token, JSON with it
+      val denied = intercept[Sources.HttpStatusError](f.fetch(s"$base/api"))
+      assert(denied.status == 401)
+      assert(f.fetch(s"$base/api", Some("tok123")) == Sources.Json("""{"ok":true}"""))
+    } finally server.stop(0)
+  }
+
   test("S1: FileFetcher content-type dispatch") {
     val dir = java.nio.file.Files.createTempDirectory("fetch").toFile
     val h = new java.io.File(dir, "a.html"); val j = new java.io.File(dir, "b.json")
