@@ -68,6 +68,23 @@ object CorpusQueries {
       ShingleN, MinhashK, MinhashBands, JaccardThreshold)
       .orderBy(col("a").asc, col("b").asc)
 
+  /** The 100 TB daily-crawl shape end-to-end: corpus docs (3/4 of the
+    * table) are banded into a persisted-index layout, then the batch
+    * (the other 1/4) is shingled map-only and matched via
+    * [[TextOps.minhashDupAgainstIndex]] — corpus text is never
+    * re-shingled, and with the index bucketed on (band_idx, band_hash)
+    * the candidate join is shuffle-free on the index side
+    * (asserted in BucketingSpec/PlanPropertiesSpec). */
+  def q_dedup_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 4 =!= 0)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    val index = TextOps.lshBandRows(corpus, ShingleN, MinhashK, MinhashBands)
+    TextOps.minhashDupAgainstIndex(
+      index, batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashNearPairs(
       Tables.table(spark, dir, "documents"), SimhashMaxHamming)
@@ -139,6 +156,7 @@ object CorpusQueries {
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_ngram" -> (q_dedup_ngram _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
+    "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_embed_nn" -> (q_embed_nn _),
     "q_embed_near_dup" -> (q_embed_near_dup _),
@@ -236,7 +254,10 @@ ORDER BY a ASC, b ASC"""
 
   /** The minhash pair pipeline WITHOUT the final sort — reused as a
     * subquery by the dedup-clustering oracle in [[AdvancedQueries]]. */
-  private[queries] val minhashPairsBody: String = {
+  /** MinHash pipeline body with a parameterized candidate-pair
+    * predicate: `x.doc_id < y.doc_id` for symmetric all-pairs dedup,
+    * the batch/corpus split predicate for the incremental form. */
+  private[queries] def minhashPairsBodyWith(pairPred: String): String = {
     val n = ShingleN
     val sigExprs = (0 until MinhashK).map { i =>
       s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS mh$i"
@@ -260,7 +281,7 @@ cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            x.shingles AS sa, y.shingles AS sb
          FROM bands x JOIN bands y
            ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-          AND x.doc_id < y.doc_id),
+          AND $pairPred),
 ver AS (SELECT a, b,
   round(len(list_intersect(sa, sb))
         / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
@@ -268,8 +289,15 @@ FROM cand)
 SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold"""
   }
 
+  private[queries] val minhashPairsBody: String =
+    minhashPairsBodyWith("x.doc_id < y.doc_id")
+
   private val dedupMinhashSql: String =
     minhashPairsBody + "\nORDER BY a ASC, b ASC"
+
+  private val dedupIncrementalSql: String =
+    minhashPairsBodyWith("x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0") +
+      "\nORDER BY a ASC, b ASC"
 
   private val dedupSimhashSql: String = {
     val n = ShingleN
@@ -469,6 +497,7 @@ ORDER BY query_id ASC, rank ASC"""
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_nn" -> embedNnSql,
     "q_embed_near_dup" -> embedNearDupSql,
