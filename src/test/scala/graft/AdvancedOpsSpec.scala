@@ -72,4 +72,15 @@ class AdvancedOpsSpec extends SparkSpec {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(got == (1L to 8L).map(i => (i, 1L)))
   }
+
+  test("connected components: pointer jumping makes rounds logarithmic in diameter") {
+    // path 1-2-...-64: diameter 63 — propagation alone would need 63
+    // rounds (overrunning the default 20-round bound); label-of-label
+    // shortcutting doubles reach per round, so log2(63)+slack suffice
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Components.connectedComponentsWithStats(edges)
+    val got = labels.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 64L).map(i => (i, 1L)))
+    assert(rounds <= 10, s"expected <= 10 rounds on a 64-chain, took $rounds")
+  }
 }
