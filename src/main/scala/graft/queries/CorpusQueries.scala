@@ -29,6 +29,9 @@ object CorpusQueries {
   private val LshK = 5
   private val VecDim = 64
   private val LshTables = VectorOps.hyperplaneTables(seed = 42L, tables = 4, planes = 4, dim = VecDim)
+  // near-dup wants high recall at a fixed threshold, not top-k: few
+  // planes (coarse buckets) and many tables (recall amplification)
+  private val NearDupLshTables = VectorOps.hyperplaneTables(seed = 7L, tables = 8, planes = 3, dim = VecDim)
   private val IvfK = 8
   private val IvfIters = 2
   private val IvfNProbe = 2
@@ -99,6 +102,15 @@ object CorpusQueries {
       Tables.table(spark, dir, "embeddings"), CosineDupThreshold)
       .orderBy(col("a").asc, col("b").asc)
 
+  /** Scale path for embedding near-dup: LSH buckets → candidates →
+    * exact cosine gate (same per-candidate exactness as the n²
+    * baseline above; the oracle replays the same algorithm, so this
+    * is hash-gated like every other query). */
+  def q_embed_near_dup_lsh(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupPairsLsh(
+      Tables.table(spark, dir, "embeddings"), NearDupLshTables, CosineDupThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+
   /** IVF ANN. Fully oracle-gated: [[graft.vector.IvfIndex.train]] is
     * driver-side, sample-bounded, and fixed-order (seeded from every
     * ⌈n/k⌉-th sample vector, sequential per-dim folds), so the ENTIRE
@@ -160,6 +172,7 @@ object CorpusQueries {
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_embed_nn" -> (q_embed_nn _),
     "q_embed_near_dup" -> (q_embed_near_dup _),
+    "q_embed_near_dup_lsh" -> (q_embed_near_dup_lsh _),
     "q_ann_topk" -> (q_ann_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
@@ -380,21 +393,29 @@ FROM v a JOIN v b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
 QUALIFY rank <= $AnnK
 ORDER BY query_id ASC, rank ASC"""
 
-  private val annLshSql: String = {
-    def sigExpr(table: Seq[Seq[Double]]): String = table.map { p =>
-      val lits = p.map(d => BigDecimal(d).underlying.toPlainString).mkString("[", ", ", "]")
-      s"CASE WHEN ${dotSql("embedding", s"($lits::DOUBLE[])")} >= 0 THEN '1' ELSE '0' END"
-    }.mkString(" || ")
-    val sigCols = LshTables.zipWithIndex
-      .map { case (t, i) => s"${sigExpr(t)} AS sig$i" }.mkString(",\n  ")
-    val buckets = LshTables.indices
+  /** Hyperplane-signature column exprs + bucket CTEs shared by the
+    * LSH oracles (plane literals printed exactly — both parsers
+    * produce the same doubles). */
+  private def lshSigExpr(table: Seq[Seq[Double]]): String = table.map { p =>
+    val lits = p.map(d => BigDecimal(d).underlying.toPlainString).mkString("[", ", ", "]")
+    s"CASE WHEN ${dotSql("embedding", s"($lits::DOUBLE[])")} >= 0 THEN '1' ELSE '0' END"
+  }.mkString(" || ")
+
+  private def lshBucketCtes(tables: Seq[Seq[Seq[Double]]]): String = {
+    val sigCols = tables.zipWithIndex
+      .map { case (t, i) => s"${lshSigExpr(t)} AS sig$i" }.mkString(",\n  ")
+    val buckets = tables.indices
       .map(i => s"SELECT vec_id, embedding, nrm, $i AS table_idx, sig$i AS sig FROM v")
       .mkString("\n  UNION ALL ")
     s"""WITH v AS (SELECT vec_id, embedding,
   sqrt(${dotSql("embedding", "embedding")}) AS nrm,
   $sigCols
 FROM embeddings),
-bk AS ($buckets),
+bk AS ($buckets),"""
+  }
+
+  private val annLshSql: String = {
+    s"""${lshBucketCtes(LshTables)}
 cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
            a.embedding AS qe, b.embedding AS ce, a.nrm AS qn, b.nrm AS cn
          FROM bk a JOIN bk b
@@ -410,6 +431,18 @@ FROM cand
 QUALIFY rank <= $LshK
 ORDER BY query_id ASC, rank ASC"""
   }
+
+  private val embedNearDupLshSql: String =
+    s"""${lshBucketCtes(NearDupLshTables)}
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+           x.embedding AS ea, y.embedding AS eb, x.nrm AS na, y.nrm AS nb
+         FROM bk x JOIN bk y
+           ON x.table_idx = y.table_idx AND x.sig = y.sig
+          AND x.vec_id < y.vec_id)
+SELECT a, b, round(${dotSql("ea", "eb")} / (na * nb), 10) AS cosine
+FROM cand
+WHERE round(${dotSql("ea", "eb")} / (na * nb), 10) >= $CosineDupThreshold
+ORDER BY a ASC, b ASC"""
 
   /** IVF oracle: replays the WHOLE pipeline — bounded sample, seeded
     * centroids, [[IvfIters]] Lloyd iterations, collection assignment,
@@ -501,6 +534,7 @@ ORDER BY query_id ASC, rank ASC"""
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_nn" -> embedNnSql,
     "q_embed_near_dup" -> embedNearDupSql,
+    "q_embed_near_dup_lsh" -> embedNearDupLshSql,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,

@@ -124,6 +124,35 @@ object VectorOps {
       .where(col("cosine") >= threshold)
   }
 
+  /** LSH-bucketed near-duplicate pairs: the registered SCALE PATH for
+    * [[nearDupPairs]] — candidate pairs share a full random-hyperplane
+    * signature in at least one table (bucket equi-join, never the n²
+    * cross product), then exact cosine verifies against the
+    * threshold. Same exactness-per-candidate as the baseline; recall
+    * over pairs ≈ 1−(1−p^planes)^tables for per-bit agreement p, so
+    * near-dup thresholds want FEW planes and MANY tables (the
+    * opposite corner from top-k ANN). */
+  def nearDupPairsLsh(vecs: DataFrame, tables: Seq[Seq[Seq[Double]]], threshold: Double): DataFrame = {
+    val sigs = array(tables.map(t => signature(col("v_emb"), t)): _*)
+    val rows = sided(vecs, "v")
+      .select(col("v_id"), col("v_emb"), col("v_norm"),
+        posexplode(sigs).as(Seq("table_idx", "sig")))
+    rows.as("x")
+      .join(rows.as("y"),
+        col("x.table_idx") === col("y.table_idx") &&
+          col("x.sig") === col("y.sig") &&
+          col("x.v_id") < col("y.v_id"))
+      .select(
+        col("x.v_id").as("a"), col("y.v_id").as("b"),
+        col("x.v_emb").as("ea"), col("y.v_emb").as("eb"),
+        col("x.v_norm").as("na"), col("y.v_norm").as("nb"))
+      .dropDuplicates("a", "b")
+      .select(
+        col("a"), col("b"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 10).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Random-hyperplane signature: one bit per plane, '1' iff
     * dot(v, plane) ≥ 0 — cosine-LSH (Charikar). */
   def signature(vec: Column, planes: Seq[Seq[Double]]): Column =

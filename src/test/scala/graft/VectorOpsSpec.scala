@@ -57,6 +57,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("LSH near-dup: subset of the exact pairs with identical cosines, good recall") {
+    val real = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = VectorOps.nearDupPairs(real, 0.45)
+      .select("a", "b", "cosine").as[(Long, Long, Double)].collect().toSet
+    // few planes + many tables: the near-dup corner of the LSH trade
+    val tables = VectorOps.hyperplaneTables(7L, 8, 3, 64)
+    val lsh = VectorOps.nearDupPairsLsh(real, tables, 0.45)
+      .select("a", "b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact baseline lacks")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.5, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
   test("hyperplanes are deterministic in seed and exactly representable") {
     val a = VectorOps.hyperplanes(42L, 4, 64)
     val b = VectorOps.hyperplanes(42L, 4, 64)
