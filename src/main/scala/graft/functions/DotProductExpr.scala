@@ -129,5 +129,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getCanonicalName, "graft_simhash"),
       (c: Seq[Expression]) => SimHashExpr(c(0), intArg(c(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainExpr].getCanonicalName,
+        "graft_bloom_might_contain"),
+      // (value, serialized_filter_binary) — the filter must be foldable
+      (c: Seq[Expression]) => BloomMightContainExpr(c(0), c(1).eval().asInstanceOf[Array[Byte]])))
   }
 }

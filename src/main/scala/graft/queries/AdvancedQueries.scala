@@ -331,6 +331,43 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Decontamination at 100 TB: same result as [[q_decontaminate]],
+    * but the corpus's exploded shingles are PREFILTERED map-only by a
+    * Bloom filter built from the eval set
+    * ([[graft.functions.BloomFilterExpr]]), so only ~fpp of the
+    * non-matching corpus ever reaches the join — the semi-join-pruning
+    * shape that keeps the big side from shuffling wholesale. Exact
+    * because Bloom has no false negatives and the join removes false
+    * positives; gated by the SAME oracle as the naive plan. */
+  def q_decontaminate_bloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val isEval = col("doc_id") % 97 === 0
+    val evalShingles = TextOps.shingleRows(docs.where(isEval), CorpusQueries.ShingleN)
+      .select("shingle").distinct()
+    val bloom = graft.functions.BloomFilterExpr.build(evalShingles, "shingle", fpp = 0.01)
+    TextOps.shingleRows(docs.where(!isEval), CorpusQueries.ShingleN)
+      .where(graft.functions.BloomFilterExpr.mightContain(bloom, col("shingle")))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 5)
+      .orderBy(col("doc_id").asc)
+  }
+
+  private val decontaminateSql: String = {
+    val n = CorpusQueries.ShingleN
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+       |       FROM tok, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+       |       WHERE len(toks) >= $n),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_shared
+       |         FROM sh JOIN ev USING (shingle)
+       |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+       |SELECT doc_id, n_shared, n_shared >= 5 AS contaminated
+       |FROM hits ORDER BY doc_id ASC""".stripMargin
+  }
+
   /** The end-to-end curation funnel ([[graft.text.Curation]]) with its
     * per-stage audit flags, oracle-checked as one query. */
   def q_curate(spark: SparkSession, dir: String): DataFrame =
@@ -422,6 +459,7 @@ object AdvancedQueries {
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_curate" -> (q_curate _),
     "q_decontaminate" -> (q_decontaminate _),
+    "q_decontaminate_bloom" -> (q_decontaminate_bloom _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -548,19 +586,11 @@ object AdvancedQueries {
          |  LEFT JOIN ct ON d.doc_id = ct.doc_id)
          |ORDER BY doc_id ASC""".stripMargin
     },
-    "q_decontaminate" -> {
-      val n = CorpusQueries.ShingleN
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
-         |       FROM tok, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
-         |       WHERE len(toks) >= $n),
-         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
-         |hits AS (SELECT doc_id, COUNT(*) AS n_shared
-         |         FROM sh JOIN ev USING (shingle)
-         |         WHERE doc_id % 97 <> 0 GROUP BY doc_id)
-         |SELECT doc_id, n_shared, n_shared >= 5 AS contaminated
-         |FROM hits ORDER BY doc_id ASC""".stripMargin
-    },
+    "q_decontaminate" -> decontaminateSql,
+    // the Bloom prefilter never changes the result set (no false
+    // negatives; false positives die in the exact join) — the naive
+    // SQL is the oracle for the pruned plan too
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |             md5('rs:' || CAST(doc_id AS VARCHAR)) AS h

@@ -54,6 +54,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("bloom decontamination: membership prefilter sits below the join") {
+    val p = planOf("q_decontaminate_bloom")
+    val filterIdx = p.indexOf("graft_bloom_might_contain")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(filterIdx >= 0, s"bloom prefilter missing:\n$p")
+    assert(joinIdx >= 0, p)
+    // executed-plan text prints parents before children: the filter
+    // must appear BELOW (after) the join it prunes input for
+    assert(filterIdx > joinIdx, s"bloom filter not under the join:\n$p")
+  }
+
   test("no query plan contains a cartesian product") {
     // BroadcastNestedLoopJoin is expected (range/inequality joins);
     // an unconstrained CartesianProduct is never intended
