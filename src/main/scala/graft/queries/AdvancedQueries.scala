@@ -354,6 +354,27 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** SCD2 dimension versioning over the customer dim: updates for
+    * every 7th key, of which every 14th is a NO-OP (same value) that
+    * must not mint a version — the two-sided gate (change detection +
+    * closing/opening) that every warehouse merge needs. */
+  def q_scd2(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(spark, dir, "customer")
+    val dim = c.select(
+      col("c_custkey"), col("c_mktsegment"),
+      lit("2024-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val updates = c.where(col("c_custkey") % 7 === 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 14 === 0, col("c_mktsegment"))
+          .otherwise(concat(lit("MOVED-"), col("c_mktsegment"))).as("c_mktsegment"))
+    graft.operators.Scd2.merge(
+      dim, updates, Seq("c_custkey"), Seq("c_mktsegment"),
+      lit("2024-06-01").cast("date"))
+      .orderBy(col("c_custkey").asc, col("valid_from").asc)
+  }
+
   private val decontaminateSql: String = {
     val n = CorpusQueries.ShingleN
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -460,6 +481,7 @@ object AdvancedQueries {
     "q_curate" -> (q_curate _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_decontaminate_bloom" -> (q_decontaminate_bloom _),
+    "q_scd2" -> (q_scd2 _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -591,6 +613,33 @@ object AdvancedQueries {
     // negatives; false positives die in the exact join) — the naive
     // SQL is the oracle for the pruned plan too
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_scd2" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment,
+        |               DATE '2024-01-01' AS valid_from,
+        |               CAST(NULL AS DATE) AS valid_to
+        |             FROM customer),
+        |upd AS (SELECT c_custkey,
+        |               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+        |                    ELSE 'MOVED-' || c_mktsegment END AS new_seg
+        |        FROM customer WHERE c_custkey % 7 = 0),
+        |j AS (SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to,
+        |             u.new_seg,
+        |             u.c_custkey IS NOT NULL
+        |               AND d.c_mktsegment IS DISTINCT FROM u.new_seg AS changed
+        |      FROM dim d LEFT JOIN upd u USING (c_custkey))
+        |SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment, valid_from,
+        |         DATE '2024-06-01' AS valid_to
+        |  FROM j WHERE changed
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, valid_from, valid_to
+        |  FROM j WHERE NOT changed
+        |  UNION ALL
+        |  SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE)
+        |  FROM j WHERE changed)
+        |ORDER BY c_custkey ASC, valid_from ASC""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |             md5('rs:' || CAST(doc_id AS VARCHAR)) AS h

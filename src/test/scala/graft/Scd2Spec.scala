@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd2
+
+/** SCD2 merge edge semantics: no-op updates mint no version, null
+  * transitions do, history rows pass through untouched. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+  private val eff = lit("2024-06-01").cast("date")
+
+  private val dim = Seq(
+    // k=1: open row whose value will change
+    (1L, Option("A"), d("2024-01-01"), Option.empty[Date]),
+    // k=1 history: already-closed row must pass through untouched
+    (1L, Option("OLD"), d("2023-01-01"), Option(d("2024-01-01"))),
+    // k=2: open row with a no-op update
+    (2L, Option("B"), d("2024-01-01"), Option.empty[Date]),
+    // k=3: open row, no update at all
+    (3L, Option("C"), d("2024-01-01"), Option.empty[Date]),
+    // k=4: NULL -> value transition must version
+    (4L, Option.empty[String], d("2024-01-01"), Option.empty[Date]),
+  ).toDF("k", "v", "valid_from", "valid_to")
+
+  private val updates = Seq(
+    (1L, Option("A2")), (2L, Option("B")), (4L, Option("D")),
+  ).toDF("k", "v")
+
+  private lazy val out = Scd2.merge(dim, updates, Seq("k"), Seq("v"), eff)
+    .orderBy(col("k").asc, col("valid_from").asc)
+    .select("k", "v", "valid_from", "valid_to", "is_current")
+    .as[(Long, Option[String], Date, Option[Date], Boolean)]
+    .collect().toSeq
+
+  test("changed key closes the old row and opens a new current one") {
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, Some("OLD"), d("2023-01-01"), Some(d("2024-01-01")), false),
+      (1L, Some("A"), d("2024-01-01"), Some(d("2024-06-01")), false),
+      (1L, Some("A2"), d("2024-06-01"), None, true)))
+  }
+
+  test("no-op update and missing update mint no versions") {
+    assert(out.filter(_._1 == 2L) == Seq((2L, Some("B"), d("2024-01-01"), None, true)))
+    assert(out.filter(_._1 == 3L) == Seq((3L, Some("C"), d("2024-01-01"), None, true)))
+  }
+
+  test("null-to-value transition versions (null-safe change detection)") {
+    assert(out.filter(_._1 == 4L) == Seq(
+      (4L, None, d("2024-01-01"), Some(d("2024-06-01")), false),
+      (4L, Some("D"), d("2024-06-01"), None, true)))
+  }
+}
