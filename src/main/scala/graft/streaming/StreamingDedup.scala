@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+import graft.text.TextOps
+
+/** Streaming front door of INCREMENTAL near-dup dedup: documents
+  * arrive as a stream, the corpus band index
+  * ([[TextOps.lshBandRows]], persisted/bucketed at scale) is STATIC,
+  * and each micro-batch is shingled+banded map-only and probed
+  * against the index — the continuous form of the daily-crawl batch
+  * shape ([[TextOps.minhashDupAgainstIndex]]).
+  *
+  * Structure: the band transform and index join are stateless
+  * stream-static operations, so there is no watermark state to size —
+  * all heavy state lives in the static index. The candidate-pair
+  * dedup + exact Jaccard verify run per micro-batch inside
+  * `foreachBatch` (cross-band duplicate candidates only ever co-occur
+  * within the batch that produced them, so per-batch dedup is exact —
+  * and the sink callback gets one clean result frame per batch, the
+  * standard exactly-once sink pattern).
+  */
+object StreamingDedup {
+
+  /** Stateless streaming transform: (doc_id, text) stream →
+    * (doc_id, shingles, band_idx, band_hash) stream via the same
+    * native single-pass kernels as batch. */
+  def bandStream(docs: DataFrame, n: Int, k: Int, bands: Int): DataFrame =
+    TextOps.lshBandRows(docs, n, k, bands)
+
+  /** Full pipeline: per micro-batch, match arriving docs against the
+    * static index and hand (a = arriving doc, b = corpus doc,
+    * jaccard) to the sink callback. */
+  def dupsAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      n: Int, k: Int, bands: Int, threshold: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(TextOps.minhashDupAgainstIndex(index, batch, n, k, bands, threshold), id)
+      }
+}

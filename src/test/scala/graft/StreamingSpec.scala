@@ -130,6 +130,33 @@ class StreamingSpec extends SparkSpec {
     assert(batchQ == streamQ)
   }
 
+  test("streaming incremental dedup vs static band index matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.where($"doc_id" % 4 =!= 0)
+    val arriving = docs.where($"doc_id" % 4 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val index = graft.text.TextOps.lshBandRows(corpus, 3, 16, 8)
+    val expected = graft.text.TextOps
+      .minhashDupAgainstIndex(index, docs.where($"doc_id" % 4 === 0), 3, 16, 8, 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    val in = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = graft.streaming.StreamingDedup.dupsAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), index, 3, 16, 8, 0.5) { (dups, _) =>
+      results ++= dups.select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    }.start()
+    // two micro-batches: the split must not change results (all heavy
+    // state is the static index; per-batch candidate dedup is exact)
+    val (first, second) = arriving.splitAt(arriving.size / 2)
+    in.addData(first); q.processAllAvailable()
+    in.addData(second); q.processAllAvailable()
+    q.stop()
+    assert(results.toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("stream-stream interval join: views within the hour attach, older ones age out") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[Ev]
