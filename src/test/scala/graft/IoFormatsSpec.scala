@@ -9,18 +9,6 @@ class IoFormatsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("compaction: many small files collapse to the target count, data identical") {
-    val src = graft.io.Tables.table(spark, dir, "documents")
-    val work = java.nio.file.Files.createTempDirectory("compact").toString + "/docs"
-    src.repartition(16).write.parquet(work)
-    val before = src.orderBy("doc_id").collect().toSeq
-    val stats = graft.io.Compaction.compact(spark, work, targetFileBytes = 64L * 1024 * 1024)
-    assert(stats.filesBefore == 16)
-    assert(stats.filesAfter == 1, s"expected 1 file for a tiny table, got ${stats.filesAfter}")
-    val after = spark.read.parquet(work).orderBy("doc_id").collect().toSeq
-    assert(after == before, "compaction must not change table contents")
-  }
-
   test("ORC round-trip preserves rows and schema") {
     val src = graft.io.Tables.table(spark, dir, "customer")
     val path = "/tmp/graft_io/customer_orc"
