@@ -43,8 +43,15 @@ object Compaction {
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // crash-safe swap order: move the original ASIDE (not delete) so
+    // a failure between the two renames still leaves a complete copy
+    // on disk; only after the rewrite is installed does the old data go
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__precompact")
+    fs.delete(bak, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path), bak), s"could not move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)),
+      s"could not install compacted $path")
+    fs.delete(bak, true)
     (before, fileCount(path))
   }
 }
