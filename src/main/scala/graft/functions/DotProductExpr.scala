@@ -130,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getCanonicalName, "graft_simhash"),
       (c: Seq[Expression]) => SimHashExpr(c(0), intArg(c(1)))))
     ext.injectFunction((
+      FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSizeExpr].getCanonicalName,
+        "graft_intersect_size"),
+      (c: Seq[Expression]) => IntersectSizeExpr(c(0), c(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContainExpr].getCanonicalName,
         "graft_bloom_might_contain"),

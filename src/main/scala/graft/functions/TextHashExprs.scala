@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
@@ -213,6 +213,28 @@ object TextKernels {
     }
     UTF8String.fromBytes(bits)
   }
+
+  /** |A ∩ B| for two DISTINCT string arrays (shingle sets are
+    * distinct by construction): hash-set membership of the smaller
+    * side, one pass over the larger — the candidate-verify hot path,
+    * replacing `size(array_intersect(...))`, which materializes the
+    * whole intersection array per candidate pair. Equals DuckDB
+    * `len(list_intersect(...))` on distinct inputs. */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val nSmall = small.numElements()
+    val set = new java.util.HashSet[UTF8String](nSmall * 2)
+    var i = 0
+    while (i < nSmall) { set.add(small.getUTF8String(i)); i += 1 }
+    val nLarge = large.numElements()
+    var n = 0L
+    i = 0
+    while (i < nLarge) {
+      if (set.contains(large.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
 }
 
 private[functions] trait StringArrayInput { self: UnaryExpression =>
@@ -280,6 +302,31 @@ case class SimHashExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_intersect_size(a, b)` → |A ∩ B| of two distinct string
+  * arrays (single pass, no intersection array materialized). */
+case class IntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_intersect_size"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.intersectSize($a, $b);")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-API entry points for the text kernels. */
 object TextExprs {
   private def lit(c: Column) = GraftColumnBridge.expression(c)
@@ -291,4 +338,6 @@ object TextExprs {
     GraftColumnBridge.column(MinHashSigsExpr(lit(shingles), k))
   def simhash(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(SimHashExpr(lit(tokens), n))
+  def intersectSize(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectSizeExpr(lit(a), lit(b)))
 }

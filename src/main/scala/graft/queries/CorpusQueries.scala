@@ -29,9 +29,13 @@ object CorpusQueries {
   private val LshK = 5
   private val VecDim = 64
   private val LshTables = VectorOps.hyperplaneTables(seed = 42L, tables = 4, planes = 4, dim = VecDim)
-  // near-dup wants high recall at a fixed threshold, not top-k: few
-  // planes (coarse buckets) and many tables (recall amplification)
-  private val NearDupLshTables = VectorOps.hyperplaneTables(seed = 7L, tables = 8, planes = 3, dim = VecDim)
+  // near-dup wants high recall at a fixed threshold, not top-k: fewer
+  // planes than ANN (coarse buckets) and many tables (recall
+  // amplification). 4 planes balance candidate volume (∝ n²/2^planes
+  // per table) against recall at the borderline-cosine regime this
+  // synthetic data sits in (θ≈60°); real near-dup thresholds (≥0.8)
+  // get both tighter buckets and higher recall from the same layout.
+  private val NearDupLshTables = VectorOps.hyperplaneTables(seed = 7L, tables = 8, planes = 4, dim = VecDim)
   private val IvfK = 8
   private val IvfIters = 2
   private val IvfNProbe = 2

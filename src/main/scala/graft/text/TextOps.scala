@@ -215,14 +215,22 @@ object TextOps {
         col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
       .dropDuplicates("a", "b")
+    verifyJaccard(cand, threshold)
+  }
+
+  /** Exact Jaccard gate on candidate pairs: |A∩B| via the native
+    * single-pass kernel ([[graft.functions.TextKernels.intersectSize]]
+    * — `size(array_intersect(...))` materializes the intersection
+    * array per pair, interpreted), |A∪B| by inclusion-exclusion. */
+  private def verifyJaccard(cand: DataFrame, threshold: Double): DataFrame =
     cand
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common",
+        graft.functions.TextExprs.intersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         round(col("n_common")
           / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-  }
 
   /** INCREMENTAL MinHash dedup: match a (daily) batch against an
     * already-indexed corpus WITHOUT touching corpus text again — the
@@ -249,13 +257,7 @@ object TextOps {
         col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
       .dropDuplicates("a", "b")
-    cand
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("n_common")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 6))
-      .where(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+    verifyJaccard(cand, threshold)
   }
 
   /** 64-bit SimHash as a bit-string: bit b is set when more windows

@@ -133,23 +133,29 @@ object VectorOps {
     * near-dup thresholds want FEW planes and MANY tables (the
     * opposite corner from top-k ANN). */
   def nearDupPairsLsh(vecs: DataFrame, tables: Seq[Seq[Seq[Double]]], threshold: Double): DataFrame = {
-    val sigs = array(tables.map(t => signature(col("v_emb"), t)): _*)
-    val rows = sided(vecs, "v")
-      .select(col("v_id"), col("v_emb"), col("v_norm"),
-        posexplode(sigs).as(Seq("table_idx", "sig")))
-    rows.as("x")
-      .join(rows.as("y"),
+    // candidate generation on (id, table, sig) ONLY — embedding arrays
+    // must not ride through the pair join + dedup shuffle (at 64
+    // floats a side they dominate the exchange; the ids are 16 bytes)
+    val sigs = array(tables.map(t => signature(col("embedding"), t)): _*)
+    val ids = vecs.select(col("vec_id"),
+      posexplode(sigs).as(Seq("table_idx", "sig")))
+    val candIds = ids.as("x")
+      .join(ids.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
           col("x.sig") === col("y.sig") &&
-          col("x.v_id") < col("y.v_id"))
-      .select(
-        col("x.v_id").as("a"), col("y.v_id").as("b"),
-        col("x.v_emb").as("ea"), col("y.v_emb").as("eb"),
-        col("x.v_norm").as("na"), col("y.v_norm").as("nb"))
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .dropDuplicates("a", "b")
+    // re-attach vectors for the exact verify (AQE broadcasts the
+    // vector side when small; at scale it is a key join of bounded
+    // candidate pairs, still never the n² cross product)
+    candIds
+      .join(sided(vecs, "qa").withColumnRenamed("qa_id", "a"), "a")
+      .join(sided(vecs, "qb").withColumnRenamed("qb_id", "b"), "b")
       .select(
         col("a"), col("b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 10).as("cosine"))
+        round(dot(col("qa_emb"), col("qb_emb")) / (col("qa_norm") * col("qb_norm")), 10)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

@@ -119,6 +119,23 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("native intersect size equals size(array_intersect) on distinct arrays") {
+    val sh = TextOps.withShingles(docs, 3).select(col("doc_id"), col("shingles"))
+    val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id"), col("y.doc_id"),
+        TextExprs.intersectSize(col("x.shingles"), col("y.shingles")).as("native"),
+        size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("long").as("hof"))
+    assert(pairs.where(col("native") =!= col("hof")).isEmpty)
+    assert(pairs.where(col("native") > 0).count() > 0)
+    // interpreted eval agrees with the codegen path
+    val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Seq("p", "q", "r").map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val b = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Seq("q", "r", "s", "t").map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    assert(graft.functions.TextKernels.intersectSize(a, b) == 2L)
+  }
+
   test("minhash aggregate: merge-invariant under partitioning; singleton group = doc signature") {
     val sh = TextOps.withShingles(docs, n)
     // one group with all docs: signature must not depend on partitioning

@@ -61,8 +61,8 @@ class VectorOpsSpec extends SparkSpec {
     val real = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = VectorOps.nearDupPairs(real, 0.45)
       .select("a", "b", "cosine").as[(Long, Long, Double)].collect().toSet
-    // few planes + many tables: the near-dup corner of the LSH trade
-    val tables = VectorOps.hyperplaneTables(7L, 8, 3, 64)
+    // fewer planes than ANN + many tables: the near-dup LSH corner
+    val tables = VectorOps.hyperplaneTables(7L, 8, 4, 64)
     val lsh = VectorOps.nearDupPairsLsh(real, tables, 0.45)
       .select("a", "b", "cosine").as[(Long, Long, Double)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH emitted a pair the exact baseline lacks")
