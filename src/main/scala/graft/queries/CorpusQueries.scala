@@ -36,6 +36,9 @@ object CorpusQueries {
   // synthetic data sits in (θ≈60°); real near-dup thresholds (≥0.8)
   // get both tighter buckets and higher recall from the same layout.
   private val NearDupLshTables = VectorOps.hyperplaneTables(seed = 7L, tables = 8, planes = 4, dim = VecDim)
+  // multi-probe runs on HALF the tables: probing replaces index copies
+  private val MultiProbeTables = LshTables.take(2)
+  private val LshPlanes = 4
   private val IvfK = 8
   private val IvfIters = 2
   private val IvfNProbe = 2
@@ -115,6 +118,16 @@ object CorpusQueries {
       Tables.table(spark, dir, "embeddings"), NearDupLshTables, CosineDupThreshold)
       .orderBy(col("a").asc, col("b").asc)
 
+  /** Multi-probe LSH ANN: Hamming-1 probes on the query side let TWO
+    * tables reach the recall of the four-table single-probe layout —
+    * the index-memory/probe-cost trade billion-scale ANN actually
+    * runs ([[VectorOps.lshTopKMultiProbe]]). */
+  def q_ann_lsh_multiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    VectorOps.lshTopKMultiProbe(v, annQueries(v), MultiProbeTables, LshK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** IVF ANN. Fully oracle-gated: [[graft.vector.IvfIndex.train]] is
     * driver-side, sample-bounded, and fixed-order (seeded from every
     * ⌈n/k⌉-th sample vector, sequential per-dim folds), so the ENTIRE
@@ -179,6 +192,7 @@ object CorpusQueries {
     "q_embed_near_dup_lsh" -> (q_embed_near_dup_lsh _),
     "q_ann_topk" -> (q_ann_topk _),
     "q_ann_lsh" -> (q_ann_lsh _),
+    "q_ann_lsh_multiprobe" -> (q_ann_lsh_multiprobe _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_ann_ivf" -> (q_ann_ivf _),
   )
@@ -436,6 +450,37 @@ QUALIFY rank <= $LshK
 ORDER BY query_id ASC, rank ASC"""
   }
 
+  /** Multi-probe oracle: collection buckets on base signatures; the
+    * query side unions the base probe with every single-bit flip
+    * (string surgery on the generated signature expressions). */
+  private val annLshMultiProbeSql: String = {
+    def flipped(sig: String, i: Int, bits: Int): String =
+      s"substr($sig, 1, ${i - 1}) || (CASE WHEN substr($sig, $i, 1) = '1' THEN '0' ELSE '1' END) || substr($sig, ${i + 1}, ${bits - i})"
+    val probeSelects = MultiProbeTables.indices.flatMap { t =>
+      val base = s"SELECT vec_id, embedding, nrm, $t AS table_idx, sig$t AS sig FROM v WHERE vec_id % 100 = 0"
+      val flips = (1 to LshPlanes).map { i =>
+        s"SELECT vec_id, embedding, nrm, $t AS table_idx, ${flipped(s"sig$t", i, LshPlanes)} AS sig FROM v WHERE vec_id % 100 = 0"
+      }
+      base +: flips
+    }.mkString("\n  UNION ALL ")
+    s"""${lshBucketCtes(MultiProbeTables)}
+qp AS ($probeSelects),
+cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid,
+           a.embedding AS qe, b.embedding AS ce, a.nrm AS qn, b.nrm AS cn
+         FROM qp a JOIN bk b
+           ON a.table_idx = b.table_idx AND a.sig = b.sig
+          AND a.vec_id <> b.vec_id)
+SELECT qid AS query_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+    ORDER BY round(${dotSql("qe", "ce")} / (qn * cn), 10) DESC, cid ASC)
+    AS INTEGER) AS rank,
+  cid AS neighbor_id,
+  round(${dotSql("qe", "ce")} / (qn * cn), 10) AS cosine
+FROM cand
+QUALIFY rank <= $LshK
+ORDER BY query_id ASC, rank ASC"""
+  }
+
   private val embedNearDupLshSql: String =
     s"""${lshBucketCtes(NearDupLshTables)}
 cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
@@ -541,6 +586,7 @@ ORDER BY a ASC, b ASC"""
     "q_embed_near_dup_lsh" -> embedNearDupLshSql,
     "q_ann_topk" -> annTopkSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS asset_id, text,

@@ -172,6 +172,18 @@ object VectorOps {
   def hyperplaneTables(seed: Long, tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] =
     (0 until tables).map(t => hyperplanes(seed + 1000L * t, planes, dim))
 
+  /** All Hamming-1 variants of a bit-string signature: the base plus
+    * each single-bit flip — multi-probe LSH's probe sequence. */
+  private def withBitFlips(sig: Column, bits: Int): Column = {
+    val flips = (1 to bits).map { i =>
+      concat(
+        substring(sig, 1, i - 1),
+        when(substring(sig, i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(sig, i + 1, bits - i))
+    }
+    array(sig +: flips: _*)
+  }
+
   /** Multi-table LSH ANN: candidates = vectors sharing a full
     * signature in at least one table; exact cosine ranks the
     * candidate set. Recall ≈ 1−(1−p^b)^L for per-bit agreement p —
@@ -185,6 +197,40 @@ object VectorOps {
     }
     val q = bucketRows(sided(queries, "q"), "q")
     val c = bucketRows(sided(vecs, "c"), "c")
+    val scored = broadcast(q).join(c, Seq("table_idx", "sig"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates("q_id", "c_id")
+      .select(
+        col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+          .as("cosine"))
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Multi-probe LSH ANN (Hamming-1 probing): the QUERY side probes
+    * its bucket plus every one-bit-flip bucket per table — per-table
+    * hit probability rises from p^b to p^b + b·p^(b-1)(1−p) — so the
+    * same recall needs FEWER tables, i.e. a smaller index. The
+    * collection index is untouched (base signatures only); the extra
+    * cost is b+1 probe rows per query row, which is the multi-probe
+    * trade: probes are nearly free, tables cost index memory. */
+  def lshTopKMultiProbe(vecs: DataFrame, queries: DataFrame, tables: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val bits = tables.head.length
+    val probeSigs = array(tables.map(t =>
+      withBitFlips(signature(col("q_emb"), t), bits)): _*)
+    val q = sided(queries, "q")
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        posexplode(probeSigs).as(Seq("table_idx", "probes")))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("table_idx"),
+        explode(col("probes")).as("sig"))
+    val sigs = array(tables.map(t => signature(col("c_emb"), t)): _*)
+    val c = sided(vecs, "c")
+      .select(col("c_id"), col("c_emb"), col("c_norm"),
+        posexplode(sigs).as(Seq("table_idx", "sig")))
     val scored = broadcast(q).join(c, Seq("table_idx", "sig"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),

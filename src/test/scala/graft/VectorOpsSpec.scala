@@ -57,6 +57,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("multi-probe LSH: higher recall than single-probe on the same (fewer) tables") {
+    val real = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = real.where($"vec_id" % 100 === 0)
+    val twoTables = VectorOps.hyperplaneTables(42L, 4, 4, 64).take(2)
+    val brute = VectorOps.bruteForceTopK(real, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (s intersect brute).size.toDouble / brute.size
+    }
+    val single = recallOf(VectorOps.lshTopK(real, queries, twoTables, 10))
+    val multi = recallOf(VectorOps.lshTopKMultiProbe(real, queries, twoTables, 10))
+    assert(multi >= single, s"multi-probe $multi < single-probe $single")
+    assert(multi > 0.3, s"multi-probe recall $multi")
+  }
+
   test("LSH near-dup: subset of the exact pairs with identical cosines, good recall") {
     val real = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = VectorOps.nearDupPairs(real, 0.45)
