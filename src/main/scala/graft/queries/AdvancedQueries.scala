@@ -354,6 +354,19 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Gaps-and-islands: collapse each user's overlapping 10-minute
+    * activity windows into maximal spans ([[graft.operators
+    * .Intervals]]) — one window pass + one aggregation, never the
+    * quadratic NOT-EXISTS self-join. */
+  def q_interval_merge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+      .select(
+        col("user_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("e"))
+    graft.operators.Intervals.mergeOverlapping(e, Seq("user_id"), "s", "e")
+      .orderBy(col("user_id").asc, col("island_start").asc)
+  }
+
   /** SCD2 dimension versioning over the customer dim: updates for
     * every 7th key, of which every 14th is a NO-OP (same value) that
     * must not mint a version — the two-sided gate (change detection +
@@ -482,6 +495,7 @@ object AdvancedQueries {
     "q_decontaminate" -> (q_decontaminate _),
     "q_decontaminate_bloom" -> (q_decontaminate_bloom _),
     "q_scd2" -> (q_scd2 _),
+    "q_interval_merge" -> (q_interval_merge _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -613,6 +627,24 @@ object AdvancedQueries {
     // negatives; false positives die in the exact join) — the naive
     // SQL is the oracle for the pruned plan too
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_interval_merge" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+        |             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+        |           FROM events),
+        |m AS (SELECT user_id, s, e,
+        |        CASE WHEN MAX(e) OVER w1 IS NULL OR s > MAX(e) OVER w1
+        |             THEN 1 ELSE 0 END AS new_i
+        |      FROM e
+        |      WINDOW w1 AS (PARTITION BY user_id ORDER BY s ASC, e ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (SELECT user_id, s, e,
+        |        SUM(new_i) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM m)
+        |SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+        |       COUNT(*) AS n_merged
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id ASC, island_start ASC""".stripMargin,
     "q_scd2" ->
       """WITH dim AS (SELECT c_custkey, c_mktsegment,
         |               DATE '2024-01-01' AS valid_from,

@@ -73,6 +73,24 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == (1L to 8L).map(i => (i, 1L)))
   }
 
+  test("interval merge: overlapping and touching spans collapse, long spans swallow short ones") {
+    val in = Seq(
+      // k=1: [0,10) [5,15) overlap; [15,20) touches → ONE island 0..20
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),
+      // k=1: gap then [25,30)
+      (1L, 25L, 30L),
+      // k=2: long [0,100) swallows [10,20) and [50,60) — lag(end)
+      // alone would wrongly split at 50
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 50L, 60L),
+    ).toDF("k", "s", "e")
+    val got = graft.operators.Intervals.mergeOverlapping(in, Seq("k"), "s", "e")
+      .orderBy("k", "island_start")
+      .select("k", "island_start", "island_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 20L, 3L), (1L, 25L, 30L, 1L), (2L, 0L, 100L, 3L)))
+  }
+
   test("connected components: pointer jumping makes rounds logarithmic in diameter") {
     // path 1-2-...-64: diameter 63 — propagation alone would need 63
     // rounds (overrunning the default 20-round bound); label-of-label
