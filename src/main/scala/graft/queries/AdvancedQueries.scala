@@ -354,6 +354,27 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Exact heavy hitters with a Count-Min prefilter: terms with true
+    * count ≥ 200 across the corpus. The CMS (built distributed) never
+    * underestimates, so `estimate ≥ T` keeps a candidate SUPERSET
+    * map-only — only those rows shuffle into the exact count, which
+    * then drops the overestimates. Same result as the naive
+    * explode+count+HAVING oracle; at 100 TB the difference is
+    * shuffling a handful of hot terms instead of the whole token
+    * stream. */
+  def q_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    val minCount = 200L
+    val terms = TextOps.withTokens(Tables.table(spark, dir, "documents"))
+      .select(explode(col("tokens")).as("term"))
+    val cms = graft.functions.CmsExpr.build(terms, "term", eps = 0.0001, confidence = 0.99)
+    terms
+      .where(graft.functions.CmsExpr.estimate(cms, col("term")) >= minCount)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("term").asc)
+  }
+
   /** Gaps-and-islands: collapse each user's overlapping 10-minute
     * activity windows into maximal spans ([[graft.operators
     * .Intervals]]) — one window pass + one aggregation, never the
@@ -496,6 +517,7 @@ object AdvancedQueries {
     "q_decontaminate_bloom" -> (q_decontaminate_bloom _),
     "q_scd2" -> (q_scd2 _),
     "q_interval_merge" -> (q_interval_merge _),
+    "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -627,6 +649,13 @@ object AdvancedQueries {
     // negatives; false positives die in the exact join) — the naive
     // SQL is the oracle for the pruned plan too
     "q_decontaminate_bloom" -> decontaminateSql,
+    // the CMS prefilter keeps a superset (no underestimates) and the
+    // exact count drops overestimates — the naive SQL is the oracle
+    "q_heavy_hitters" ->
+      """SELECT t AS term, COUNT(*) AS n
+        |FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        |GROUP BY t HAVING COUNT(*) >= 200
+        |ORDER BY term ASC""".stripMargin,
     "q_interval_merge" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
         |             CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
