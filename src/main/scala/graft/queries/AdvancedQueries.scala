@@ -354,6 +354,33 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS assign as
+    * units — the split hash keys on the component canonical, not the
+    * doc — so a test document can never have a near-duplicate in
+    * train (the contamination that silently inflates eval scores).
+    * Deterministic md5 bucketing (80/10/10 via hex prefix), stable
+    * across runs, engines, and cluster layouts. */
+  def q_split_dedup_aware(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val pairs = TextOps.minhashDupPairs(
+      docs, CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
+      .select("a", "b")
+    val comp = Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label"))
+    val canon = docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical"))
+    val bucket = substring(
+      md5(concat(lit("split:"), col("canonical").cast("string"))), 1, 2)
+    canon
+      .withColumn("split",
+        when(bucket < "cc", lit("train"))       // 204/256 ≈ 80%
+          .when(bucket < "e6", lit("val"))      //  26/256 ≈ 10%
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Exact heavy hitters with a Count-Min prefilter: terms with true
     * count ≥ 200 across the corpus. The CMS (built distributed) never
     * underestimates, so `estimate ≥ T` keeps a candidate SUPERSET
@@ -518,6 +545,7 @@ object AdvancedQueries {
     "q_scd2" -> (q_scd2 _),
     "q_interval_merge" -> (q_interval_merge _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
+    "q_split_dedup_aware" -> (q_split_dedup_aware _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -837,6 +865,30 @@ object AdvancedQueries {
          |JOIN (VALUES $values) AS b(band, lo, hi)
          |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
          |GROUP BY b.band ORDER BY b.band ASC""".stripMargin
+    },
+    "q_split_dedup_aware" -> {
+      val bucket = "substr(md5('split:' || CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)), 1, 2)"
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a, b FROM (
+         |${CorpusQueries.minhashPairsBody}
+         |  ) mh
+         |),
+         |und AS (SELECT a AS x, b AS y FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+         |  UNION
+         |  SELECT u.x, r.lab FROM reach r JOIN und u ON u.y = r.node
+         |),
+         |comp AS (SELECT node AS doc_id, MIN(lab) AS canonical
+         |         FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |       COALESCE(c.canonical, d.doc_id) AS canonical,
+         |       CASE WHEN $bucket < 'cc' THEN 'train'
+         |            WHEN $bucket < 'e6' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin
     },
     "q_dedup_components" ->
       s"""WITH RECURSIVE pairs AS (

@@ -73,6 +73,22 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == (1L to 8L).map(i => (i, 1L)))
   }
 
+  test("dedup-aware split: near-dup pairs never straddle splits; all splits populated") {
+    val dir = "/root/testdata/sf0.001"
+    val split = graft.queries.AdvancedQueries.q_split_dedup_aware(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = graft.text.TextOps.minhashDupPairs(
+      graft.io.Tables.table(spark, dir, "documents"), 3, 16, 8, 0.5)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"leakage: $a(${split(a)}) vs $b(${split(b)})")
+    }
+    assert(split.values.toSet == Set("train", "val", "test"))
+    val trainFrac = split.values.count(_ == "train").toDouble / split.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
   test("interval merge: overlapping and touching spans collapse, long spans swallow short ones") {
     val in = Seq(
       // k=1: [0,10) [5,15) overlap; [15,20) touches → ONE island 0..20
