@@ -28,6 +28,32 @@ object MusicCsv {
       .schema(schema)
       .csv(path)
 
+  /** Audited ingest: PERMISSIVE parse with the malformed raw line
+    * captured, split into (good rows, quarantined raw lines). A batch
+    * gate at scale can't just crash on row 4-billion-and-one
+    * (FAILFAST) or silently null it out (plain PERMISSIVE) — the
+    * quarantine keeps the raw text for replay/inspection and the good
+    * side stays schema-clean. */
+  def readAudited(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      // corrupt-record extraction requires materializing the parsed
+      // struct before filtering on it (SPARK-21610): cache per batch
+      .cache()
+    val good = raw.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantined = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, quarantined)
+  }
+
   /** S14: when duplicate keys exist in the seed files, the row WITH an
     * apple_music_url must win (reference `load_seed_data.sql:22-23`).
     * `dropDuplicates` alone would lose that priority; a row_number over

@@ -18,6 +18,22 @@ class LoadSpec extends SparkSpec {
   private val emptySong = Seq.empty[(String, String, Int, Boolean, String, Option[String])]
     .toDF("isrc", "song_name", "song_duration_ms", "is_explicit", "spotify_url", "apple_music_url")
 
+  test("audited CSV ingest: malformed lines quarantine with raw text, good rows parse clean") {
+    val dir = java.nio.file.Files.createTempDirectory("audited").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/artist.csv"),
+      """artist_id,artist_name
+        |"A1","Alpha"
+        |"A2","Beta","EXTRA-FIELD"
+        |"A3","Gamma"
+        |""".stripMargin)
+    val (good, quarantined) = graft.io.MusicCsv.readAudited(
+      spark, s"$dir/artist.csv", Music.artistSchema)
+    assert(good.select("artist_id").as[String].collect().sorted.toSeq == Seq("A1", "A3"))
+    assert(good.columns.toSeq == Music.artistSchema.fieldNames.toSeq)
+    val bad = quarantined.select("raw_line").as[String].collect()
+    assert(bad.length == 1 && bad.head.contains("EXTRA-FIELD"))
+  }
+
   test("upsert: within-batch dedup first, then anti-join per constraint in order (J7)") {
     val existing = Seq(
       ("I1", "Old", 1, false, "su1", Option.empty[String])).toDF(emptySong.columns.toSeq: _*)
