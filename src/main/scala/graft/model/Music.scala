@@ -26,14 +26,34 @@ object Music {
 
   final case class ArtistSongMap(artist_id: String, isrc: String)
 
-  /** `ranking_id SERIAL` is deliberately absent: no analytics query
-    * reads it (SURVEY.md §1.4) and a global mutable sequence does not
-    * scale; synthesize with row_number on demand if ever needed. */
+  /** `ranking_id SERIAL` is deliberately absent from the core model:
+    * no analytics query reads it (SURVEY.md §1.4) and a global
+    * mutable sequence does not scale. [[withRankingIds]] synthesizes
+    * it on demand for consumers that expect the reference column. */
   final case class Ranking(
       isrc: String,
       ranking_date: Date,
       rank: Int,
       ranking_source: String)
+
+  /** The documented-deviation stand-in for `ranking_id SERIAL`
+    * (reference `create_schema_structure.sql:54-56`): a DENSE,
+    * DETERMINISTIC id from row_number over the table's natural unique
+    * order `(ranking_date, ranking_source, rank)` — stable across
+    * runs and cluster layouts, unlike a sequence, which assigns by
+    * arrival order. Ids are re-derived per snapshot, not persisted:
+    * the reference never references a ranking_id across days either
+    * (FK-free column). */
+  def withRankingIds(ranking: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      org.apache.spark.sql.functions.col("ranking_date").asc,
+      org.apache.spark.sql.functions.col("ranking_source").asc,
+      org.apache.spark.sql.functions.col("rank").asc)
+    // single-partition window: acceptable ONLY because callers use it
+    // for reference-shaped exports (small); analytics never needs it
+    ranking.withColumn("ranking_id",
+      org.apache.spark.sql.functions.row_number().over(w))
+  }
 
   /** In-flight nested song doc (reference `etl_pipeline.py:350-363`):
     * one row per song with its artist list still nested; `explode`

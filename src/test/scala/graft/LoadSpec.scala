@@ -18,6 +18,19 @@ class LoadSpec extends SparkSpec {
   private val emptySong = Seq.empty[(String, String, Int, Boolean, String, Option[String])]
     .toDF("isrc", "song_name", "song_duration_ms", "is_explicit", "spotify_url", "apple_music_url")
 
+  test("withRankingIds: dense deterministic ids in (date, source, rank) order") {
+    val r = Seq(
+      ("I2", d("2026-01-02"), 1, "Spotify"),
+      ("I1", d("2026-01-01"), 2, "Spotify"),
+      ("I3", d("2026-01-01"), 1, "Apple Music"),
+      ("I4", d("2026-01-01"), 1, "Spotify"))
+      .toDF("isrc", "ranking_date", "rank", "ranking_source")
+    val got = Music.withRankingIds(r.repartition(3))
+      .orderBy("ranking_id")
+      .select("ranking_id", "isrc").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "I3"), (2, "I4"), (3, "I1"), (4, "I2")))
+  }
+
   test("audited CSV ingest: malformed lines quarantine with raw text, good rows parse clean") {
     val dir = java.nio.file.Files.createTempDirectory("audited").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/artist.csv"),
