@@ -29,7 +29,10 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times.head, times(times.size / 2))
+      val median =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      (name, times.head, median)
     }
     val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")

@@ -37,6 +37,17 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
 
   @transient private lazy val filter: BloomFilter = BloomFilter.readFrom(bloomBytes)
 
+  // content equality (Array[Byte] compares by reference): without it
+  // two structurally identical probes never canonicalize equal and
+  // Catalyst's subexpression elimination can't deduplicate them
+  override def equals(other: Any): Boolean = other match {
+    case e: BloomMightContainExpr =>
+      child == e.child && java.util.Arrays.equals(bloomBytes, e.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case StringType => filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
     case _ => filter.mightContainLong(v.asInstanceOf[Long])

@@ -31,6 +31,16 @@ case class CmsEstimateExpr(child: Expression, cmsBytes: Array[Byte])
 
   @transient private lazy val sketch: CountMinSketch = CountMinSketch.readFrom(cmsBytes)
 
+  // content equality (Array[Byte] compares by reference) so identical
+  // estimates canonicalize equal and subexpression elimination works
+  override def equals(other: Any): Boolean = other match {
+    case e: CmsEstimateExpr =>
+      child == e.child && java.util.Arrays.equals(cmsBytes, e.cmsBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(cmsBytes)
+
   override def nullSafeEval(v: Any): Any = child.dataType match {
     // CountMinSketchAgg (the distributed builder) adds strings as
     // their UTF-8 bytes — estimate through the same path

@@ -56,11 +56,16 @@ object Sources {
         java.net.http.HttpClient.newBuilder()
           .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
           .connectTimeout(java.time.Duration.ofSeconds(10))
-          .build()) extends Fetcher {
+          .build(),
+      requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+    extends Fetcher {
     import java.net.http.{HttpRequest, HttpResponse}
 
     def fetch(url: String, bearerToken: Option[String]): Fetched = {
-      val b = HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+      // per-request timeout: a server that accepts the connection but
+      // never answers must raise, not wedge the ingest control plane
+      val b = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(requestTimeout).GET()
       bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
       dispatch(url, client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
     }
@@ -77,6 +82,7 @@ object Sources {
         }
         .mkString("&")
       val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(requestTimeout)
         .header("Authorization", authHeader)
         .header("Content-Type", "application/x-www-form-urlencoded")
         .POST(HttpRequest.BodyPublishers.ofString(body))

@@ -28,15 +28,25 @@ object MusicCsv {
       .schema(schema)
       .csv(path)
 
+  /** [[readAudited]] result: schema-clean rows, the quarantine of raw
+    * malformed lines, and `release()` to drop the shared parse cache
+    * once both sides are consumed — without it every audited batch
+    * would pin executor storage for the session lifetime. */
+  final case class AuditedRead(good: DataFrame, quarantined: DataFrame) {
+    private[MusicCsv] var cached: DataFrame = _
+    def release(): Unit = if (cached != null) { cached.unpersist(); cached = null }
+  }
+
   /** Audited ingest: PERMISSIVE parse with the malformed raw line
     * captured, split into (good rows, quarantined raw lines). A batch
     * gate at scale can't just crash on row 4-billion-and-one
     * (FAILFAST) or silently null it out (plain PERMISSIVE) — the
     * quarantine keeps the raw text for replay/inspection and the good
-    * side stays schema-clean. */
+    * side stays schema-clean. Call `release()` after consuming both
+    * sides. */
   def readAudited(
       spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+      schema: org.apache.spark.sql.types.StructType): AuditedRead = {
     val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     val raw = spark.read
       .option("header", "true")
@@ -48,10 +58,12 @@ object MusicCsv {
       // corrupt-record extraction requires materializing the parsed
       // struct before filtering on it (SPARK-21610): cache per batch
       .cache()
-    val good = raw.where(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val quarantined = raw.where(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line"))
-    (good, quarantined)
+    val out = AuditedRead(
+      raw.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.where(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+    out.cached = raw
+    out
   }
 
   /** S14: when duplicate keys exist in the seed files, the row WITH an

@@ -22,15 +22,16 @@ object ZOrder {
 
   private val Bits = 21 // 2 × 21 = 42 bits of interleave, fits a long
 
-  /** Spread the low 21 bits of `x` so consecutive bits land 2 apart
-    * (classic Morton magic masks). */
+  /** Spread the low 21 bits of `x` so consecutive bits land 2 apart —
+    * the classic 2D Morton magic masks (each step halves the group
+    * size until every bit sits at an even position). */
   private def spread(x: Column): Column = {
     var v = x.bitwiseAND(lit((1L << Bits) - 1))
-    v = (v.bitwiseOR(shiftleft(v, 32))).bitwiseAND(lit(0x1f00000000ffffL))
-    v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x1f0000ff0000ffL))
-    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x100f00f00f00f00fL))
-    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x10c30c30c30c30c3L))
-    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x1249249249249249L))
+    v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000ffff0000ffffL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+    v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
     v
   }
 

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `dim` carries `key ++ tracked ++ (valid_from: DATE,
   * valid_to: DATE nullable — NULL = current)`; `updates` carries
-  * `key ++ tracked`, one row per key.
+  * `key ++ tracked`, one row per key. Update keys with no CURRENT
+  * dimension row — brand-new keys, or retired keys whose versions
+  * are all closed — INSERT as a new open version at `effective`.
   *
   * Scale: one key-partitioned left join of the CURRENT slice against
   * the batch (history rows pass through untouched — with the
@@ -48,11 +50,17 @@ object Scd2 {
     val opened = joined.where(changed)
       .select(key.map(col) ++ tracked.map(c => col(s"__u_$c").as(c))
         :+ effective.as("valid_from") :+ lit(null).cast("date").as("valid_to"): _*)
+    // update keys with no current row: insert as a fresh open version
+    val inserted = updates
+      .join(cur.select(key.map(col): _*).distinct(), key, "left_anti")
+      .select(key.map(col) ++ tracked.map(col)
+        :+ effective.as("valid_from") :+ lit(null).cast("date").as("valid_to"): _*)
 
     hist.select(dimCols: _*)
       .unionByName(closed)
       .unionByName(kept)
       .unionByName(opened)
+      .unionByName(inserted)
       .withColumn("is_current", col("valid_to").isNull)
   }
 }

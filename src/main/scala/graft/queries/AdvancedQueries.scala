@@ -342,8 +342,13 @@ object AdvancedQueries {
   def q_decontaminate_bloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val isEval = col("doc_id") % 97 === 0
+    // persisted: the eval set feeds three consumers (sizing count,
+    // sketch build, broadcast join) — without the cache each would
+    // re-shingle the eval docs. Plan-keyed, so re-running the query
+    // reuses one entry rather than accumulating.
     val evalShingles = TextOps.shingleRows(docs.where(isEval), CorpusQueries.ShingleN)
       .select("shingle").distinct()
+      .persist()
     val bloom = graft.functions.BloomFilterExpr.build(evalShingles, "shingle", fpp = 0.01)
     TextOps.shingleRows(docs.where(!isEval), CorpusQueries.ShingleN)
       .where(graft.functions.BloomFilterExpr.mightContain(bloom, col("shingle")))
@@ -417,8 +422,9 @@ object AdvancedQueries {
 
   /** SCD2 dimension versioning over the customer dim: updates for
     * every 7th key, of which every 14th is a NO-OP (same value) that
-    * must not mint a version — the two-sided gate (change detection +
-    * closing/opening) that every warehouse merge needs. */
+    * must not mint a version, plus brand-new keys (negated ids) that
+    * must INSERT as open versions — the full warehouse-merge gate:
+    * change detection, closing/opening, and new-member insertion. */
   def q_scd2(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(spark, dir, "customer")
     val dim = c.select(
@@ -430,6 +436,13 @@ object AdvancedQueries {
         col("c_custkey"),
         when(col("c_custkey") % 14 === 0, col("c_mktsegment"))
           .otherwise(concat(lit("MOVED-"), col("c_mktsegment"))).as("c_mktsegment"))
+      .unionByName(
+        // negated ids are guaranteed-absent keys — key 0 would negate
+        // to itself and collide, so it is excluded
+        c.where(col("c_custkey") % 13 === 0 && col("c_custkey") =!= 0)
+          .select(
+            (-col("c_custkey")).as("c_custkey"),
+            concat(lit("NEW-"), col("c_mktsegment")).as("c_mktsegment")))
     graft.operators.Scd2.merge(
       dim, updates, Seq("c_custkey"), Seq("c_mktsegment"),
       lit("2024-06-01").cast("date"))
@@ -710,7 +723,10 @@ object AdvancedQueries {
         |upd AS (SELECT c_custkey,
         |               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
         |                    ELSE 'MOVED-' || c_mktsegment END AS new_seg
-        |        FROM customer WHERE c_custkey % 7 = 0),
+        |        FROM customer WHERE c_custkey % 7 = 0
+        |        UNION ALL
+        |        SELECT -c_custkey, 'NEW-' || c_mktsegment
+        |        FROM customer WHERE c_custkey % 13 = 0 AND c_custkey <> 0),
         |j AS (SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to,
         |             u.new_seg,
         |             u.c_custkey IS NOT NULL
@@ -727,7 +743,11 @@ object AdvancedQueries {
         |  FROM j WHERE NOT changed
         |  UNION ALL
         |  SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE)
-        |  FROM j WHERE changed)
+        |  FROM j WHERE changed
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.new_seg, DATE '2024-06-01', CAST(NULL AS DATE)
+        |  FROM upd u WHERE NOT EXISTS
+        |    (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey))
         |ORDER BY c_custkey ASC, valid_from ASC""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,

@@ -39,12 +39,14 @@ class LoadSpec extends SparkSpec {
         |"A2","Beta","EXTRA-FIELD"
         |"A3","Gamma"
         |""".stripMargin)
-    val (good, quarantined) = graft.io.MusicCsv.readAudited(
+    val audited = graft.io.MusicCsv.readAudited(
       spark, s"$dir/artist.csv", Music.artistSchema)
-    assert(good.select("artist_id").as[String].collect().sorted.toSeq == Seq("A1", "A3"))
-    assert(good.columns.toSeq == Music.artistSchema.fieldNames.toSeq)
-    val bad = quarantined.select("raw_line").as[String].collect()
+    assert(audited.good.select("artist_id").as[String].collect().sorted.toSeq == Seq("A1", "A3"))
+    assert(audited.good.columns.toSeq == Music.artistSchema.fieldNames.toSeq)
+    val bad = audited.quarantined.select("raw_line").as[String].collect()
     assert(bad.length == 1 && bad.head.contains("EXTRA-FIELD"))
+    audited.release() // idempotent cache drop
+    audited.release()
   }
 
   test("upsert: within-batch dedup first, then anti-join per constraint in order (J7)") {

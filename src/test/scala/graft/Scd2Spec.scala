@@ -25,10 +25,14 @@ class Scd2Spec extends SparkSpec {
     (3L, Option("C"), d("2024-01-01"), Option.empty[Date]),
     // k=4: NULL -> value transition must version
     (4L, Option.empty[String], d("2024-01-01"), Option.empty[Date]),
+    // k=6: retired key — all versions closed, no current row
+    (6L, Option("F"), d("2023-01-01"), Option(d("2023-06-01"))),
   ).toDF("k", "v", "valid_from", "valid_to")
 
   private val updates = Seq(
     (1L, Option("A2")), (2L, Option("B")), (4L, Option("D")),
+    (5L, Option("E")), // brand-new key -> insert as open version
+    (6L, Option("F2")), // retired key -> re-open
   ).toDF("k", "v")
 
   private lazy val out = Scd2.merge(dim, updates, Seq("k"), Seq("v"), eff)
@@ -53,5 +57,15 @@ class Scd2Spec extends SparkSpec {
     assert(out.filter(_._1 == 4L) == Seq(
       (4L, None, d("2024-01-01"), Some(d("2024-06-01")), false),
       (4L, Some("D"), d("2024-06-01"), None, true)))
+  }
+
+  test("brand-new key inserts as an open version") {
+    assert(out.filter(_._1 == 5L) == Seq((5L, Some("E"), d("2024-06-01"), None, true)))
+  }
+
+  test("retired key (no current row) re-opens; its history is untouched") {
+    assert(out.filter(_._1 == 6L) == Seq(
+      (6L, Some("F"), d("2023-01-01"), Some(d("2023-06-01")), false),
+      (6L, Some("F2"), d("2024-06-01"), None, true)))
   }
 }

@@ -36,6 +36,11 @@ def main(out_dir, sf_dir, only):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            return 2
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -81,4 +86,7 @@ def main(out_dir, sf_dir, only):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__.strip().splitlines()[2])
+        sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
