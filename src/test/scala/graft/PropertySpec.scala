@@ -173,6 +173,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2: per key, exactly one current row when updated; versions never overlap") {
+    val dimGen = Gen.listOf(Gen.zip(keyGen, Gen.option(Gen.alphaStr.map(_.take(3)))))
+    val updGen = Gen.listOf(Gen.zip(keyGen, Gen.option(Gen.alphaStr.map(_.take(3)))))
+    forAll2(dimGen, updGen) { (dimRows, updRows) =>
+      val dim = dimRows.distinctBy(_._1).map { case (k, v) =>
+        (k.toLong, v, Date.valueOf("2024-01-01"), Option.empty[Date])
+      }.toDF("k", "v", "valid_from", "valid_to")
+      val upd = updRows.distinctBy(_._1).map { case (k, v) => (k.toLong, v) }.toDF("k", "v")
+      val out = graft.operators.Scd2.merge(
+        dim, upd, Seq("k"), Seq("v"), lit("2024-06-01").cast("date"))
+        .select("k", "valid_from", "valid_to")
+        .as[(Long, Date, Option[Date])].collect().toSeq
+      out.groupBy(_._1).foreach { case (k, rows) =>
+        // exactly one open (current) row per key present in the output
+        assert(rows.count(_._3.isEmpty) == 1, s"key $k: ${rows.toList}")
+        // closed rows end exactly where a later row starts or at eff
+        rows.filter(_._3.isDefined).foreach { case (_, from, Some(to)) =>
+          assert(!from.after(to), s"key $k inverted interval")
+        }
+      }
+      // every input key survives; every update key appears
+      val keys = out.map(_._1).toSet
+      assert(dimRows.map(_._1.toLong).toSet.subsetOf(keys))
+      assert(updRows.map(_._1.toLong).toSet.subsetOf(keys))
+    }
+  }
+
+  test("interval merge: islands are disjoint per key and cover exactly the input span count") {
+    val ivGen = Gen.nonEmptyListOf(
+      Gen.zip(keyGen, Gen.chooseNum(0, 40)).map { case (k, s) => (k.toLong, s.toLong, s + 1L + (s % 5)) })
+    forAll(ivGen) { ivs =>
+      val df = ivs.toDF("k", "s", "e")
+      val out = graft.operators.Intervals.mergeOverlapping(df, Seq("k"), "s", "e")
+        .select("k", "island_start", "island_end", "n_merged")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(out.map(_._4).sum == ivs.size, "every input interval lands in exactly one island")
+      out.groupBy(_._1).foreach { case (k, islands) =>
+        val sorted = islands.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Seq((_, _, e1, _), (_, s2, _, _)) =>
+            assert(e1 < s2, s"key $k: islands touch or overlap — should have merged")
+          case _ =>
+        }
+        sorted.foreach { case (_, s, e, _) => assert(s < e) }
+      }
+    }
+  }
+
   test("connected components: labels are invariant to edge order and direction") {
     val edgeGen = Gen.nonEmptyListOf(Gen.zip(keyGen, keyGen))
     forAll(edgeGen) { edges =>
