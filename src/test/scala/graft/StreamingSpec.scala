@@ -130,6 +130,37 @@ class StreamingSpec extends SparkSpec {
     assert(batchQ == streamQ)
   }
 
+  test("streaming SCD2 sink: two micro-batches equal two sequential batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    val dim0 = Seq((1L, "A", Date.valueOf("2024-01-01"), Option.empty[Date]),
+      (2L, "B", Date.valueOf("2024-01-01"), Option.empty[Date]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    def eff(id: Long) = lit(s"2024-06-0${id + 1}").cast("date")
+
+    var streamed = dim0
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDim.scd2Sink(
+      in.toDF().toDF("k", "v"), Seq("k"), Seq("v"), eff)(
+      () => streamed, df => streamed = df.drop("is_current").localCheckpoint(true))
+      .start()
+    in.addData((1L, "A2")); q.processAllAvailable()  // batch 0: change k=1
+    in.addData((1L, "A2"), (3L, "C")); q.processAllAvailable() // batch 1: no-op + new key
+    q.stop()
+
+    var batched = dim0
+    Seq(Seq((1L, "A2")), Seq((1L, "A2"), (3L, "C"))).zipWithIndex.foreach { case (rows, i) =>
+      batched = graft.operators.Scd2.merge(
+        batched, rows.toDF("k", "v"), Seq("k"), Seq("v"), eff(i.toLong))
+        .drop("is_current")
+    }
+    val a = streamed.orderBy("k", "valid_from").collect().toSeq
+    val b = batched.orderBy("k", "valid_from").collect().toSeq
+    assert(a == b)
+    // the no-op replay of (1, A2) in batch 1 minted no extra version
+    assert(a.count(_.getLong(0) == 1L) == 2)
+  }
+
   test("streaming incremental dedup vs static band index matches the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
