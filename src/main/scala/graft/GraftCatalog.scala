@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 import graft.io.Tables
 
 /** Runtime SQL front door: make an EXISTING session fully SQL-usable
-  * against a testdata directory — every table as a temp view, every
-  * native `graft_*` function in the registry, and the reference's
-  * music views under their reference names when a seed dir is given.
+  * — every testdata table as a temp view plus every native `graft_*`
+  * function in the registry ([[register]]), and separately the
+  * reference's music views under their reference names from a seed
+  * CSV dir ([[registerMusic]]).
   *
   * The session-build path (`spark.sql.extensions =
   * graft.functions.GraftExtensions`) is preferred in production — it
@@ -21,11 +22,14 @@ object GraftCatalog {
   /** Register all parquet tables of `dir` as temp views plus the
     * native function surface. Idempotent. */
   def register(spark: SparkSession, dir: String): Unit = {
-    Tables.names.foreach { n =>
-      Tables.table(spark, dir, n).createOrReplaceTempView(n)
-    }
+    Tables.registerAll(spark, dir)
     registerFunctions(spark)
   }
+
+  /** Load the music seed CSVs and expose the reference's SQL views
+    * (`all_rankings_view` etc.) under their reference names. */
+  def registerMusic(spark: SparkSession, seedDir: String): Unit =
+    graft.query.Views.register(graft.io.MusicCsv.loadSeedDir(spark, seedDir))
 
   /** Just the `graft_*` functions (same list the build-time extension
     * injects). Idempotent — re-registration overwrites in place. */

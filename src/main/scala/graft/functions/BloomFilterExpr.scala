@@ -45,8 +45,10 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
       child == e.child && java.util.Arrays.equals(bloomBytes, e.bloomBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  // cached: Catalyst hashes expressions repeatedly during planning and
+  // the serialized filter can be megabytes
+  @transient private lazy val bytesHash = java.util.Arrays.hashCode(bloomBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case StringType => filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)

@@ -38,8 +38,9 @@ case class CmsEstimateExpr(child: Expression, cmsBytes: Array[Byte])
       child == e.child && java.util.Arrays.equals(cmsBytes, e.cmsBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(cmsBytes)
+  // cached: planning hashes expressions repeatedly; sketches are large
+  @transient private lazy val bytesHash = java.util.Arrays.hashCode(cmsBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
     // CountMinSketchAgg (the distributed builder) adds strings as

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `dim` carries `key ++ tracked ++ (valid_from: DATE,
   * valid_to: DATE nullable — NULL = current)`; `updates` carries
-  * `key ++ tracked`, one row per key. Update keys with no CURRENT
-  * dimension row — brand-new keys, or retired keys whose versions
-  * are all closed — INSERT as a new open version at `effective`.
+  * `key ++ tracked`, one row per key; `effective` must not precede
+  * any open row's valid_from. Update keys with no CURRENT dimension
+  * row — brand-new keys, or retired keys whose versions are all
+  * closed — INSERT as a new open version. A re-opened retired key
+  * starts at max(effective, its latest closed valid_to), never
+  * inside an existing version's validity range.
   *
   * Scale: one key-partitioned left join of the CURRENT slice against
   * the batch (history rows pass through untouched — with the
@@ -50,11 +53,17 @@ object Scd2 {
     val opened = joined.where(changed)
       .select(key.map(col) ++ tracked.map(c => col(s"__u_$c").as(c))
         :+ effective.as("valid_from") :+ lit(null).cast("date").as("valid_to"): _*)
-    // update keys with no current row: insert as a fresh open version
+    // update keys with no current row: insert as a fresh open version.
+    // A retired key re-opens past its newest closed version — opening
+    // at a bare `effective` could overlap a closed row's validity
+    val histMaxTo = hist.groupBy(key.map(col): _*)
+      .agg(max(col("valid_to")).as("__max_to"))
     val inserted = updates
       .join(cur.select(key.map(col): _*).distinct(), key, "left_anti")
+      .join(histMaxTo, key, "left")
       .select(key.map(col) ++ tracked.map(col)
-        :+ effective.as("valid_from") :+ lit(null).cast("date").as("valid_to"): _*)
+        :+ greatest(effective, coalesce(col("__max_to"), effective)).as("valid_from")
+        :+ lit(null).cast("date").as("valid_to"): _*)
 
     hist.select(dimCols: _*)
       .unionByName(closed)

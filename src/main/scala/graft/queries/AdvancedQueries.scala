@@ -342,14 +342,16 @@ object AdvancedQueries {
   def q_decontaminate_bloom(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val isEval = col("doc_id") % 97 === 0
-    // persisted: the eval set feeds three consumers (sizing count,
-    // sketch build, broadcast join) — without the cache each would
-    // re-shingle the eval docs. Plan-keyed, so re-running the query
-    // reuses one entry rather than accumulating.
+    // persisted ONLY for the two driver-side build actions (sizing
+    // count + sketch aggregation), then released: the broadcast join
+    // recomputes the small eval side once at execution instead of
+    // pinning cache blocks for the session lifetime
     val evalShingles = TextOps.shingleRows(docs.where(isEval), CorpusQueries.ShingleN)
       .select("shingle").distinct()
       .persist()
-    val bloom = graft.functions.BloomFilterExpr.build(evalShingles, "shingle", fpp = 0.01)
+    val bloom =
+      try graft.functions.BloomFilterExpr.build(evalShingles, "shingle", fpp = 0.01)
+      finally evalShingles.unpersist()
     TextOps.shingleRows(docs.where(!isEval), CorpusQueries.ShingleN)
       .where(graft.functions.BloomFilterExpr.mightContain(bloom, col("shingle")))
       .join(broadcast(evalShingles), "shingle")
@@ -423,14 +425,17 @@ object AdvancedQueries {
   /** SCD2 dimension versioning over the customer dim: updates for
     * every 7th key, of which every 14th is a NO-OP (same value) that
     * must not mint a version, plus brand-new keys (negated ids) that
-    * must INSERT as open versions — the full warehouse-merge gate:
-    * change detection, closing/opening, and new-member insertion. */
+    * must INSERT as open versions, plus RETIRED keys (every 11th is
+    * pre-closed at 2024-09-01, AFTER the effective date) whose
+    * updates must re-open past the closed validity, not inside it —
+    * the full warehouse-merge gate. */
   def q_scd2(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.table(spark, dir, "customer")
     val dim = c.select(
       col("c_custkey"), col("c_mktsegment"),
       lit("2024-01-01").cast("date").as("valid_from"),
-      lit(null).cast("date").as("valid_to"))
+      when(col("c_custkey") % 11 === 0, lit("2024-09-01").cast("date"))
+        .otherwise(lit(null).cast("date")).as("valid_to"))
     val updates = c.where(col("c_custkey") % 7 === 0)
       .select(
         col("c_custkey"),
@@ -718,8 +723,11 @@ object AdvancedQueries {
     "q_scd2" ->
       """WITH dim AS (SELECT c_custkey, c_mktsegment,
         |               DATE '2024-01-01' AS valid_from,
-        |               CAST(NULL AS DATE) AS valid_to
+        |               CASE WHEN c_custkey % 11 = 0 THEN DATE '2024-09-01'
+        |                    ELSE CAST(NULL AS DATE) END AS valid_to
         |             FROM customer),
+        |cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+        |hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
         |upd AS (SELECT c_custkey,
         |               CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
         |                    ELSE 'MOVED-' || c_mktsegment END AS new_seg
@@ -731,10 +739,12 @@ object AdvancedQueries {
         |             u.new_seg,
         |             u.c_custkey IS NOT NULL
         |               AND d.c_mktsegment IS DISTINCT FROM u.new_seg AS changed
-        |      FROM dim d LEFT JOIN upd u USING (c_custkey))
+        |      FROM cur d LEFT JOIN upd u USING (c_custkey))
         |SELECT c_custkey, c_mktsegment, valid_from, valid_to,
         |       valid_to IS NULL AS is_current
         |FROM (
+        |  SELECT c_custkey, c_mktsegment, valid_from, valid_to FROM hist
+        |  UNION ALL
         |  SELECT c_custkey, c_mktsegment, valid_from,
         |         DATE '2024-06-01' AS valid_to
         |  FROM j WHERE changed
@@ -745,9 +755,14 @@ object AdvancedQueries {
         |  SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE)
         |  FROM j WHERE changed
         |  UNION ALL
-        |  SELECT u.c_custkey, u.new_seg, DATE '2024-06-01', CAST(NULL AS DATE)
+        |  SELECT u.c_custkey, u.new_seg,
+        |         GREATEST(DATE '2024-06-01',
+        |           COALESCE((SELECT MAX(h.valid_to) FROM hist h
+        |                     WHERE h.c_custkey = u.c_custkey),
+        |                    DATE '2024-06-01')),
+        |         CAST(NULL AS DATE)
         |  FROM upd u WHERE NOT EXISTS
-        |    (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey))
+        |    (SELECT 1 FROM cur d WHERE d.c_custkey = u.c_custkey))
         |ORDER BY c_custkey ASC, valid_from ASC""".stripMargin,
     "q_sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
+import graft.io.MusicCsv
 import graft.operators.Scd2
 
 /** Continuous SCD2 dimension maintenance: update events stream in,
@@ -21,15 +22,21 @@ import graft.operators.Scd2
   */
 object StreamingDim {
 
+  /** `precedence` picks THE winning update when a key appears several
+    * times in one micro-batch (e.g. `Seq(col("upd_ts").desc)` — latest
+    * wins): an explicit total order, never arrival order, so a
+    * replayed batch resolves to the same row and stays idempotent. */
   def scd2Sink(
       updates: DataFrame,
       key: Seq[String], tracked: Seq[String],
+      precedence: Seq[Column],
       effectiveOfBatch: Long => Column)(
       load: () => DataFrame, store: DataFrame => Unit): DataStreamWriter[Row] =
     updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.dropDuplicates(key) // one update per key per batch
+        val b = MusicCsv.keepBestRow(batch, key, precedence)
+          .select((key ++ tracked).map(org.apache.spark.sql.functions.col): _*)
         store(Scd2.merge(load(), b, key, tracked, effectiveOfBatch(id)))
       }
 }

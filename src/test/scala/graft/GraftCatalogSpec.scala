@@ -19,6 +19,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("registerMusic exposes the reference views from the seed CSVs") {
+    GraftCatalog.registerMusic(spark, "/root/reference/db/csv")
+    val n = spark.sql("SELECT count(*) FROM all_rankings_view").as[Long].head()
+    assert(n > 0)
+  }
+
   test("native kernels callable from SQL after runtime registration") {
     GraftCatalog.register(spark, "/root/testdata/sf0.001")
     val n = spark.sql(

@@ -27,12 +27,16 @@ class Scd2Spec extends SparkSpec {
     (4L, Option.empty[String], d("2024-01-01"), Option.empty[Date]),
     // k=6: retired key — all versions closed, no current row
     (6L, Option("F"), d("2023-01-01"), Option(d("2023-06-01"))),
+    // k=7: retired key closed AFTER the effective date — the re-open
+    // must start at the closed valid_to, not inside its validity
+    (7L, Option("G"), d("2024-01-01"), Option(d("2024-12-31"))),
   ).toDF("k", "v", "valid_from", "valid_to")
 
   private val updates = Seq(
     (1L, Option("A2")), (2L, Option("B")), (4L, Option("D")),
     (5L, Option("E")), // brand-new key -> insert as open version
     (6L, Option("F2")), // retired key -> re-open
+    (7L, Option("G2")), // retired key with future valid_to -> re-open at it
   ).toDF("k", "v")
 
   private lazy val out = Scd2.merge(dim, updates, Seq("k"), Seq("v"), eff)
@@ -67,5 +71,11 @@ class Scd2Spec extends SparkSpec {
     assert(out.filter(_._1 == 6L) == Seq(
       (6L, Some("F"), d("2023-01-01"), Some(d("2023-06-01")), false),
       (6L, Some("F2"), d("2024-06-01"), None, true)))
+  }
+
+  test("re-open never lands inside a closed version's validity range") {
+    assert(out.filter(_._1 == 7L) == Seq(
+      (7L, Some("G"), d("2024-01-01"), Some(d("2024-12-31")), false),
+      (7L, Some("G2"), d("2024-12-31"), None, true)))
   }
 }

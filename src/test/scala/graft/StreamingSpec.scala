@@ -139,13 +139,15 @@ class StreamingSpec extends SparkSpec {
     def eff(id: Long) = lit(s"2024-06-0${id + 1}").cast("date")
 
     var streamed = dim0
-    val in = MemoryStream[(Long, String)]
+    val in = MemoryStream[(Long, String, Long)]
     val q = graft.streaming.StreamingDim.scd2Sink(
-      in.toDF().toDF("k", "v"), Seq("k"), Seq("v"), eff)(
+      in.toDF().toDF("k", "v", "upd_seq"), Seq("k"), Seq("v"),
+      Seq(col("upd_seq").desc), eff)(
       () => streamed, df => streamed = df.drop("is_current").localCheckpoint(true))
       .start()
-    in.addData((1L, "A2")); q.processAllAvailable()  // batch 0: change k=1
-    in.addData((1L, "A2"), (3L, "C")); q.processAllAvailable() // batch 1: no-op + new key
+    // batch 0: two updates for k=1 — precedence (latest upd_seq) wins
+    in.addData((1L, "IGNORED", 1L), (1L, "A2", 2L)); q.processAllAvailable()
+    in.addData((1L, "A2", 3L), (3L, "C", 4L)); q.processAllAvailable() // no-op + new key
     q.stop()
 
     var batched = dim0

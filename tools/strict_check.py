@@ -87,6 +87,6 @@ def main(out_dir, sf_dir, only):
 
 if __name__ == "__main__":
     if len(sys.argv) < 3:
-        print(__doc__.strip().splitlines()[2])
+        print("Usage: python3 tools/strict_check.py <verify_out_dir> <sf_dir> [query ...]")
         sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
