@@ -388,6 +388,46 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Equi-DEPTH histogram (10 buckets of equal row count) over order
+    * totals: ntile under a TOTAL order (value, key — ties at bucket
+    * boundaries would otherwise land nondeterministically). The
+    * exact global-sort form is the oracle-checkable baseline; at
+    * 100 TB the same result shape comes from approx_percentile
+    * boundaries + a map-side bucket assignment (sketch bounds
+    * spec-gated in ScaleOpsSpec). */
+  def q_histogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.table(spark, dir, "orders")
+      .withColumn("bucket", ntile(10).over(w))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** Snapshot reconciliation ([[graft.operators.TableDiff]]): diff
+    * the customer table against a synthetic next-day version (every
+    * 5th segment rewritten, every 17th row dropped, negated keys
+    * added) — digests travel through the join, not rows. */
+  def q_table_diff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val after = c
+      .where(col("c_custkey") % 17 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 5 === 0, concat(lit("X-"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(
+        c.where(col("c_custkey") % 19 === 0 && col("c_custkey") =!= 0)
+          .select((-col("c_custkey")).as("c_custkey"), col("c_name"),
+            col("c_mktsegment")))
+    graft.operators.TableDiff.diff(
+      c, after, Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
+      .orderBy(col("c_custkey").asc)
+  }
+
   /** Exact heavy hitters with a Count-Min prefilter: terms with true
     * count ≥ 200 across the corpus. The CMS (built distributed) never
     * underestimates, so `estimate ≥ T` keeps a candidate SUPERSET
@@ -564,6 +604,8 @@ object AdvancedQueries {
     "q_interval_merge" -> (q_interval_merge _),
     "q_heavy_hitters" -> (q_heavy_hitters _),
     "q_split_dedup_aware" -> (q_split_dedup_aware _),
+    "q_table_diff" -> (q_table_diff _),
+    "q_histogram" -> (q_histogram _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -695,6 +737,43 @@ object AdvancedQueries {
     // negatives; false positives die in the exact join) — the naive
     // SQL is the oracle for the pruned plan too
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_histogram" ->
+      """WITH b AS (SELECT o_totalprice,
+        |             ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |               AS bucket
+        |           FROM orders)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
+    "q_table_diff" -> {
+      // single line: a newline here would collide with the outer
+      // stripMargin (its ' || ' would lose the first pipe)
+      def dig(n: String, s: String) =
+        s"md5((CASE WHEN $n IS NULL THEN ' null' ELSE $n END) || (CASE WHEN $s IS NULL THEN ' null' ELSE $s END))"
+      s"""WITH b AS (SELECT c_custkey, ${dig("c_name", "c_mktsegment")} AS before_digest
+         |           FROM customer),
+         |aft AS (SELECT c_custkey, c_name,
+         |          CASE WHEN c_custkey % 5 = 0 THEN 'X-' || c_mktsegment
+         |               ELSE c_mktsegment END AS c_mktsegment
+         |        FROM customer WHERE c_custkey % 17 <> 0
+         |        UNION ALL
+         |        SELECT -c_custkey, c_name, c_mktsegment FROM customer
+         |        WHERE c_custkey % 19 = 0 AND c_custkey <> 0),
+         |a AS (SELECT c_custkey, ${dig("c_name", "c_mktsegment")} AS after_digest
+         |      FROM aft)
+         |SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+         |       CASE WHEN b.before_digest IS NULL THEN 'added'
+         |            WHEN a.after_digest IS NULL THEN 'removed'
+         |            WHEN b.before_digest <> a.after_digest THEN 'changed'
+         |       END AS kind,
+         |       b.before_digest, a.after_digest
+         |FROM b FULL JOIN a ON b.c_custkey = a.c_custkey
+         |WHERE CASE WHEN b.before_digest IS NULL THEN 'added'
+         |           WHEN a.after_digest IS NULL THEN 'removed'
+         |           WHEN b.before_digest <> a.after_digest THEN 'changed'
+         |      END IS NOT NULL
+         |ORDER BY c_custkey ASC""".stripMargin
+    },
     // the CMS prefilter keeps a superset (no underestimates) and the
     // exact count drops overestimates — the naive SQL is the oracle
     "q_heavy_hitters" ->

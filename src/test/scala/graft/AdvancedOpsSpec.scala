@@ -73,6 +73,24 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == (1L to 8L).map(i => (i, 1L)))
   }
 
+  test("table diff: added/removed/changed classified; unchanged and null-variant rows distinct") {
+    val before = Seq(
+      (1L, Option("a"), Option("x")), // unchanged
+      (2L, Option("b"), Option("y")), // changed
+      (3L, Option("c"), Option.empty[String]), // removed
+      (5L, Option.empty[String], Option("v")), // null -> "" must register as changed
+    ).toDF("k", "p", "q")
+    val after = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("B"), Option("y")),
+      (4L, Option("d"), Option("w")), // added
+      (5L, Option(""), Option("v")),
+    ).toDF("k", "p", "q")
+    val got = graft.operators.TableDiff.diff(before, after, Seq("k"), Seq("p", "q"))
+      .select("k", "kind").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added", 5L -> "changed"))
+  }
+
   test("dedup-aware split: near-dup pairs never straddle splits; all splits populated") {
     val dir = "/root/testdata/sf0.001"
     val split = graft.queries.AdvancedQueries.q_split_dedup_aware(spark, dir)
