@@ -388,6 +388,24 @@ object AdvancedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Hopping event-time windows (7-day windows sliding daily) via
+    * Spark's `window()` — every event belongs to 7 overlapping
+    * windows, the shape behind "7-day active users, daily" that a
+    * trailing ROWS frame ([[ParityQueries.q_rolling_window]]) cannot
+    * express when events (not days) are the grain. Same operator the
+    * streaming engine uses for watermarked windowed aggs — here in
+    * batch, oracle-replayed as an offset-grid join. */
+  def q_hopping_window(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy(
+        window(col("ts"), "7 days", "1 day").getField("start").cast("date")
+          .as("window_start"),
+        col("event_type").as("platform"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_start").asc, col("platform").asc)
+
   /** Equi-DEPTH histogram (10 buckets of equal row count) over order
     * totals: ntile under a TOTAL order (value, key — ties at bucket
     * boundaries would otherwise land nondeterministically). The
@@ -606,6 +624,7 @@ object AdvancedQueries {
     "q_split_dedup_aware" -> (q_split_dedup_aware _),
     "q_table_diff" -> (q_table_diff _),
     "q_histogram" -> (q_histogram _),
+    "q_hopping_window" -> (q_hopping_window _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_redact" -> (q_redact _),
@@ -737,6 +756,14 @@ object AdvancedQueries {
     // negatives; false positives die in the exact join) — the naive
     // SQL is the oracle for the pruned plan too
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_hopping_window" ->
+      """SELECT CAST(ts AS DATE) - off::INTEGER AS window_start,
+        |       event_type AS platform,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events, UNNEST(range(0, 7)) AS u(off)
+        |GROUP BY 1, 2
+        |ORDER BY window_start ASC, platform ASC""".stripMargin,
     "q_histogram" ->
       """WITH b AS (SELECT o_totalprice,
         |             ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
