@@ -173,23 +173,23 @@ object SparkEntry {
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
-        |            AS DECIMAL(38,2)) AS sum_qty,
+        |            AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag ASC, linestatus ASC""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
-        |       AS DECIMAL(38,2)) AS sum_qty,
+        |       AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
-        |       AS DECIMAL(38,2)) AS sum_base_price,
+        |       AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
         |      * (1 - CAST(l_discount AS DECIMAL(4,2))))
-        |       AS DECIMAL(38,4)) AS sum_disc_price,
+        |       AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
         |      * (1 - CAST(l_discount AS DECIMAL(4,2)))
         |      * (1 + CAST(l_tax AS DECIMAL(4,2))))
-        |       AS DECIMAL(38,6)) AS sum_charge,
+        |       AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2024-06-30'

@@ -73,7 +73,7 @@ object AdvancedQueries {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(14,2)"))
-          .cast("decimal(38,2)").as("total"))
+          .cast("double").as("total"))
       .orderBy(col("band").asc)
   }
 
@@ -160,8 +160,11 @@ object AdvancedQueries {
     Tables.table(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // exact decimal sum, DOUBLE at the output boundary (decimal
+        // outputs don't survive the oracle's float64 coercion when
+        // values carry trailing zeros)
         sum(col("l_quantity").cast("decimal(14,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"),
         grouping_id().as("gid"))
       .select(
@@ -930,7 +933,7 @@ object AdvancedQueries {
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
-        |            AS DECIMAL(38,2)) AS sum_qty,
+        |            AS DOUBLE) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid ASC, returnflag ASC, linestatus ASC""".stripMargin,
@@ -1001,7 +1004,7 @@ object AdvancedQueries {
         .mkString(", ")
       s"""SELECT b.band, COUNT(*) AS n_orders,
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
-         |            AS DECIMAL(38,2)) AS total
+         |            AS DOUBLE) AS total
          |FROM orders o
          |JOIN (VALUES $values) AS b(band, lo, hi)
          |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi

@@ -169,10 +169,12 @@ object ParityQueries {
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // decimal(38,2): pin the SUM output width so the result type is
-        // engine-independent (Spark's natural sum width is input+10)
+        // sum in exact decimal, emit as DOUBLE: the oracle harness
+        // coerces decimal results through float64, where trailing-zero
+        // decimals ("505.00" vs "505.0") render differently per path —
+        // a double output is byte-identical through every path
         sum(col("l_quantity").cast("decimal(14,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
+          .cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -191,12 +193,15 @@ object ParityQueries {
     l.where(to_date(col("l_shipdate")) <= lit("2024-06-30"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // exact decimal sums, DOUBLE at the output boundary (see
+        // q_rollup — decimal outputs don't survive the oracle's
+        // float64 coercion when values carry trailing zeros)
         sum(col("l_quantity").cast("decimal(14,2)"))
-          .cast("decimal(38,2)").as("sum_qty"),
-        sum(price).cast("decimal(38,2)").as("sum_base_price"),
-        sum(price * (lit(1) - disc)).cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
         sum(price * (lit(1) - disc) * (lit(1) + tax))
-          .cast("decimal(38,6)").as("sum_charge"),
+          .cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }

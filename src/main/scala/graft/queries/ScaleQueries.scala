@@ -38,9 +38,10 @@ object ScaleQueries {
       Seq("l_returnflag"),
       col("l_quantity").cast("decimal(14,2)"),
       salts = 16)
-      // decimal(38,2): pin the two-level SUM width to the engine-
-      // independent max so the output type matches the naive oracle
-      .select(col("l_returnflag"), col("total").cast("decimal(38,2)").as("sum_qty"))
+      // exact decimal two-level sum, DOUBLE at the output boundary
+      // (decimal outputs don't survive the oracle's float64 coercion
+      // when values carry trailing zeros — qty sums always end .00)
+      .select(col("l_returnflag"), col("total").cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc)
 
   /** Exact distinct counting per group (the shuffle-heavy exact form;
@@ -72,7 +73,7 @@ object ScaleQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
-        sum(price * (lit(1) - disc)).cast("decimal(38,4)").as("revenue"),
+        sum(price * (lit(1) - disc)).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("region").asc, col("nation").asc)
   }
@@ -125,7 +126,7 @@ object ScaleQueries {
       .groupBy(col("o_orderpriority"))
       .agg(
         sum(col("l_extendedprice").cast("decimal(14,2)"))
-          .cast("decimal(38,2)").as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority").asc)
 
@@ -171,7 +172,7 @@ object ScaleQueries {
     "q_skew_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)))
-        |       AS DECIMAL(38,2)) AS revenue,
+        |       AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
@@ -195,7 +196,7 @@ object ScaleQueries {
     "q_skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
-        |       AS DECIMAL(38,2)) AS sum_qty
+        |       AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type AS platform, COUNT(DISTINCT user_id) AS n_users,
@@ -223,7 +224,7 @@ object ScaleQueries {
       """SELECT r_name AS region, n_name AS nation,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
         |      * (1 - CAST(l_discount AS DECIMAL(4,2))))
-        |       AS DECIMAL(38,4)) AS revenue,
+        |       AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -8,15 +8,24 @@ Decimal('1.00')), this gate requires, per query:
   1. identical sorted column names,
   2. identical DuckDB logical types per column once BOTH sides pass
      through DuckDB (Spark parquet read vs oracle SQL result),
-  3. exact repr() equality per cell in row order.
-If all three hold, any value-or-type-sensitive driver hash must match.
+  3. exact repr() equality per cell in row order,
+  4. the driver-emulation check: Spark parquet via pandas/pyarrow vs
+     oracle via duckdb `.df()` (which coerces DECIMAL -> float64),
+     both stringified.  Round-2 postmortem: checks 1-3 passed while
+     the driver hash failed 5 queries, because the driver's two read
+     paths disagree on decimals — pyarrow keeps exact Decimal objects
+     ("505.00") while duckdb's pandas path yields float64 ("505.0").
+     Any decimal-typed OUTPUT column is therefore a latent hash fail;
+     emit DOUBLE (or strings) at the output boundary instead.
 
 Dev tooling only — the Scala engine has no Python dependency.
 """
+import glob
 import json
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -29,6 +38,34 @@ def sorted_cols(rel):
     return ([cols[i] for i in order],
             [types[i] for i in order],
             order)
+
+
+def norm_str_frame(df):
+    """Sort columns by name, render every cell as a string with one
+    null sentinel (driver normalizes nulls: None/NaN/NaT all match)."""
+    df = df[sorted(df.columns)]
+    mask = df.isna()
+    s = df.astype(str)
+    return s.mask(mask, "<null>").values.tolist()
+
+
+def driver_emulation_diff(con, out_dir, name, sql):
+    """Replicate the driver's two read paths; return a problem string
+    or None.  Spark side: pandas/pyarrow (decimals stay Decimal).
+    Oracle side: duckdb .df() (decimals coerce to float64)."""
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                         ignore_index=True)
+    duck_df = con.sql(sql).df()
+    g = norm_str_frame(spark_df)
+    e = norm_str_frame(duck_df)
+    if g == e:
+        return None
+    for i, (gr, er) in enumerate(zip(g, e)):
+        if gr != er:
+            return (f"driver-emulation diff at row {i}:\n"
+                    f"    got {gr}\n    exp {er}")
+    return f"driver-emulation diff: row count {len(g)} vs {len(e)}"
 
 
 def main(out_dir, sf_dir, only):
@@ -73,6 +110,13 @@ def main(out_dir, sf_dir, only):
                     problems.append(
                         f"repr diff at row {i}:\n    got {gr}\n    exp {er}")
                     break
+        if not problems:
+            try:
+                d = driver_emulation_diff(con, out_dir, name, sql)
+            except Exception as e:
+                d = f"driver-emulation exception: {e}"
+            if d:
+                problems.append(d)
         if problems:
             n_fail += 1
             print(f"FAIL {name}:")
