@@ -177,7 +177,27 @@ object CorpusQueries {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Gopher-style repetition filters over the corpus
+    * ([[TextOps.repetitionStats]]). */
+  def q_repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.table(spark, dir, "documents"))
+      .orderBy(col("doc_id").asc)
+
+  /** SemDeDup-style semantic dedup ([[graft.vector.IvfIndex
+    * .semanticDedup]]): the IVF coarse quantizer's k-means cells
+    * bound the pair search, cosine ≥ threshold drops the higher
+    * vec_id. Same driver-side deterministic training as [[q_ann_ivf]],
+    * so the oracle replays the whole pipeline in SQL. */
+  def q_semantic_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    val centroids = graft.vector.IvfIndex.train(v, k = IvfK, iters = IvfIters)
+    graft.vector.IvfIndex.semanticDedup(v, centroids, CosineDupThreshold)
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (q_repetition _),
+    "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_doc_stats" -> (q_doc_stats _),
     "q_lang_id" -> (q_lang_id _),
     "q_quality_score" -> (q_quality_score _),
@@ -500,7 +520,7 @@ ORDER BY a ASC, b ASC"""
     * sums over vec_id order, ties to the lower cell id). Data-
     * independent: no trained-centroid literals are baked in, so the
     * same SQL is the oracle at every scale factor. */
-  private val annIvfSql: String = {
+  private val (ivfAssignCtes, ivfAssignDist): (String, String) = {
     // training distance: Scala's `d += (v_i − c_i)²` loop (IvfIndex
     // .train) as a left fold in the same index order
     def trainDist(v: String, c: String): String =
@@ -533,7 +553,7 @@ ORDER BY a ASC, b ASC"""
     // with the same association order
     val assignDist =
       s"((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "cen.v")}) + cen.nsq)"
-    s"""WITH
+    val prefix = s"""WITH
        |samp AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -552,14 +572,18 @@ ORDER BY a ASC, b ASC"""
        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS c_norm, cen.cell
        |  FROM embeddings e CROSS JOIN cen
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |    ORDER BY $assignDist ASC, cen.cell ASC) = 1),
-       |q AS (
+       |    ORDER BY $assignDist ASC, cen.cell ASC) = 1)""".stripMargin
+    (prefix, assignDist)
+  }
+
+  private val annIvfSql: String = ivfAssignCtes + ",\n" +
+    s"""q AS (
        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_norm, cen.cell
        |  FROM embeddings e CROSS JOIN cen
        |  WHERE e.vec_id % 100 = 0
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |    ORDER BY $assignDist ASC, cen.cell ASC) <= $IvfNProbe)
+       |    ORDER BY $ivfAssignDist ASC, cen.cell ASC) <= $IvfNProbe)
        |SELECT q_id AS query_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY round(${dotSql("q_emb", "c_emb")} / (q_norm * c_norm), 10) DESC, c_id ASC)
@@ -569,9 +593,70 @@ ORDER BY a ASC, b ASC"""
        |FROM q JOIN col ON q.cell = col.cell AND q_id <> c_id
        |QUALIFY rank <= $IvfTopK
        |ORDER BY query_id ASC, rank ASC""".stripMargin
-  }
+
+  /** Semantic-dedup oracle: the shared IVF training/assignment
+    * replay, then exact within-cell pair search — higher vec_id of
+    * any pair at ≥ threshold is dropped. */
+  private val semanticDedupSql: String = ivfAssignCtes + ",\n" +
+    s"""dup AS (
+       |  SELECT DISTINCT y.c_id AS b
+       |  FROM col x JOIN col y ON x.cell = y.cell AND x.c_id < y.c_id
+       |  WHERE round(${dotSql("x.c_emb", "y.c_emb")} / (x.c_norm * y.c_norm), 10)
+       |        >= $CosineDupThreshold)
+       |SELECT c.c_id AS vec_id, c.cell, (d.b IS NULL) AS kept
+       |FROM col c LEFT JOIN dup d ON c.c_id = d.b
+       |ORDER BY vec_id ASC""".stripMargin
+
+  /** Repetition-filter oracle: the same token n-gram counts and
+    * threshold tests as [[TextOps.repetitionStats]]; integer-over-
+    * integer division is double in both engines, and `2.0::DOUBLE`
+    * keeps the scaled fractions out of DECIMAL territory. */
+  private val repetitionSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks, len($toks) AS n_tokens
+       |  FROM documents),
+       |uni AS (
+       |  SELECT doc_id, MAX(cnt) AS top1_cnt FROM (
+       |    SELECT doc_id, t, COUNT(*) AS cnt
+       |    FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+       |    GROUP BY doc_id, t) GROUP BY doc_id),
+       |bi AS (
+       |  SELECT doc_id, MAX(cnt) AS top2_cnt FROM (
+       |    SELECT doc_id, g, COUNT(*) AS cnt FROM (
+       |      SELECT doc_id,
+       |        toks[i::INTEGER] || ' ' || toks[(i + 1)::INTEGER] AS g
+       |      FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+       |      WHERE len(toks) >= 2)
+       |    GROUP BY doc_id, g) GROUP BY doc_id),
+       |tri AS (
+       |  SELECT doc_id, SUM(cnt) AS dup3_cnt FROM (
+       |    SELECT doc_id, g, COUNT(*) AS cnt FROM (
+       |      SELECT doc_id,
+       |        toks[i::INTEGER] || ' ' || toks[(i + 1)::INTEGER]
+       |          || ' ' || toks[(i + 2)::INTEGER] AS g
+       |      FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)
+       |      WHERE len(toks) >= 3)
+       |    GROUP BY doc_id, g) WHERE cnt >= 2 GROUP BY doc_id),
+       |m AS (
+       |  SELECT tok.doc_id, n_tokens,
+       |    round(top1_cnt / n_tokens, 6) AS top_unigram_frac,
+       |    least(CAST(1.0 AS DOUBLE),
+       |      round(2.0::DOUBLE * COALESCE(top2_cnt, 0) / n_tokens, 6))
+       |      AS top_bigram_frac,
+       |    least(CAST(1.0 AS DOUBLE),
+       |      round(3.0::DOUBLE * COALESCE(dup3_cnt, 0) / n_tokens, 6))
+       |      AS dup_trigram_frac
+       |  FROM tok LEFT JOIN uni USING (doc_id)
+       |  LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id))
+       |SELECT doc_id, n_tokens, top_unigram_frac, top_bigram_frac,
+       |  dup_trigram_frac,
+       |  (top_unigram_frac <= 0.15 AND top_bigram_frac <= 0.12
+       |   AND dup_trigram_frac <= 0.10) AS keep
+       |FROM m ORDER BY doc_id ASC""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" -> repetitionSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_doc_stats" -> docStatsSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualitySql,

@@ -55,6 +55,59 @@ object TextOps {
         aggregate(col("tokens"), lit(0L), (acc, t) => acc + length(t))
           / size(col("tokens")), 6).as("mean_token_len"))
 
+  /** Per-(doc, n-gram) occurrence counts: one explode over the token
+    * stream, one partial-aggregated shuffle on doc_id — the grams
+    * themselves never leave their reducer. */
+  private def gramCounts(tok: DataFrame, n: Int): DataFrame =
+    tok.where(size(col("tokens")) >= n)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("tokens")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("tokens"), i + lit(j))): _*)))
+          .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+
+  /** Gopher-style repetition filters (Rae et al. 2021, arXiv:
+    * 2112.11446 table A1), adapted from character to token fractions:
+    * most-frequent unigram/bigram coverage and the fraction of tokens
+    * inside duplicated (count ≥ 2) trigrams. `keep` applies the
+    * thresholds; the metrics stay in the output so downstream curation
+    * can re-gate without recomputing. Overlapping-gram coverage can
+    * exceed 1, hence the `least(1.0, …)` clamp.
+    *
+    * Scale: three independent doc_id-partitioned aggregations over one
+    * tokenized scan — no cross-document state, partial aggs map-side;
+    * the per-doc joins co-partition on doc_id. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs)
+      .select(col("doc_id"), col("tokens"),
+        size(col("tokens")).cast("bigint").as("n_tokens"))
+    val uni = gramCounts(tok, 1).groupBy("doc_id")
+      .agg(max(col("cnt")).as("top1_cnt"))
+    val bi = gramCounts(tok, 2).groupBy("doc_id")
+      .agg(max(col("cnt")).as("top2_cnt"))
+    val tri = gramCounts(tok, 3).groupBy("doc_id")
+      .agg(sum(when(col("cnt") >= 2, col("cnt"))).as("dup3_cnt"))
+    tok.select(col("doc_id"), col("n_tokens"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("top1_cnt") / col("n_tokens"), 6).as("top_unigram_frac"),
+        least(lit(1.0),
+          round(lit(2.0) * coalesce(col("top2_cnt"), lit(0L)) / col("n_tokens"), 6))
+          .as("top_bigram_frac"),
+        least(lit(1.0),
+          round(lit(3.0) * coalesce(col("dup3_cnt"), lit(0L)) / col("n_tokens"), 6))
+          .as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("top_unigram_frac") <= 0.15 &&
+          col("top_bigram_frac") <= 0.12 &&
+          col("dup_trigram_frac") <= 0.10)
+  }
+
   /** Language-ID stopword sets, in tie-break order. Tiny on purpose:
     * the operator is the n-gram/stopword voting mechanism, not a
     * linguistic resource. */

@@ -118,4 +118,39 @@ object IvfIndex {
       Seq(("cosine", false), ("neighbor_id", true)), k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its k-means cell, then
+    * search duplicate pairs WITHIN cells only — cosine ≥ threshold
+    * drops the higher vec_id, so each semantic-duplicate chain keeps
+    * its minimal element. Output: (vec_id, cell, kept) for every
+    * input vector.
+    *
+    * Scale: this is the paper's point — pair search is Σ|cell|²
+    * instead of n², and with k sized so cells hold ~thousands of
+    * vectors (k ≈ n/4000 in the paper) each cell's quadratic
+    * verification fits one task. Assignment is map-only against
+    * broadcast centroid literals; the pair join shuffles on cell, the
+    * dedup verdict joins back on vec_id. */
+  def semanticDedup(vecs: DataFrame, centroids: Seq[Centroid], threshold: Double): DataFrame = {
+    val assigned = vecs.select(
+      col("vec_id"), col("embedding"),
+      VectorOps.l2norm(col("embedding")).as("nrm"),
+      assignCell(col("embedding"), centroids).as("cell"))
+    val left = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val right = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    // round(10) before the threshold test: the same guard every other
+    // cosine gate here uses, so an engine's last-ulp difference can't
+    // flip a borderline pair
+    val dups = left.join(right, Seq("cell"))
+      .where(col("a") < col("b") &&
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 10)
+          >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup").isNull.as("kept"))
+  }
 }

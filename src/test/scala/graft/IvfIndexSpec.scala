@@ -44,4 +44,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf.size <= brute.size)
     assert(recall > probedCells * 0.8, s"recall=$recall barely beats random cell scan")
   }
+
+  test("semantic dedup drops exactly the higher ids of within-cell dup pairs") {
+    val centroids = IvfIndex.train(vecs, 8, 2)
+    val r = IvfIndex.semanticDedup(vecs, centroids, 0.45)
+    assert(r.count() === vecs.count(), "every vector gets a verdict")
+    val dropped = r.where(!col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    // oracle-by-construction: the n^2 near-dup pairs restricted to
+    // co-located cells predict the dropped set exactly
+    val cellOf = vecs
+      .withColumn("cell", IvfIndex.assignCell(col("embedding"), centroids))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val expected = VectorOps.nearDupPairs(vecs, 0.45)
+      .select("a", "b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .map(_._2).toSet
+    assert(dropped === expected)
+  }
 }

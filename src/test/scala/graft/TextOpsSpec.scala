@@ -94,4 +94,25 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(q(0L) < q(1L))
   }
+
+  test("repetition filters: clean text keeps, degenerate repetition rejects") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l m n o p q r s t", "en"),
+      (1L, "spam spam spam spam spam spam spam spam spam spam", "en"),
+      (2L, "x y x y x y x y x y x y x y x y x y x y", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.repetitionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 20 distinct tokens: every fraction at its floor, passes all gates
+    assert(r(0L).getAs[Double]("top_unigram_frac") === 0.05)
+    assert(r(0L).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(r(0L).getAs[Boolean]("keep"))
+    // one token ten times: unigram coverage 1.0, trigrams all dup
+    assert(r(1L).getAs[Double]("top_unigram_frac") === 1.0)
+    assert(r(1L).getAs[Double]("dup_trigram_frac") === 1.0)
+    assert(!r(1L).getAs[Boolean]("keep"))
+    // alternating bigram: "x y" appears 10 times in 20 tokens (clamped)
+    assert(r(2L).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(!r(2L).getAs[Boolean]("keep"))
+  }
 }
