@@ -183,6 +183,15 @@ object CorpusQueries {
     TextOps.repetitionStats(Tables.table(spark, dir, "documents"))
       .orderBy(col("doc_id").asc)
 
+  private[queries] val ExactSubstrW = 5
+
+  /** Exact-substring dedup over the corpus
+    * ([[TextOps.exactSubstringDedup]]). */
+  def q_exact_substring(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactSubstringDedup(
+      Tables.table(spark, dir, "documents"), ExactSubstrW)
+      .orderBy(col("doc_id").asc)
+
   /** SemDeDup-style semantic dedup ([[graft.vector.IvfIndex
     * .semanticDedup]]): the IVF coarse quantizer's k-means cells
     * bound the pair search, cosine ≥ threshold drops the higher
@@ -197,6 +206,7 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (q_repetition _),
+    "q_exact_substring" -> (q_exact_substring _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
     "q_doc_stats" -> (q_doc_stats _),
     "q_lang_id" -> (q_lang_id _),
@@ -654,8 +664,47 @@ ORDER BY a ASC, b ASC"""
        |   AND dup_trigram_frac <= 0.10) AS keep
        |FROM m ORDER BY doc_id ASC""".stripMargin
 
+  /** Exact-substring oracle: same window hashing, duplicated-window
+    * detection, span coverage, and strip-and-md5 as
+    * [[TextOps.exactSubstringDedup]]; DuckDB list slices are
+    * inclusive-inclusive and `range(a, b)` excludes b, hence the
+    * offset arithmetic. */
+  private val exactSubstringSql: String = {
+    val w = ExactSubstrW
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks AS toks, len($toks) AS n_tokens
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i,
+       |    md5(array_to_string(toks[i::INTEGER:(i + ${w - 1})::INTEGER], ' ')) AS h
+       |  FROM tok, UNNEST(range(1, len(toks) - ${w - 2})) u(i)
+       |  WHERE len(toks) >= $w),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, j AS p
+       |  FROM (SELECT g.* FROM g JOIN dup USING (h)),
+       |       UNNEST(range(i, i + $w)) u(j)),
+       |tokpos AS (
+       |  SELECT doc_id, i AS p, toks[i::INTEGER] AS t
+       |  FROM tok, UNNEST(range(1, len(toks) + 1)) u(i)),
+       |keep AS (
+       |  SELECT tokpos.doc_id, tokpos.p, tokpos.t FROM tokpos
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov
+       |    WHERE cov.doc_id = tokpos.doc_id AND cov.p = tokpos.p)),
+       |clean AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS clean
+       |          FROM keep GROUP BY doc_id),
+       |per AS (SELECT doc_id, COUNT(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT tok.doc_id, n_tokens,
+       |  COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+       |  round(COALESCE(n_dup_tokens, 0) / n_tokens, 6) AS dup_token_frac,
+       |  md5(COALESCE(clean, '')) AS clean_md5
+       |FROM tok LEFT JOIN per USING (doc_id) LEFT JOIN clean USING (doc_id)
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_repetition" -> repetitionSql,
+    "q_exact_substring" -> exactSubstringSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_doc_stats" -> docStatsSql,
     "q_lang_id" -> langIdSql,

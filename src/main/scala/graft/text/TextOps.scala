@@ -108,6 +108,54 @@ object TextOps {
           col("dup_trigram_frac") <= 0.10)
   }
 
+  /** Exact-substring duplication (Lee et al. 2021, arXiv:2107.06499,
+    * the "ExactSubstr" dedup): any token window of length `w` that
+    * occurs in MORE THAN ONE document marks its span duplicated; per
+    * document, emit the duplicated-token count/fraction and the md5
+    * of the text with duplicated spans stripped (the paper's remove-
+    * the-substring policy, hashed so the output stays narrow).
+    *
+    * The single-machine method is a suffix array; the relational
+    * form distributes: window hashes (md5, 32 bytes — the gram text
+    * never shuffles) → count-distinct-docs ≥ 2 → explode only the
+    * DUPLICATED windows back to positions. Linear in corpus tokens,
+    * no pairwise comparison anywhere. */
+  def exactSubstringDedup(docs: DataFrame, w: Int): DataFrame = {
+    val tok = withTokens(docs).select(col("doc_id"), col("tokens"),
+      size(col("tokens")).cast("bigint").as("n_tokens"))
+    val grams = tok.where(size(col("tokens")) >= w)
+      .select(col("doc_id"), col("tokens"),
+        explode(sequence(lit(1), size(col("tokens")) - (w - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("tokens"), col("i"), lit(w)))).as("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val covered = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .distinct()
+    val perDoc = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_tokens"))
+    val tokpos = tok
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("t"))
+    val clean = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(
+          array_sort(collect_list(struct(col("p"), col("t")))),
+          s => s.getField("t"))).as("clean"))
+    tok.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
   /** Language-ID stopword sets, in tie-break order. Tiny on purpose:
     * the operator is the n-gram/stopword voting mechanism, not a
     * linguistic resource. */

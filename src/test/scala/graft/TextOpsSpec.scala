@@ -115,4 +115,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("top_bigram_frac") === 1.0)
     assert(!r(2L).getAs[Boolean]("keep"))
   }
+
+  test("exact-substring dedup strips cross-document duplicated spans") {
+    val r = TextOps.exactSubstringDedup(corpus, w = 5).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // docs 0/1 are identical: every window duplicated, nothing survives
+    assert(r(0L).getAs[Double]("dup_token_frac") === 1.0)
+    assert(r(1L).getAs[Double]("dup_token_frac") === 1.0)
+    assert(r(0L).getAs[String]("clean_md5")
+      === "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    // doc 2 shares its 8-token prefix with 0/1; only "cat" survives
+    assert(r(2L).getAs[Long]("n_dup_tokens") === 8L)
+    assert(r(2L).getAs[String]("clean_md5")
+      === "d077f244def8a70e5ea758bd8352fcd8") // md5("cat")
+    // docs 3/4 share a token MULTISET but no 5-token window
+    assert(r(3L).getAs[Long]("n_dup_tokens") === 0L)
+    assert(r(4L).getAs[Long]("n_dup_tokens") === 0L)
+  }
 }
