@@ -68,10 +68,31 @@ class PlanPropertiesSpec extends SparkSpec {
   test("no query plan contains a cartesian product") {
     // BroadcastNestedLoopJoin is expected (range/inequality joins);
     // an unconstrained CartesianProduct is never intended
-    val names = Seq("q_range_join", "q_embed_near_dup", "q_ann_topk", "q_dedup_minhash")
+    val names = Seq("q_range_join", "q_embed_near_dup", "q_ann_topk", "q_dedup_minhash",
+      "q_semantic_dedup", "q_exact_substring", "q_repetition")
     names.foreach { n =>
       val p = planOf(n)
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
     }
+  }
+
+  test("exact-substring: documents scan prunes to (doc_id, text); partial aggs map-side") {
+    val p = planOf("q_exact_substring")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), p)
+    assert(!read.contains("lang") && !read.contains("source"), read)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("semantic dedup: cell assignment map-only, pair join keyed on cell") {
+    val p = planOf("q_semantic_dedup")
+    // assignment is pure projection over broadcast literals — the only
+    // joins are the equi pair join on cell and the verdict join; no
+    // nested-loop anywhere. (At bench scale AQE picks broadcast for
+    // the cell join; what matters is it stays EQUI-keyed on cell.)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell#".r
+        .findFirstIn(p).isDefined, p)
   }
 }
