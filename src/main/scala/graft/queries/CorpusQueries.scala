@@ -233,7 +233,7 @@ object CorpusQueries {
 
   /** DuckDB sequential-fold sum over a list expression (mirrors
     * Spark's `aggregate(…, 0, +)` element order exactly). */
-  private def foldSum(listExpr: String, zero: String): String =
+  private[queries] def foldSum(listExpr: String, zero: String): String =
     s"list_reduce(list_prepend($zero, $listExpr), (x, y) -> x + y)"
 
   private def inList(words: Seq[String]): String =
@@ -403,7 +403,7 @@ ORDER BY a ASC, b ASC"""
 
   /** DuckDB mirror of [[VectorOps.dot]]: same element order, same
     * double casts, same left fold. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     foldSum(
       s"list_transform(range(1, len($a) + 1), i -> CAST($a[i::INTEGER] AS DOUBLE) * CAST($b[i::INTEGER] AS DOUBLE))",
       "CAST(0.0 AS DOUBLE)")

@@ -159,6 +159,18 @@ object VectorOps {
       .where(col("cosine") >= threshold)
   }
 
+  /** Random-projection dimensionality reduction: project each
+    * embedding onto `planes` fixed pseudo-random directions
+    * (Johnson–Lindenstrauss sketch — the cheap pre-step before
+    * clustering/ANN when the source dimension is large). Map-only,
+    * one codegen'd fold per output dim; outputs rounded (1e-10) at
+    * the boundary like every cosine in this module. */
+  def project(vecs: DataFrame, planes: Seq[Seq[Double]]): DataFrame =
+    vecs.select(
+      col("vec_id") +: planes.zipWithIndex.map { case (p, i) =>
+        round(dot(col("embedding"), typedLit(p)), 10).as(s"p$i")
+      }: _*)
+
   /** Random-hyperplane signature: one bit per plane, '1' iff
     * dot(v, plane) ≥ 0 — cosine-LSH (Charikar). */
   def signature(vec: Column, planes: Seq[Seq[Double]]): Column =

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+import graft.text.TrainingMix
+
+/** Round-3 training-set assembly + data-quality operators. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- FuzzyJoin ---------------------------------------------------
+
+  test("fuzzy join finds exactly the brute-force distance<=1 pairs") {
+    val names = Seq(
+      (1L, "alpha"), (2L, "alphb"),   // substitution
+      (3L, "alph"),                   // deletion of 1/2
+      (4L, "alphax"),                 // insertion on 1
+      (5L, "beta"), (6L, "betA"),     // substitution
+      (7L, "gamma"), (8L, "delta"),   // unrelated
+      (9L, "ba"), (10L, "ab"),        // distance 2 (swap) — excluded
+    ).toDF("id", "name")
+    val got = FuzzyJoin.selfJoinDist1(names, "id", "name")
+      .select("a_id", "b_id", "dist")
+      .orderBy("a_id", "b_id")
+    val brute = names.as("x").join(names.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("a_id"), $"y.id".as("b_id"),
+        levenshtein($"x.name", $"y.name").cast("int").as("dist"))
+      .where($"dist" <= 1)
+      .orderBy("a_id", "b_id")
+    assert(rowsOf(got) == rowsOf(brute))
+    assert(rowsOf(got).nonEmpty)
+  }
+
+  test("fuzzy join candidate join is an equi-join, not a cross product") {
+    val names = Seq((1L, "alpha"), (2L, "alphb")).toDF("id", "name")
+    val plan = FuzzyJoin.selfJoinDist1(names, "id", "name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("fuzzy join on sf0.001 customers matches brute force") {
+    val c = graft.io.Tables.table(spark, sf, "customer")
+    val got = FuzzyJoin.selfJoinDist1(c, "c_custkey", "c_name")
+      .select("a_id", "b_id", "dist").orderBy("a_id", "b_id")
+    val brute = c.select($"c_custkey".as("xid"), $"c_name".as("xn"))
+      .join(c.select($"c_custkey".as("yid"), $"c_name".as("yn")),
+        $"xid" < $"yid")
+      .select($"xid".as("a_id"), $"yid".as("b_id"),
+        levenshtein($"xn", $"yn").cast("int").as("dist"))
+      .where($"dist" <= 1).orderBy("a_id", "b_id")
+    assert(rowsOf(got) == rowsOf(brute))
+    assert(rowsOf(got).nonEmpty) // ids one digit apart exist
+  }
+
+  // ---- TrainingMix -------------------------------------------------
+
+  test("packSequences bins respect the budget up to one-doc overflow") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val packed = TrainingMix.packSequences(docs, 512)
+    // every doc assigned exactly once
+    assert(packed.count() == docs.count())
+    // bin totals: a bin exceeds the budget only via its LAST doc
+    // (exclusive-prefix binning ⇒ sum minus final doc < budget)
+    val over = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tot"), max("pos").as("n_docs"),
+        max(struct(col("pos"), col("n_tokens"))).as("last"))
+      .where(col("tot") - col("last.n_tokens") >= 512)
+    assert(over.isEmpty)
+    // positions are 1..n_docs dense per bin
+    val posCheck = packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(posCheck.isEmpty)
+  }
+
+  test("packSequences is invariant to input partitioning") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val a = TrainingMix.packSequences(docs, 512).orderBy("doc_id")
+    val b = TrainingMix.packSequences(docs.repartition(7), 512).orderBy("doc_id")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
+  test("upsample repeats per language tier with dense copy indexes") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val up = TrainingMix.upsample(docs)
+    val perDoc = up.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+    val bad = perDoc.where(
+      (col("lang") === "en" && col("n") =!= 3) ||
+        (col("lang").isin("de", "fr") && col("n") =!= 2) ||
+        (!col("lang").isin("en", "de", "fr") && col("n") =!= 1) ||
+        col("mx") =!= col("n"))
+    assert(bad.isEmpty)
+  }
+
+  // ---- VectorOps.project ------------------------------------------
+
+  test("random projection matches a manual dot product") {
+    val planes = graft.vector.VectorOps.hyperplanes(99L, 2, 3)
+    val v = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val got = graft.vector.VectorOps.project(v, planes).collect()(0)
+    def dot(p: Seq[Double], x: Seq[Double]): Double =
+      p.zip(x).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+    val exp0 = BigDecimal(dot(planes(0), Seq(1.0, 2.0, 3.0)))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(1) == exp0)
+  }
+
+  // ---- q_profile ---------------------------------------------------
+
+  test("profile reports exact counts and extrema per column") {
+    val out = graft.queries.PipelineQueries.q_profile(spark, sf)
+    val l = graft.io.Tables.table(spark, sf, "lineitem")
+    val n = l.count()
+    val rows = rowsOf(out)
+    assert(rows.map(_.head) ==
+      Seq("l_linenumber", "l_linestatus", "l_orderkey", "l_returnflag"))
+    assert(rows.forall(_(1) == n))
+    val rf = rows.find(_.head == "l_returnflag").get
+    assert(rf(3) == l.select(countDistinct("l_returnflag")).as[Long].head())
+  }
+}
