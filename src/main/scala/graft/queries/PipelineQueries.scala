@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.Tables
-import graft.operators.FuzzyJoin
+import graft.io.{Tables, ZOrder}
+import graft.operators.{FuzzyJoin, PageRank}
 import graft.text.TrainingMix
 import graft.vector.VectorOps
 
@@ -80,12 +80,98 @@ object PipelineQueries {
       .orderBy(col("col_name").asc)
   }
 
+  private val PrIters = 5
+  private val PrStartMass = 1000000L
+
+  /** Integer-mass PageRank ([[PageRank.integerPageRank]]) over the
+    * bipartite part↔supplier co-occurrence graph from lineitem —
+    * link-quality scoring with bit-exact integer arithmetic, so the
+    * five power iterations replay exactly in the oracle's unrolled
+    * CTE chain. */
+  def q_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.table(spark, dir, "lineitem")
+      .select(
+        concat(lit("p:"), col("l_partkey").cast("string")).as("p"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("p").as("dst")))
+    PageRank.integerPageRank(edges, PrIters, PrStartMass)
+      .orderBy(col("node").asc)
+  }
+
+  private val Bm25Terms = Seq("spark", "table", "query")
+  private val Bm25K1 = "1.2"
+  private val Bm25B075 = "0.75"
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * (the retrieval scorer used for quality-ranking and dedup-aware
+    * search). One pass computes per-doc term frequencies map-side; a
+    * scalar agg (doc count, Σdl, per-term document frequencies)
+    * broadcasts back; the final score is pure per-row math. The
+    * double expression is written with IDENTICAL operator order on
+    * both engines and rounded (1e-6) at the boundary — the same
+    * discipline as [[AdvancedQueries.q_tfidf]]. */
+  def q_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.table(spark, dir, "documents").select(
+      col("doc_id") +: size(toks).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    val statCols = sum(col("dl")).as("sum_dl") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val withAvg = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val score = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+          + lit(1.0))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withAvg
+      .select(col("doc_id") +: col("dl") +:
+        Bm25Terms.indices.map(i => col(s"tf$i")) :+
+        round(score, 6).as("bm25"): _*)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Z-order (Morton) code of every lineitem row on
+    * (l_partkey, l_suppkey) via [[ZOrder.mortonCode]] — the layout
+    * key the z-ordered write path sorts by, here surfaced as a query
+    * so the bit interleave itself is oracle-gated (the write path's
+    * file-pruning behavior stays covered by ZOrderSpec /
+    * PartitionedLayoutSpec). */
+  def q_zorder(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val bounds = li.agg(
+      min(col("l_partkey")).as("amin"), max(col("l_partkey")).as("amax"),
+      min(col("l_suppkey")).as("bmin"), max(col("l_suppkey")).as("bmax"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ZOrder.mortonCode(
+          col("l_partkey"), col("amin"), col("amax"),
+          col("l_suppkey"), col("bmin"), col("bmax")).as("zcode"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+      // zcode completes the total order (remaining ties are full-row
+      // duplicates, so any order hashes identically)
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc,
+        col("zcode").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_upsample" -> (q_upsample _),
     "q_rand_proj" -> (q_rand_proj _),
     "q_profile" -> (q_profile _),
+    "q_pagerank" -> (q_pagerank _),
+    "q_bm25" -> (q_bm25 _),
+    "q_zorder" -> (q_zorder _),
   )
 
   // ---- DuckDB oracle SQL -------------------------------------------
@@ -145,11 +231,95 @@ object PipelineQueries {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name ASC")
 
+  /** Unrolled power-iteration CTE chain mirroring
+    * [[PageRank.integerPageRank]] — integer ops only, so the chain is
+    * bit-exact. DuckDB `//` is floor division and Spark `div`
+    * truncates, identical on the non-negative masses here. */
+  private val pagerankSql: String = {
+    val head =
+      s"""WITH pe AS (SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS p,
+         |                's:' || CAST(l_suppkey AS VARCHAR) AS s
+         |            FROM lineitem),
+         |e AS (SELECT p AS src, s AS dst FROM pe
+         |      UNION ALL SELECT s, p FROM pe),
+         |d AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY src),
+         |m0 AS (SELECT node, degree, CAST($PrStartMass AS BIGINT) AS mass FROM d)""".stripMargin
+    val teleport = PrStartMass * 15L / 100L
+    val its = (1 to PrIters).map { i =>
+      s""",
+         |c$i AS (SELECT e.dst AS node, SUM(m.mass // m.degree) AS inc
+         |        FROM e JOIN m${i - 1} m ON e.src = m.node GROUP BY e.dst),
+         |m$i AS (SELECT d.node, d.degree,
+         |          $teleport + (85 * COALESCE(c$i.inc, 0)) // 100 AS mass
+         |        FROM d LEFT JOIN c$i ON d.node = c$i.node)""".stripMargin
+    }.mkString
+    head + its +
+      s"\nSELECT node, degree, CAST(mass AS BIGINT) AS mass FROM m$PrIters ORDER BY node ASC"
+  }
+
+  private val bm25Sql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS INTEGER) AS tf$i"
+    }.mkString(",\n        ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    // operator order matches the Spark expression token-for-token so
+    // both engines produce the same IEEE doubles before the round
+    val termExprs = Bm25Terms.indices.map { i =>
+      s"ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2)" +
+        s" / (tf$i + $Bm25K1 * (0.25 + $Bm25B075 * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl,
+       |        $tfCols
+       |      FROM t),
+       |s AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, $dfCols FROM b),
+       |w AS (SELECT b.*, s.*, CAST(s.sum_dl AS DOUBLE) / s.n_docs AS avgdl
+       |      FROM b, s)
+       |SELECT doc_id, dl, ${Bm25Terms.indices.map(i => s"tf$i").mkString(", ")},
+       |  round($termExprs, 6) AS bm25
+       |FROM w ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Mirrors [[ZOrder.mortonCode]]'s grid + magic-mask spread with
+    * lateral column aliases; all-integer after the one double
+    * normalization, fully parenthesized (engine precedence-proof). */
+  private val zorderSql: String = {
+    val masks = Seq(
+      (16, 281470681808895L), (8, 71777214294589695L),
+      (4, 1085102592571150095L), (2, 3689348814741910323L),
+      (1, 6148914691236517205L))
+    def spreadCols(in: String, p: String): String =
+      masks.zipWithIndex.map { case ((sh, m), j) =>
+        val prev = if (j == 0) in else s"$p${j}"
+        s"(($prev | ($prev << $sh)) & $m) AS $p${j + 1}"
+      }.mkString(",\n  ")
+    def grid(c: String, lo: String, hi: String): String =
+      s"least(CAST(floor((CASE WHEN $hi - $lo > 0 THEN (CAST($c AS DOUBLE) - $lo) / ($hi - $lo) ELSE 0.0 END) * 2097151) AS BIGINT), 2097151)"
+    s"""WITH bnd AS (SELECT CAST(MIN(l_partkey) AS DOUBLE) AS amin,
+       |    CAST(MAX(l_partkey) AS DOUBLE) AS amax,
+       |    CAST(MIN(l_suppkey) AS DOUBLE) AS bmin,
+       |    CAST(MAX(l_suppkey) AS DOUBLE) AS bmax FROM lineitem),
+       |g AS (SELECT l_orderkey, l_linenumber,
+       |  ${grid("l_partkey", "amin", "amax")} AS ga,
+       |  ${grid("l_suppkey", "bmin", "bmax")} AS gb
+       |  FROM lineitem, bnd),
+       |z AS (SELECT l_orderkey, l_linenumber,
+       |  ${spreadCols("ga", "va")},
+       |  ${spreadCols("gb", "vb")}
+       |  FROM g)
+       |SELECT l_orderkey, l_linenumber, (va5 | (vb5 << 1)) AS zcode
+       |FROM z ORDER BY l_orderkey ASC, l_linenumber ASC, zcode ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_upsample" -> upsampleSql,
     "q_rand_proj" -> randProjSql,
     "q_profile" -> profileSql,
+    "q_pagerank" -> pagerankSql,
+    "q_bm25" -> bm25Sql,
+    "q_zorder" -> zorderSql,
   )
 }

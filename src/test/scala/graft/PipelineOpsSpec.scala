@@ -110,6 +110,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.getDouble(1) == exp0)
   }
 
+  // ---- PageRank ----------------------------------------------------
+
+  test("integer pagerank matches a hand-computed iteration on a path graph") {
+    // undirected path a—b—c: degrees 1, 2, 1
+    val und = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val edges = und.select($"x".as("src"), $"y".as("dst"))
+      .unionByName(und.select($"y".as("src"), $"x".as("dst")))
+    val m1 = graft.operators.PageRank.integerPageRank(edges, iters = 1)
+      .orderBy("node")
+    // sent: a→b 1e6, b→{a,c} 5e5 each, c→b 1e6
+    // new = 150000 + (85·inc) div 100
+    assertSameRows(m1.select("node", "degree", "mass"), Seq(
+      Seq("a", 1L, 575000L),
+      Seq("b", 2L, 1850000L),
+      Seq("c", 1L, 575000L)))
+  }
+
+  test("integer pagerank is invariant to partitioning and edge order") {
+    val li = graft.io.Tables.table(spark, sf, "lineitem")
+      .select(concat(lit("p:"), $"l_partkey").as("p"),
+        concat(lit("s:"), $"l_suppkey").as("s")).distinct()
+    val e = li.select($"p".as("src"), $"s".as("dst"))
+      .unionByName(li.select($"s".as("src"), $"p".as("dst")))
+    val a = graft.operators.PageRank.integerPageRank(e, 3).orderBy("node")
+    val b = graft.operators.PageRank
+      .integerPageRank(e.repartition(11).orderBy($"dst"), 3).orderBy("node")
+    assert(rowsOf(a) == rowsOf(b))
+  }
+
+  // ---- BM25 --------------------------------------------------------
+
+  test("bm25 is zero without query terms, positive with them") {
+    val out = graft.queries.PipelineQueries.q_bm25(spark, sf)
+    val zero = out.where($"tf0" === 0 && $"tf1" === 0 && $"tf2" === 0)
+      .where($"bm25" =!= 0.0)
+    assert(zero.isEmpty)
+    val pos = out.where($"tf0" > 0 && $"bm25" <= 0.0)
+    assert(pos.isEmpty)
+    assert(out.where($"bm25" > 0).count() > 0)
+  }
+
+  // ---- ZOrder code -------------------------------------------------
+
+  test("morton code interleaves extremes to the known bit pattern") {
+    val df = Seq((1L, 0L, 0L), (2L, 3L, 7L), (3L, 3L, 0L), (4L, 0L, 7L))
+      .toDF("id", "a", "b")
+    val z = df.select($"id", graft.io.ZOrder.mortonCode(
+      $"a", lit(0L), lit(3L), $"b", lit(0L), lit(7L)).as("z"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // cell(max) = 2²¹−1 → spread = ones at even bits = (4²¹−1)/3
+    val evens = ((1L << 42) - 1L) / 3L // 0x15555555555
+    assert(z == Seq(
+      (1L, 0L),            // (min, min) → 0
+      (2L, 3L * evens),    // (max, max) → all 42 bits
+      (3L, evens),         // (max, min) → even bits only
+      (4L, 2L * evens)))   // (min, max) → odd bits only
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
