@@ -163,7 +163,28 @@ object PipelineQueries {
         col("zcode").asc)
   }
 
+  private val HardNegK = 10
+  private val NoiseK = 5
+
+  /** Contrastive hard-negative mining ([[VectorOps.hardNegatives]]):
+    * top-10 nearest different-label vectors per query vector. */
+  def q_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    VectorOps.hardNegatives(v, v.where(col("vec_id") % 100 === 0), HardNegK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** kNN label-noise audit ([[VectorOps.knnLabelNoise]]): flags
+    * vectors whose label disagrees with their 5-NN majority. */
+  def q_label_noise(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    VectorOps.knnLabelNoise(v, v.where(col("vec_id") % 10 === 0), NoiseK)
+      .orderBy(col("query_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> (q_hard_negatives _),
+    "q_label_noise" -> (q_label_noise _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_upsample" -> (q_upsample _),
@@ -312,7 +333,49 @@ object PipelineQueries {
        |FROM z ORDER BY l_orderkey ASC, l_linenumber ASC, zcode ASC""".stripMargin
   }
 
+  private def dotSql(a: String, b: String) = CorpusQueries.dotSql(a, b)
+
+  private val vecLblCte: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |FROM embeddings)""".stripMargin
+
+  private def pairCos: String =
+    s"round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 10)"
+
+  private val hardNegativesSql: String =
+    s"""$vecLblCte
+       |SELECT a.vec_id AS query_id, a.label AS query_label,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY $pairCos DESC, b.vec_id ASC) AS INTEGER) AS rank,
+       |  b.vec_id AS neighbor_id, b.label AS neighbor_label,
+       |  $pairCos AS cosine
+       |FROM v a JOIN v b
+       |  ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id AND a.label <> b.label
+       |QUALIFY rank <= $HardNegK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+
+  private val labelNoiseSql: String =
+    s"""$vecLblCte,
+       |knn AS (SELECT a.vec_id AS query_id, a.label AS own_label,
+       |          b.label AS neighbor_label
+       |        FROM v a JOIN v b
+       |          ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |          ORDER BY $pairCos DESC, b.vec_id ASC) <= $NoiseK),
+       |votes AS (SELECT query_id, own_label, neighbor_label,
+       |            COUNT(*) AS votes
+       |          FROM knn GROUP BY 1, 2, 3)
+       |SELECT query_id, own_label, neighbor_label AS knn_label, votes,
+       |       (own_label <> neighbor_label) AS suspect
+       |FROM votes
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+       |  ORDER BY votes DESC, neighbor_label ASC) = 1
+       |ORDER BY query_id ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" -> hardNegativesSql,
+    "q_label_noise" -> labelNoiseSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_upsample" -> upsampleSql,

@@ -171,6 +171,70 @@ object VectorOps {
         round(dot(col("embedding"), typedLit(p)), 10).as(s"p$i")
       }: _*)
 
+  private def sidedLabeled(vecs: DataFrame, side: String): DataFrame =
+    vecs.select(
+      col("vec_id").as(s"${side}_id"),
+      col("embedding").as(s"${side}_emb"),
+      l2norm(col("embedding")).as(s"${side}_norm"),
+      col("label").as(s"${side}_label"))
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar vectors carrying a DIFFERENT
+    * label — the pairs that teach a metric-learning model the most.
+    * Same shape as [[bruteForceTopK]] (broadcast queries, partial
+    * top-k heaps pre-exchange); the label inequality rides the join
+    * condition so rejected candidates never reach the heap. */
+  def hardNegatives(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = sidedLabeled(queries, "q")
+    val c = spread(sidedLabeled(vecs, "c"))
+    val scored = broadcast(q)
+      .join(c, col("q_id") =!= col("c_id") &&
+        col("q_label") =!= col("c_label"))
+      .select(
+        col("q_id").as("query_id"), col("q_label").as("query_label"),
+        col("c_id").as("neighbor_id"), col("c_label").as("neighbor_label"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+          .as("cosine"))
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq(("cosine", false), ("neighbor_id", true)), k)
+      .select("query_id", "query_label", "rank",
+        "neighbor_id", "neighbor_label", "cosine")
+  }
+
+  /** kNN label-noise detection (confident-learning shape): each query
+    * vector's label is checked against the majority label of its k
+    * exact nearest neighbors; a mismatch flags a suspect annotation.
+    * Vote counting is pure integer logic — `max_by` over
+    * (votes, −label) breaks ties toward the SMALLEST label — so the
+    * result is deterministic under any partitioning, unlike a
+    * float-averaged score. */
+  def knnLabelNoise(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val knn = {
+      val q = sidedLabeled(queries, "q")
+      val c = spread(sidedLabeled(vecs, "c"))
+      val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .select(
+          col("q_id").as("query_id"), col("q_label").as("own_label"),
+          col("c_id").as("neighbor_id"), col("c_label").as("neighbor_label"),
+          round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 10)
+            .as("cosine"))
+      graft.plans.TopK.perGroup(scored, Seq("query_id"),
+        Seq(("cosine", false), ("neighbor_id", true)), k)
+    }
+    knn
+      .groupBy(col("query_id"), col("own_label"), col("neighbor_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"), col("own_label"))
+      .agg(max_by(
+        struct(col("neighbor_label"), col("votes")),
+        struct(col("votes"), (-col("neighbor_label")).as("inv"))).as("top"))
+      .select(
+        col("query_id"), col("own_label"),
+        col("top.neighbor_label").as("knn_label"),
+        col("top.votes").as("votes"),
+        (col("own_label") =!= col("top.neighbor_label")).as("suspect"))
+  }
+
   /** Random-hyperplane signature: one bit per plane, '1' iff
     * dot(v, plane) ≥ 0 — cosine-LSH (Charikar). */
   def signature(vec: Column, planes: Seq[Seq[Double]]): Column =

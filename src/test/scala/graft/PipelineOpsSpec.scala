@@ -168,6 +168,36 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, 2L * evens)))   // (min, max) → odd bits only
   }
 
+  // ---- labeled-embedding ops ---------------------------------------
+
+  test("hard negatives exclude same-label neighbors and rank by cosine") {
+    val v = graft.io.Tables.table(spark, sf, "embeddings")
+    val out = graft.vector.VectorOps.hardNegatives(
+      v, v.where($"vec_id" % 100 === 0), 5)
+    assert(out.where($"query_label" === $"neighbor_label").isEmpty)
+    // ranks dense 1..k per query, cosine non-increasing
+    val bad = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"),
+        min("rank").as("mn"))
+      .where($"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  test("knn label noise: clean clusters vote their own label") {
+    // two tight clusters with distinct labels + one mislabeled point
+    val vecs = (
+      (0 until 5).map(i => (i.toLong, Array(1.0f, 0.01f * i), 0)) ++
+        (5 until 10).map(i => (i.toLong, Array(-1.0f, 0.01f * i), 1)) :+
+        (10L, Array(1.0f, 0.02f), 1) // sits in cluster 0, labeled 1
+      ).toDF("vec_id", "embedding", "label")
+    val out = graft.vector.VectorOps.knnLabelNoise(vecs, vecs, 3)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (r.getInt(2), r.getBoolean(4))).toMap
+    assert(byId(0L) == ((0, false)))  // clean
+    assert(byId(5L) == ((1, false)))  // clean
+    assert(byId(10L) == ((0, true)))  // flagged
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
