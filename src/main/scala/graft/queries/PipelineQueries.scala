@@ -182,7 +182,47 @@ object PipelineQueries {
       .orderBy(col("query_id").asc)
   }
 
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** PMI collocation mining: the top-50 adjacent-token pairs by
+    * pointwise mutual information (count ≥ 5) — the corpus-statistics
+    * op behind tokenizer-merge candidates and stop-phrase lists. All
+    * counts reduce with map-side partials; the unigram tables and the
+    * scalar total broadcast back into the bigram table (vocab-sized,
+    * never corpus-sized); integer products are exact and the single
+    * double division + ln round at the boundary. Top-50 under a total
+    * order → TakeOrderedAndProject, no global sort. */
+  def q_collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val bg = docs.where(size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(
+          element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // ONE corpus-wide aggregation; unigram margins and the total
+    // derive from the (vocab²-bounded) bigram-count table, not from
+    // re-reading the corpus-sized bigram stream three more times
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1t = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2t = cb.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val n = cb.agg(sum(col("c12")).as("n_bg"))
+    cb.where(col("c12") >= PmiMinCount)
+      .join(broadcast(c1t), "w1")
+      .join(broadcast(c2t), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") * col("n_bg")) / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> (q_collocations _),
     "q_hard_negatives" -> (q_hard_negatives _),
     "q_label_noise" -> (q_label_noise _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
@@ -373,7 +413,23 @@ object PipelineQueries {
        |  ORDER BY votes DESC, neighbor_label ASC) = 1
        |ORDER BY query_id ASC""".stripMargin
 
+  private val collocationsSql: String =
+    s"""WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents
+       |             WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT toks[i::INTEGER] AS w1, toks[(i + 1)::INTEGER] AS w2
+       |       FROM tok, UNNEST(range(1, len(toks))) AS u(i)),
+       |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1t AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+       |c2t AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM cb GROUP BY 1),
+       |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bg FROM cb)
+       |SELECT w1, w2, c12,
+       |       round(ln((c12 * n_bg) / (c1 * c2)), 6) AS pmi
+       |FROM cb JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN n
+       |WHERE c12 >= $PmiMinCount
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_collocations" -> collocationsSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_label_noise" -> labelNoiseSql,
     "q_fuzzy_join" -> fuzzyJoinSql,

@@ -198,6 +198,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byId(10L) == ((0, true)))  // flagged
   }
 
+  // ---- collocations ------------------------------------------------
+
+  test("collocations: pmi non-increasing, counts respect the floor") {
+    val out = graft.queries.PipelineQueries.q_collocations(spark, sf)
+      .collect().toSeq
+    assert(out.nonEmpty && out.size <= 50)
+    assert(out.forall(_.getLong(2) >= 5))
+    val pmis = out.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
