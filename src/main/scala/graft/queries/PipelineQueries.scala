@@ -221,7 +221,48 @@ object PipelineQueries {
       .limit(PmiTopK)
   }
 
+  private val NegK = 5
+  private val NegDraws = 20
+
+  /** Hash-based negative sampling for implicit-feedback training
+    * (user bought part → sample parts they did NOT buy): each user
+    * draws 20 deterministic candidates via an integer mixer over the
+    * contiguous item-id space, anti-joins the positives, dedups
+    * repeat draws (first draw wins), and keeps the first 5 survivors
+    * in draw order. Pure integer math end-to-end — no RNG state, so
+    * any run (and the oracle) samples the identical negatives.
+    *
+    * Scale: candidates are |users|×20 map-side rows; the anti-join
+    * shuffles on (user, item) like any key join; the keep-k window
+    * rewrites to the partial top-k plan. Rejection sampling without
+    * the sequential retry loop: over-draw a fixed factor, keep the
+    * first k survivors (the distributed-friendly formulation). */
+  def q_neg_sample(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    val nItems = Tables.table(spark, dir, "part").agg(count(lit(1)).as("n_items"))
+    val cand = pos.select("user_id").distinct()
+      .crossJoin(broadcast(nItems))
+      .select(col("user_id"), col("n_items"),
+        explode(sequence(lit(1), lit(NegDraws))).as("draw"))
+      .select(col("user_id"), col("draw"),
+        pmod(col("user_id") * lit(2654435761L) + col("draw") * lit(40503L),
+          col("n_items")).as("item_id"))
+    val neg = cand.join(pos, Seq("user_id", "item_id"), "left_anti")
+      .groupBy("user_id", "item_id").agg(min(col("draw")).as("draw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("draw").asc, col("item_id").asc)
+    neg.withColumn("neg_idx", row_number().over(w))
+      .where(col("neg_idx") <= NegK)
+      .select(col("user_id"), col("neg_idx"), col("draw"), col("item_id"))
+      .orderBy(col("user_id").asc, col("neg_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neg_sample" -> (q_neg_sample _),
     "q_collocations" -> (q_collocations _),
     "q_hard_negatives" -> (q_hard_negatives _),
     "q_label_noise" -> (q_label_noise _),
@@ -428,7 +469,28 @@ object PipelineQueries {
        |WHERE c12 >= $PmiMinCount
        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin
 
+  private val negSampleSql: String =
+    s"""WITH pos AS (SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+       |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |n AS (SELECT COUNT(*) AS n_items FROM part),
+       |cand AS (SELECT user_id, CAST(u.i AS INTEGER) AS draw,
+       |           (user_id * 2654435761 + u.i * 40503) % n_items AS item_id
+       |         FROM (SELECT DISTINCT user_id FROM pos), n,
+       |              UNNEST(range(1, ${NegDraws + 1})) AS u(i)),
+       |neg AS (SELECT c.user_id, c.item_id, MIN(c.draw) AS draw
+       |        FROM cand c
+       |        WHERE NOT EXISTS (SELECT 1 FROM pos p
+       |          WHERE p.user_id = c.user_id AND p.item_id = c.item_id)
+       |        GROUP BY 1, 2)
+       |SELECT user_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY draw ASC, item_id ASC) AS INTEGER) AS neg_idx,
+       |  draw, item_id
+       |FROM neg QUALIFY neg_idx <= $NegK
+       |ORDER BY user_id ASC, neg_idx ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_neg_sample" -> negSampleSql,
     "q_collocations" -> collocationsSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_label_noise" -> labelNoiseSql,

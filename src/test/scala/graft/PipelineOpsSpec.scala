@@ -209,6 +209,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
 
+  // ---- negative sampling -------------------------------------------
+
+  test("negative samples never collide with positives, at most k per user") {
+    val out = graft.queries.PipelineQueries.q_neg_sample(spark, sf)
+    val pos = graft.io.Tables.table(spark, sf, "orders")
+      .join(graft.io.Tables.table(spark, sf, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("user_id"), $"l_partkey".as("item_id"))
+      .distinct()
+    assert(out.join(pos, Seq("user_id", "item_id"), "left_semi").isEmpty)
+    val perUser = out.groupBy("user_id").agg(count(lit(1)).as("n"),
+      countDistinct("item_id").as("nd"), max("neg_idx").as("mx"))
+    assert(perUser.where($"n" > 5 || $"nd" =!= $"n" || $"mx" =!= $"n").isEmpty)
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
