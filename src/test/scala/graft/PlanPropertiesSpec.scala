@@ -95,4 +95,46 @@ class PlanPropertiesSpec extends SparkSpec {
       "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell#".r
         .findFirstIn(p).isDefined, p)
   }
+
+  // ---- round-3 additions -------------------------------------------
+
+  test("pack sequences: one hash exchange serves both windows") {
+    val p = planOf("q_pack_sequences")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected the single shard exchange, got $hashExchanges:\n$p")
+  }
+
+  test("profile: no multi-distinct Expand; scans prune to single columns") {
+    val p = planOf("q_profile")
+    assert(!p.contains("Expand"), p)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains(",")),
+      s"per-column scans must read exactly one column:\n$reads")
+  }
+
+  test("bm25: corpus stats reduce through one single-partition exchange") {
+    val p = planOf("q_bm25")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("fuzzy join: candidate generation is an equi-join, verify is post-dedup") {
+    val p = planOf("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("negative sampling: anti-join against positives, no nested loop on candidates") {
+    val p = planOf("q_neg_sample")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pagerank: iterations run off a materialized checkpoint, not re-derived lineage") {
+    val p = planOf("q_pagerank")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("FileScan"), s"lineage must be truncated:\n$p")
+  }
 }
