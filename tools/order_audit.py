@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Total-order audit over a graft.Verify dump.
+
+The driver hash compares rows IN ORDER, so every query's final ORDER BY
+must determine the row completely: a tie on the sort key with differing
+other columns can sort differently in Spark vs DuckDB and hash-fail
+nondeterministically (this bit q_zorder: (l_orderkey, l_linenumber) is
+not unique in the synthetic data).
+
+For each query: parse the LAST "ORDER BY" clause of its oracle SQL,
+group the Spark result by those columns, and flag any group whose rows
+are not all identical. LIMIT queries are also checked for boundary
+ties: the sort prefix shared by row N and any dropped row would make
+the cut nondeterministic — approximated here by checking in-result
+uniqueness only (the generator guarantees margins elsewhere).
+
+Usage: python3 tools/order_audit.py <verify_out_dir>
+Dev tooling only.
+"""
+import glob
+import json
+import re
+import sys
+
+import duckdb
+
+
+def order_cols(sql):
+    """Columns of the FINAL (outer) ORDER BY: textually the last one in
+    every oracle here (only a LIMIT may follow)."""
+    flat = " ".join(sql.split())
+    idx = flat.upper().rfind("ORDER BY")
+    if idx < 0:
+        return None
+    clause = flat[idx + len("ORDER BY"):]
+    clause = re.sub(r"\s+LIMIT\s+\d+\s*$", "", clause, flags=re.IGNORECASE)
+    cols = []
+    for part in clause.split(","):
+        tok = part.strip().split()[0].strip()
+        tok = tok.split(".")[-1].strip('"')  # strip alias qualifier/quotes
+        cols.append(tok)
+    return cols
+
+
+def main(out_dir):
+    con = duckdb.connect()
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    bad = 0
+    for name, sql in sorted(oracle.items()):
+        cols = order_cols(sql)
+        if cols is None:
+            print(f"SKIP {name}: no ORDER BY (driver compares sorted? verify manually)")
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"SKIP {name}: no result parquet")
+            continue
+        rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        have = set(rel.columns)
+        keys = [c for c in cols if c in have]
+        if not keys:
+            print(f"WARN {name}: order cols {cols} not in output {sorted(have)}")
+            bad += 1
+            continue
+        key_list = ", ".join(keys)
+        q = (f"SELECT {key_list}, COUNT(DISTINCT ROW(*COLUMNS(*))) AS nv "
+             f"FROM '{out_dir}/{name}/*.parquet' GROUP BY {key_list} "
+             f"HAVING nv > 1 LIMIT 3")
+        try:
+            rows = con.sql(q).fetchall()
+        except Exception:
+            # fallback: count distinct full-row reprs per key in python
+            import pandas as pd
+            df = pd.concat([pd.read_parquet(f) for f in files],
+                           ignore_index=True)
+            rep = df.astype(str)
+            rep["__row"] = rep.apply(tuple, axis=1)
+            nv = rep.groupby(keys)["__row"].nunique()
+            rows = [(k, int(v)) for k, v in nv[nv > 1].head(3).items()]
+        if rows:
+            bad += 1
+            print(f"FAIL {name}: sort key {keys} does not determine the row; "
+                  f"examples: {rows}")
+        else:
+            print(f"PASS {name} (key: {key_list})")
+    print(f"== {bad} queries with order hazards")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1]))
