@@ -261,7 +261,27 @@ object PipelineQueries {
       .orderBy(col("user_id").asc, col("neg_idx").asc)
   }
 
+  /** Feature hashing (the hashing trick): tokens map to 256 fixed
+    * buckets via a salted md5 nibble pair, with a ±1 sign bit from the
+    * next nibble (the collision-debiasing trick from the
+    * hashing-vectorizer literature); per-(doc, bucket) signed sums are
+    * the sparse feature vector. Map-side explode + one partial-agg'd
+    * shuffle; no vocabulary state anywhere — the property that makes
+    * the trick work on an unbounded 100 TB token stream. */
+  def q_feature_hash(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("fh:"), col("t")))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        substring(h, 1, 2).as("bucket"),
+        when(substring(h, 3, 1) < "8", 1).otherwise(-1).as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("weight"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id").asc, col("bucket").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (q_feature_hash _),
     "q_neg_sample" -> (q_neg_sample _),
     "q_collocations" -> (q_collocations _),
     "q_hard_negatives" -> (q_hard_negatives _),
@@ -489,7 +509,19 @@ object PipelineQueries {
        |FROM neg QUALIFY neg_idx <= $NegK
        |ORDER BY user_id ASC, neg_idx ASC""".stripMargin
 
+  private val featureHashSql: String =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |h AS (SELECT doc_id, md5('fh:' || t) AS hx FROM tok),
+      |s AS (SELECT doc_id, substr(hx, 1, 2) AS bucket,
+      |        CASE WHEN substr(hx, 3, 1) < '8' THEN 1 ELSE -1 END AS sign
+      |      FROM h)
+      |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight,
+      |       COUNT(*) AS n_tokens
+      |FROM s GROUP BY 1, 2 ORDER BY doc_id ASC, bucket ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_feature_hash" -> featureHashSql,
     "q_neg_sample" -> negSampleSql,
     "q_collocations" -> collocationsSql,
     "q_hard_negatives" -> hardNegativesSql,

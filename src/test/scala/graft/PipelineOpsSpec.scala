@@ -224,6 +224,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(perUser.where($"n" > 5 || $"nd" =!= $"n" || $"mx" =!= $"n").isEmpty)
   }
 
+  // ---- feature hashing ---------------------------------------------
+
+  test("feature hashing: per-doc bucket weights bounded by token counts") {
+    val out = graft.queries.PipelineQueries.q_feature_hash(spark, sf)
+    // |signed sum| can never exceed the token count in the bucket
+    assert(out.where(abs($"weight") > $"n_tokens").isEmpty)
+    // total hashed tokens per doc = doc token count
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val tot = out.groupBy("doc_id").agg(sum("n_tokens").as("hashed"))
+      .join(docs, "doc_id").where($"hashed" =!= $"n")
+    assert(tot.isEmpty)
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
