@@ -280,7 +280,62 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc, col("bucket").asc)
   }
 
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  /** Overlapping token-window chunking (context-window splitting for
+    * RAG / training): windows of 64 tokens at stride 48, final
+    * partial window kept. Pure map-side explode of a computed start
+    * grid — no shuffle at all until the output sort; the chunk text
+    * leaves the mapper only as its md5 (the downstream dedup/index
+    * key), not as a copied substring. */
+  def q_chunk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n - $ChunkW, 0) + ${ChunkS - 1}) div $ChunkS + 1"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        // `div` yields BIGINT; an INT sequence bound keeps the grid
+        // index INT on both engines (generators can't be cast around)
+        explode(sequence(lit(0), (col("n_chunks") - 1).cast("int")))
+          .as("chunk_idx"))
+    val start = col("chunk_idx") * ChunkS + 1
+    val end = least(col("chunk_idx") * ChunkS + ChunkW, col("n"))
+    base.select(
+      col("doc_id"), col("chunk_idx"),
+      start.as("start_tok"), end.as("end_tok"),
+      (end - start + 1).as("n_tokens"),
+      md5(concat_ws(" ", slice(col("toks"), start, end - start + 1)))
+        .as("chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+  }
+
+  /** Incremental aggregate maintenance (materialized-view refresh
+    * shape): a prior aggregate STATE (¾ of the fact) merges with a
+    * new batch's partial aggregate by summing counts and sums —
+    * never re-touching the historical rows. The merged result is
+    * bit-equal to the full-table aggregate, which is exactly what the
+    * oracle checks. Counts and decimal sums are mergeable; the DOUBLE
+    * cast happens once at the output boundary. */
+  def q_agg_merge(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"))
+    val state = partial(li.where(pmod(col("l_orderkey"), lit(4)) =!= 0))
+    val batch = partial(li.where(pmod(col("l_orderkey"), lit(4)) === 0))
+    state.unionByName(batch)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk" -> (q_chunk _),
+    "q_agg_merge" -> (q_agg_merge _),
     "q_feature_hash" -> (q_feature_hash _),
     "q_neg_sample" -> (q_neg_sample _),
     "q_collocations" -> (q_collocations _),
@@ -520,7 +575,33 @@ object PipelineQueries {
       |       COUNT(*) AS n_tokens
       |FROM s GROUP BY 1, 2 ORDER BY doc_id ASC, bucket ASC""".stripMargin
 
+  private val chunkSql: String = {
+    val (w, s) = (ChunkW, ChunkS)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |             len(string_split(text, ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, toks, n,
+       |        (greatest(n - $w, 0) + ${s - 1}) // $s + 1 AS n_chunks FROM t),
+       |e AS (SELECT doc_id, toks, n, CAST(u.i AS INTEGER) AS chunk_idx
+       |      FROM c, UNNEST(range(0, n_chunks)) AS u(i))
+       |SELECT doc_id, chunk_idx,
+       |  CAST(chunk_idx * $s + 1 AS INTEGER) AS start_tok,
+       |  CAST(least(chunk_idx * $s + $w, n) AS INTEGER) AS end_tok,
+       |  CAST(least(chunk_idx * $s + $w, n) - (chunk_idx * $s + 1) + 1
+       |       AS INTEGER) AS n_tokens,
+       |  md5(array_to_string(
+       |    toks[(chunk_idx * $s + 1)::INTEGER
+       |         : (least(chunk_idx * $s + $w, n))::INTEGER], ' ')) AS chunk_md5
+       |FROM e ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin
+  }
+
+  private val aggMergeSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_chunk" -> chunkSql,
+    "q_agg_merge" -> aggMergeSql,
     "q_feature_hash" -> featureHashSql,
     "q_neg_sample" -> negSampleSql,
     "q_collocations" -> collocationsSql,

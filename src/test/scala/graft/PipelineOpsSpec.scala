@@ -238,6 +238,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tot.isEmpty)
   }
 
+  // ---- chunking + incremental agg ----------------------------------
+
+  test("chunking covers every token with stride-sized overlap") {
+    val out = graft.queries.PipelineQueries.q_chunk(spark, sf)
+    // chunks tile the doc: first starts at 1, successive starts at
+    // stride 48, last chunk ends at n
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    val last = out.groupBy("doc_id").agg(max("end_tok").as("covered"),
+      min("start_tok").as("first"))
+      .join(docs, "doc_id")
+      .where($"covered" =!= $"n" || $"first" =!= 1)
+    assert(last.isEmpty)
+    val badStride = out.where($"start_tok" =!= $"chunk_idx" * 48 + 1)
+    assert(badStride.isEmpty)
+    // every full-size chunk is 64 tokens; only the final may be short
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val shortNonFinal = out
+      .withColumn("mx", max("chunk_idx").over(w))
+      .where($"chunk_idx" < $"mx" && $"n_tokens" =!= 64)
+    assert(shortNonFinal.isEmpty)
+  }
+
+  test("incremental aggregate merge equals the full-table aggregate") {
+    val merged = graft.queries.PipelineQueries.q_agg_merge(spark, sf)
+    val full = graft.io.Tables.table(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(14,2)")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+    assert(rowsOf(merged) == rowsOf(full))
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
