@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{Tables, ZOrder}
-import graft.operators.{FuzzyJoin, PageRank}
-import graft.text.TrainingMix
+import graft.operators.{Components, FuzzyJoin, PageRank}
+import graft.text.{TextOps, TrainingMix}
 import graft.vector.VectorOps
 
 /** Training-set assembly + data-quality operators added in round 3:
@@ -333,7 +333,35 @@ object PipelineQueries {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Cluster-canonical selection — the "keep one" stage after near-dup
+    * clustering: every MinHash cluster keeps its LONGEST member
+    * (n_chars, tie → smallest doc_id) rather than the min-id default,
+    * the quality-priority retention real dedup pipelines use. The
+    * representative is a `max_by` hash aggregation per cluster
+    * (partial map-side), re-joined to flag survivors. */
+  def q_cluster_canonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val pairs = TextOps.minhashDupPairs(
+      docs, CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
+      .select("a", "b")
+    val comp = Components.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label"))
+    val lbl = docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val rep = lbl.groupBy("cluster")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("inv"))).as("rep_doc_id"))
+    lbl.join(rep, "cluster")
+      .select(col("doc_id"), col("cluster"), col("rep_doc_id"),
+        (col("doc_id") === col("rep_doc_id")).as("kept"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cluster_canonical" -> (q_cluster_canonical _),
     "q_chunk" -> (q_chunk _),
     "q_agg_merge" -> (q_agg_merge _),
     "q_feature_hash" -> (q_feature_hash _),
@@ -599,7 +627,34 @@ object PipelineQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag ASC""".stripMargin
 
+  private val clusterCanonicalSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (
+       |${CorpusQueries.minhashPairsBody}
+       |  ) mh
+       |),
+       |und AS (SELECT a AS x, b AS y FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+       |  UNION
+       |  SELECT u.x, r.lab FROM reach r JOIN und u ON u.y = r.node
+       |),
+       |comp AS (SELECT node AS doc_id, MIN(lab) AS cluster
+       |         FROM reach GROUP BY node),
+       |lbl AS (SELECT d.doc_id, d.n_chars,
+       |          COALESCE(c.cluster, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |rep AS (SELECT cluster, doc_id AS rep_doc_id FROM lbl
+       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+       |          ORDER BY n_chars DESC, doc_id ASC) = 1)
+       |SELECT l.doc_id, l.cluster, r.rep_doc_id,
+       |       (l.doc_id = r.rep_doc_id) AS kept
+       |FROM lbl l JOIN rep r ON l.cluster = r.cluster
+       |ORDER BY l.doc_id ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_cluster_canonical" -> clusterCanonicalSql,
     "q_chunk" -> chunkSql,
     "q_agg_merge" -> aggMergeSql,
     "q_feature_hash" -> featureHashSql,

@@ -271,6 +271,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rowsOf(merged) == rowsOf(full))
   }
 
+  test("cluster canonical keeps exactly one longest member per cluster") {
+    val out = graft.queries.PipelineQueries.q_cluster_canonical(spark, sf)
+    val perCluster = out.groupBy("cluster")
+      .agg(sum(when($"kept", 1).otherwise(0)).as("n_kept"))
+      .where($"n_kept" =!= 1)
+    assert(perCluster.isEmpty)
+    // representative has the max n_chars of its cluster
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"n_chars")
+    val bad = out.join(docs, "doc_id")
+      .groupBy("cluster", "rep_doc_id").agg(max("n_chars").as("mx"))
+      .join(docs.withColumnRenamed("doc_id", "rep_doc_id"), "rep_doc_id")
+      .where($"n_chars" =!= $"mx")
+    assert(bad.isEmpty)
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
