@@ -239,4 +239,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("fuzzy join blocking is exact: equals brute force on random strings") {
+    // short random strings over a tiny alphabet maximize near-miss
+    // density — the adversarial regime for deletion-neighborhood
+    // blocking (shared affixes everywhere)
+    val strGen = Gen.listOfN(6, Gen.oneOf('a', 'b')).map(_.mkString)
+    val setGen = Gen.listOfN(12, strGen)
+    forAll(setGen) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val got = graft.operators.FuzzyJoin.selfJoinDist1(df, "id", "s")
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = df.as("x").join(df.as("y"), $"x.id" < $"y.id")
+        .where(levenshtein($"x.s", $"y.s") <= 1)
+        .select($"x.id", $"y.id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute)
+    }
+  }
+
+  test("packing is total and stable: every doc lands in exactly one bin") {
+    val docsGen = Gen.listOfN(20,
+      Gen.listOfN(5, Gen.oneOf("a", "bb", "ccc")).map(_.mkString(" ")))
+    forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val packed = graft.text.TrainingMix.packSequences(df, 4)
+      assert(packed.count() == texts.size)
+      assert(packed.select("doc_id").distinct().count() == texts.size)
+      // re-run bit-equal (no RNG state anywhere)
+      val again = graft.text.TrainingMix.packSequences(df, 4)
+      assert(rowsOf(packed.orderBy("doc_id")) == rowsOf(again.orderBy("doc_id")))
+    }
+  }
 }
