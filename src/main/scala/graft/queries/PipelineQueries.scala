@@ -8,12 +8,16 @@ import graft.operators.{Components, FuzzyJoin, PageRank}
 import graft.text.{TextOps, TrainingMix}
 import graft.vector.VectorOps
 
-/** Training-set assembly + data-quality operators added in round 3:
-  * fuzzy (edit-distance) joins, deterministic shuffle/shard/pack,
-  * mixture upsampling, random-projection sketching, and one-pass
-  * table profiling. Every query is hash-gated against a DuckDB
-  * oracle (brute-force where the Spark side is the clever one — the
-  * oracle checks CORRECTNESS, the Spark plan carries the scale).
+/** Training-set assembly + data-quality operators: fuzzy
+  * (edit-distance) joins, deterministic shuffle/shard/pack, mixture
+  * upsampling and negative sampling, random-projection sketching,
+  * feature hashing, chunking, table profiling, integer PageRank,
+  * BM25 and PMI corpus statistics, labeled-embedding mining
+  * (hard negatives, label-noise audit), cluster-canonical retention,
+  * incremental aggregate maintenance, and the oracle-gated z-order
+  * code. Every query is hash-gated against a DuckDB oracle
+  * (brute-force where the Spark side is the clever one — the oracle
+  * checks CORRECTNESS, the Spark plan carries the scale).
   */
 object PipelineQueries {
 
