@@ -25,19 +25,21 @@ object TrainingMix {
     *
     * Scale: the only non-map step is the per-shard prefix sum — a
     * window partitioned BY SHARD, so parallelism = shard count and no
-    * global sort exists anywhere. 16 shards here (one hex nibble, kept
-    * small so the oracle SQL stays readable); at 100 TB the same query
-    * with 4 nibbles = 65k shards keeps every partition bounded while
-    * the assignment stays deterministic.
+    * global sort exists anywhere. The shard key is the first
+    * `shardNibbles` hex chars of the shard hash: 1 nibble = 16 shards
+    * (the oracle-readable default), 4 nibbles = 65k shards — the 100 TB
+    * setting that keeps every partition bounded while the assignment
+    * stays deterministic (the per-doc assignment depends only on
+    * doc_id, not on the shard count's effect on any other doc).
     *
     * Output: (doc_id, shard, n_tokens, bin, pos) — pos is the
     * document's position inside its bin. */
-  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Int, shardNibbles: Int = 1): DataFrame = {
     val t = docs.select(
       col("doc_id"),
       size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-      substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 1)
-        .as("shard"),
+      substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+        1, shardNibbles).as("shard"),
       md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("okey"))
     val cumW = Window.partitionBy(col("shard"))
       .orderBy(col("okey").asc, col("doc_id").asc)

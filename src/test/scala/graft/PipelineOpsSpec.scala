@@ -77,6 +77,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(posCheck.isEmpty)
   }
 
+  test("packSequences scales the shard fan-out without touching bin math") {
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val wide = TrainingMix.packSequences(docs, 512, shardNibbles = 2)
+    assert(wide.count() == docs.count())
+    assert(wide.select("shard").distinct().count() > 16)
+    // same budget invariant at 256 shards
+    val over = wide.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tot"),
+        max(struct(col("pos"), col("n_tokens"))).as("last"))
+      .where(col("tot") - col("last.n_tokens") >= 512)
+    assert(over.isEmpty)
+  }
+
   test("packSequences is invariant to input partitioning") {
     val docs = graft.io.Tables.table(spark, sf, "documents")
     val a = TrainingMix.packSequences(docs, 512).orderBy("doc_id")
