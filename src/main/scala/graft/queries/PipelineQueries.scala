@@ -364,7 +364,32 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-source token-distribution Shannon entropy — the corpus
+    * diversity metric mixture tuning reads (low entropy ⇒ templated/
+    * boilerplate source). Each −p·ln p term is quantized to
+    * DECIMAL(20,9) BEFORE the per-source sum (the [[AdvancedQueries
+    * .q_bigram_lm]] discipline): a raw double sum would depend on
+    * shuffle order and could never hash-match across engines; the
+    * quantized decimal sum is exact in any order. */
+  def q_entropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source")
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_types"))
+    cnt.join(broadcast(tot), "source")
+      .withColumn("p", col("c") / col("tot"))
+      .withColumn("term", round(col("p") * log(col("p")), 9)
+        .cast("decimal(20,9)"))
+      .groupBy(col("source"), col("tot"), col("n_types"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("source"), col("tot").as("n_tokens"), col("n_types"),
+        round(-col("s").cast("double"), 6).as("entropy"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy" -> (q_entropy _),
     "q_cluster_canonical" -> (q_cluster_canonical _),
     "q_chunk" -> (q_chunk _),
     "q_agg_merge" -> (q_agg_merge _),
@@ -657,7 +682,23 @@ object PipelineQueries {
        |FROM lbl l JOIN rep r ON l.cluster = r.cluster
        |ORDER BY l.doc_id ASC""".stripMargin
 
+  private val entropySql: String =
+    """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS t
+      |             FROM documents),
+      |cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot,
+      |          COUNT(*) AS n_types FROM cnt GROUP BY 1),
+      |term AS (SELECT c.source, t.tot, t.n_types,
+      |           CAST(round((c.c / t.tot) * ln(c.c / t.tot), 9)
+      |                AS DECIMAL(20,9)) AS term
+      |         FROM cnt c JOIN tot t ON c.source = t.source)
+      |SELECT source, tot AS n_tokens, n_types,
+      |       round(-CAST(SUM(term) AS DOUBLE), 6) AS entropy
+      |FROM term GROUP BY source, tot, n_types
+      |ORDER BY source ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_entropy" -> entropySql,
     "q_cluster_canonical" -> clusterCanonicalSql,
     "q_chunk" -> chunkSql,
     "q_agg_merge" -> aggMergeSql,

@@ -300,6 +300,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("entropy is bounded by ln(n_types) and positive for mixed sources") {
+    val out = graft.queries.PipelineQueries.q_entropy(spark, sf)
+    val bad = out.where($"entropy" < 0 ||
+      $"entropy" > log($"n_types".cast("double")) + 1e-6)
+    assert(bad.isEmpty)
+    assert(out.where($"entropy" > 0).count() > 0)
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
