@@ -388,7 +388,69 @@ object PipelineQueries {
       .orderBy(col("source").asc)
   }
 
+  private val MixBudget = 100000L
+
+  /** Temperature-sampled mixture allocation (τ = 0.5): a global token
+    * budget splits across sources proportional to √(source tokens) —
+    * the standard upweight-the-tail mixture rule — with integer
+    * quotas via the largest-remainder method. √ is IEEE
+    * correctly-rounded (unlike ln/exp) so per-source values are
+    * engine-exact; the √ TOTAL is summed as quantized decimal so the
+    * denominator is order-exact; floors and the remainder
+    * distribution are pure integer/rank logic. */
+  def q_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+    val withSqrt = toks.withColumn("sq",
+      round(sqrt(col("n_tokens")), 9).cast("decimal(20,9)"))
+    val tot = withSqrt.agg(sum(col("sq")).as("sq_tot"))
+    val w = withSqrt.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("sq").cast("double") / col("sq_tot").cast("double") * MixBudget)
+      .withColumn("base", floor(col("share")).cast("bigint"))
+      .withColumn("frac", round(col("share") - col("base"), 9))
+    val remW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("frac").desc, col("source").asc)
+    val leftoverW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    w.withColumn("leftover", lit(MixBudget) - sum(col("base")).over(leftoverW))
+      .withColumn("rk", row_number().over(remW))
+      .select(col("source"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Curriculum interleave: documents bucket into 4 difficulty tiers
+    * (length as the difficulty proxy, ntile under a total order), then
+    * the training order round-robins across tiers so every batch
+    * window sees the full difficulty mix — all integer rank algebra,
+    * no RNG. The output IS a global ordering, so a global sort is
+    * inherent to the semantics; at cluster scale the ntile/rank
+    * windows become (a) tier boundaries from a quantile agg, bucketed
+    * map-side, and (b) a `repartitionByRange` sort on (pos, tier) —
+    * distributed range sort, not a single-partition window. The
+    * window form here is the oracle-exact specification. */
+  def q_curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tierW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val posW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pos").asc, col("tier").asc, col("doc_id").asc)
+    docs.withColumn("tier", ntile(4).over(tierW))
+      .withColumn("pos", row_number().over(posW))
+      .withColumn("training_rank", row_number().over(rankW))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_budget" -> (q_token_budget _),
+    "q_curriculum" -> (q_curriculum _),
     "q_entropy" -> (q_entropy _),
     "q_cluster_canonical" -> (q_cluster_canonical _),
     "q_chunk" -> (q_chunk _),
@@ -697,7 +759,44 @@ object PipelineQueries {
       |FROM term GROUP BY source, tot, n_types
       |ORDER BY source ASC""".stripMargin
 
+  private val tokenBudgetSql: String =
+    s"""WITH t AS (SELECT source,
+       |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |               AS n_tokens
+       |           FROM documents GROUP BY 1),
+       |s AS (SELECT source, n_tokens,
+       |        CAST(round(sqrt(n_tokens), 9) AS DECIMAL(20,9)) AS sq FROM t),
+       |tot AS (SELECT SUM(sq) AS sq_tot FROM s),
+       |w AS (SELECT source, n_tokens,
+       |        CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE) * $MixBudget
+       |          AS share
+       |      FROM s, tot),
+       |b AS (SELECT source, n_tokens,
+       |        CAST(floor(share) AS BIGINT) AS base,
+       |        round(share - CAST(floor(share) AS BIGINT), 9) AS frac FROM w),
+       |l AS (SELECT *, $MixBudget - SUM(base) OVER () AS leftover,
+       |        ROW_NUMBER() OVER (ORDER BY frac DESC, source ASC) AS rk
+       |      FROM b)
+       |SELECT source, n_tokens,
+       |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       |            AS BIGINT) AS quota
+       |FROM l ORDER BY source ASC""".stripMargin
+
+  private val curriculumSql: String =
+    """WITH t AS (SELECT doc_id, n_chars,
+      |             CAST(ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC)
+      |                  AS INTEGER) AS tier
+      |           FROM documents),
+      |p AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY tier
+      |        ORDER BY n_chars ASC, doc_id ASC) AS INTEGER) AS pos FROM t)
+      |SELECT doc_id, n_chars, tier, pos,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY pos ASC, tier ASC, doc_id ASC)
+      |       AS INTEGER) AS training_rank
+      |FROM p ORDER BY doc_id ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_token_budget" -> tokenBudgetSql,
+    "q_curriculum" -> curriculumSql,
     "q_entropy" -> entropySql,
     "q_cluster_canonical" -> clusterCanonicalSql,
     "q_chunk" -> chunkSql,

@@ -308,6 +308,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.where($"entropy" > 0).count() > 0)
   }
 
+  test("token budget quotas sum exactly to the global budget") {
+    val out = graft.queries.PipelineQueries.q_token_budget(spark, sf)
+    assert(out.agg(sum("quota")).as[Long].head() == 100000L)
+    // monotone in source mass: bigger sources never get smaller quotas
+    val rows = out.orderBy($"n_tokens".asc).collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2) + 1) // ±1 from remainder step
+    }
+  }
+
+  test("curriculum interleaves tiers round-robin") {
+    val out = graft.queries.PipelineQueries.q_curriculum(spark, sf)
+    val n = out.count()
+    // training_rank is a permutation of 1..n
+    assert(out.agg(max("training_rank")).as[Int].head() == n)
+    assert(out.select("training_rank").distinct().count() == n)
+    // the first 4 training positions cover 4 distinct tiers
+    val head4 = out.where($"training_rank" <= 4)
+      .select("tier").distinct().count()
+    assert(head4 == 4)
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
