@@ -448,7 +448,39 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  private val AnomalyTopK = 100
+
+  /** Statistical outlier detection: per-platform z-scores of event
+    * values, top-100 by |z| (metric-quality auditing / bad-feed
+    * detection). Moments come from EXACT integer-cents sums (value
+    * quantizes to cents without half-way cases — a dyadic double can
+    * never be an odd multiple of 1/200), so mean/variance are
+    * identical doubles on both engines; one partial-agg'd scan plus a
+    * broadcast join back. Top-k under a total order →
+    * TakeOrderedAndProject. */
+  def q_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type").as("platform"),
+        col("value"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+    val stats = e.groupBy("platform")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
+        sum(col("c") * col("c")).as("sumsq_c"))
+      .withColumn("mean_c", col("sum_c").cast("double") / col("n"))
+      .withColumn("var_c",
+        (col("sumsq_c").cast("double")
+          - col("sum_c").cast("double") * col("sum_c").cast("double") / col("n"))
+          / col("n"))
+    e.join(broadcast(stats), "platform")
+      .where(col("var_c") > 0)
+      .select(col("event_id"), col("platform"), col("value"),
+        round((col("c") - col("mean_c")) / sqrt(col("var_c")), 6).as("z"))
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(AnomalyTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly" -> (q_anomaly _),
     "q_token_budget" -> (q_token_budget _),
     "q_curriculum" -> (q_curriculum _),
     "q_entropy" -> (q_entropy _),
@@ -794,7 +826,28 @@ object PipelineQueries {
       |       AS INTEGER) AS training_rank
       |FROM p ORDER BY doc_id ASC""".stripMargin
 
+  private val anomalySql: String =
+    s"""WITH e AS (SELECT event_id, event_type AS platform, value,
+       |             CAST(round(value * 100, 0) AS BIGINT) AS c
+       |           FROM events),
+       |s AS (SELECT platform, COUNT(*) AS n,
+       |        CAST(SUM(c) AS BIGINT) AS sum_c,
+       |        CAST(SUM(c * c) AS BIGINT) AS sumsq_c
+       |      FROM e GROUP BY 1),
+       |m AS (SELECT platform, n,
+       |        CAST(sum_c AS DOUBLE) / n AS mean_c,
+       |        (CAST(sumsq_c AS DOUBLE)
+       |          - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n) / n
+       |          AS var_c
+       |      FROM s)
+       |SELECT e.event_id, e.platform, e.value,
+       |       round((e.c - m.mean_c) / sqrt(m.var_c), 6) AS z
+       |FROM e JOIN m ON e.platform = m.platform
+       |WHERE m.var_c > 0
+       |ORDER BY abs(z) DESC, event_id ASC LIMIT $AnomalyTopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_anomaly" -> anomalySql,
     "q_token_budget" -> tokenBudgetSql,
     "q_curriculum" -> curriculumSql,
     "q_entropy" -> entropySql,

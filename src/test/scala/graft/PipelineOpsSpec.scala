@@ -330,6 +330,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(head4 == 4)
   }
 
+  test("anomaly top-k is ordered by |z| and bounded") {
+    val out = graft.queries.PipelineQueries.q_anomaly(spark, sf).collect()
+    assert(out.length == 100)
+    val zs = out.map(r => math.abs(r.getDouble(3)))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
