@@ -137,4 +137,11 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("FileScan"), s"lineage must be truncated:\n$p")
   }
+
+  test("bounded top-k outputs avoid global sorts (anomaly, collocations)") {
+    Seq("q_anomaly", "q_collocations").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("TakeOrderedAndProject"), s"$n:\n$p")
+    }
+  }
 }
