@@ -295,7 +295,7 @@ FROM documents ORDER BY doc_id ASC"""
 FROM documents GROUP BY 1 ORDER BY content_md5 ASC"""
 
   /** Shared shingle CTEs (exploded relational form). */
-  private def shingleCtes(n: Int): String =
+  private[queries] def shingleCtes(n: Int): String =
     s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
        FROM tok, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)

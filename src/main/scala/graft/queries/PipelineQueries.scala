@@ -479,7 +479,41 @@ object PipelineQueries {
       .limit(AnomalyTopK)
   }
 
+  private val ContainmentThreshold = 0.7
+
+  /** Asymmetric shingle containment ([[TextOps.containmentPairs]]):
+    * catches subset-duplicates whose Jaccard stays low. */
+  def q_containment(spark: SparkSession, dir: String): DataFrame =
+    TextOps.containmentPairs(
+      Tables.table(spark, dir, "documents"),
+      CorpusQueries.ShingleN, ContainmentThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+
+  /** Dedup mass report: how much of the corpus is duplicated —
+    * clusters-per-size histogram from the MinHash near-dup graph,
+    * singletons derived arithmetically (never materialized as
+    * clusters). The pipeline-health number every dedup run reports. */
+  def q_dedup_stats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val pairs = TextOps.minhashDupPairs(
+      docs, CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
+      .select("a", "b")
+    val sizes = Components.connectedComponents(pairs)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    val singletons = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        sizes.agg(coalesce(sum(col("cluster_size")), lit(0L)).as("in_clusters"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("in_clusters")).as("n_clusters"))
+    singletons.unionByName(hist).orderBy(col("cluster_size").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_containment" -> (q_containment _),
+    "q_dedup_stats" -> (q_dedup_stats _),
     "q_anomaly" -> (q_anomaly _),
     "q_token_budget" -> (q_token_budget _),
     "q_curriculum" -> (q_curriculum _),
@@ -846,7 +880,52 @@ object PipelineQueries {
        |WHERE m.var_c > 0
        |ORDER BY abs(z) DESC, event_id ASC LIMIT $AnomalyTopK""".stripMargin
 
+  private val containmentSql: String =
+    s"""${CorpusQueries.shingleCtes(CorpusQueries.ShingleN)},
+       |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+       |       FROM sh x JOIN sh y
+       |         ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2),
+       |j AS (SELECT a, b, n_common,
+       |        round(n_common / sa.n_sh, 6) AS cont_ab,
+       |        round(n_common / sb.n_sh, 6) AS cont_ba
+       |      FROM cm JOIN sz sa ON cm.a = sa.doc_id
+       |                JOIN sz sb ON cm.b = sb.doc_id)
+       |SELECT a, b, n_common, cont_ab, cont_ba FROM j
+       |WHERE greatest(cont_ab, cont_ba) >= $ContainmentThreshold
+       |ORDER BY a ASC, b ASC""".stripMargin
+
+  private val dedupStatsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (
+       |${CorpusQueries.minhashPairsBody}
+       |  ) mh
+       |),
+       |und AS (SELECT a AS x, b AS y FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+       |  UNION
+       |  SELECT u.x, r.lab FROM reach r JOIN und u ON u.y = r.node
+       |),
+       |comp AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+       |sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+       |hist AS (SELECT cluster_size, COUNT(*) AS n_clusters
+       |         FROM sizes GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |incl AS (SELECT COALESCE(CAST(SUM(cluster_size) AS BIGINT), 0)
+       |           AS in_clusters FROM sizes)
+       |SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |       CAST(t.n_docs - i.in_clusters AS BIGINT) AS n_clusters
+       |FROM tot t, incl i
+       |UNION ALL
+       |SELECT cluster_size, n_clusters FROM hist
+       |ORDER BY cluster_size ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_containment" -> containmentSql,
+    "q_dedup_stats" -> dedupStatsSql,
     "q_anomaly" -> anomalySql,
     "q_token_budget" -> tokenBudgetSql,
     "q_curriculum" -> curriculumSql,

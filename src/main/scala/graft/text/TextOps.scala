@@ -276,6 +276,30 @@ object TextOps {
       .select("a", "b", "jaccard")
   }
 
+  /** Asymmetric shingle-containment pairs: |A∩B| / |A| (and / |B|) —
+    * the subset-duplicate detector Jaccard structurally misses (a doc
+    * embedded whole inside a much larger one has tiny Jaccard but
+    * containment ≈ 1). Same single-shingling equi-join shape as
+    * [[ngramJaccardPairs]]; a pair survives if EITHER direction
+    * clears the threshold. Exactness baseline — the scale path for
+    * containment is [[exactSubstringDedup]]'s window hashing. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = withShingles(docs, n)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    sh.as("x")
+      .join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("cont_ab", round(col("n_common") / col("n_a"), 6))
+      .withColumn("cont_ba", round(col("n_common") / col("n_b"), 6))
+      .where(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select("a", "b", "n_common", "cont_ab", "cont_ba")
+  }
+
   /** MinHash signature columns mh0..mh{k-1}: per hash i, the
     * lexicographic MIN over shingles of md5("i:" ++ shingle) — the
     * salted-md5 family is engine-portable and collision-behaved. */

@@ -337,6 +337,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("containment dominates jaccard and catches subset docs") {
+    // doc 2 is a strict prefix-subset of doc 1: containment(2→1) = 1,
+    // jaccard well below it
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.containmentPairs(docs, 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("dedup stats: sizes weighted by counts cover the corpus exactly") {
+    val out = graft.queries.PipelineQueries.q_dedup_stats(spark, sf)
+    val covered = out.agg(sum($"cluster_size" * $"n_clusters")).as[Long].head()
+    val nDocs = graft.io.Tables.table(spark, sf, "documents").count()
+    assert(covered == nDocs)
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
