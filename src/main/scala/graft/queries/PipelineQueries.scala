@@ -511,7 +511,41 @@ object PipelineQueries {
     singletons.unionByName(hist).orderBy(col("cluster_size").asc)
   }
 
+  /** Winsorization (outlier clipping to the exact P5/P95 order
+    * statistics) per platform — the value-cleaning step before
+    * aggregate features. Bounds are DISCRETE percentiles computed as
+    * integer ranks over cent-quantized values (rank ⌈0.05·n⌉ under a
+    * total order), so both engines pick the IDENTICAL data value — no
+    * interpolation formula to drift by an ulp — and every clip/count/
+    * sum after that is pure integer math. */
+  def q_winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type").as("platform"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+    val ranked = e
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("platform"))
+          .orderBy(col("c").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("platform"))))
+    val bounds = ranked.groupBy("platform").agg(
+      min(when(col("rk") === expr("(n * 5 + 99) div 100"), col("c"))).as("lo_c"),
+      min(when(col("rk") === expr("(n * 95 + 99) div 100"), col("c"))).as("hi_c"))
+    e.join(broadcast(bounds), "platform")
+      .groupBy(col("platform"), col("lo_c"), col("hi_c"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c") < col("lo_c"), 1).otherwise(0)).as("n_low"),
+        sum(when(col("c") > col("hi_c"), 1).otherwise(0)).as("n_high"),
+        sum(least(greatest(col("c"), col("lo_c")), col("hi_c")))
+          .as("sum_clipped_c"))
+      .select(col("platform"), col("n"), col("lo_c"), col("hi_c"),
+        col("n_low"), col("n_high"), col("sum_clipped_c"))
+      .orderBy(col("platform").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize" -> (q_winsorize _),
     "q_containment" -> (q_containment _),
     "q_dedup_stats" -> (q_dedup_stats _),
     "q_anomaly" -> (q_anomaly _),
@@ -923,7 +957,31 @@ object PipelineQueries {
        |SELECT cluster_size, n_clusters FROM hist
        |ORDER BY cluster_size ASC""".stripMargin
 
+  private val winsorizeSql: String =
+    """WITH e AS (SELECT event_id, event_type AS platform,
+      |             CAST(round(value * 100, 0) AS BIGINT) AS c
+      |           FROM events),
+      |r AS (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY platform
+      |          ORDER BY c ASC, event_id ASC) AS rk,
+      |        COUNT(*) OVER (PARTITION BY platform) AS n
+      |      FROM e),
+      |b AS (SELECT platform,
+      |        MIN(CASE WHEN rk = (n * 5 + 99) // 100 THEN c END) AS lo_c,
+      |        MIN(CASE WHEN rk = (n * 95 + 99) // 100 THEN c END) AS hi_c
+      |      FROM r GROUP BY 1)
+      |SELECT e.platform AS platform, COUNT(*) AS n, b.lo_c, b.hi_c,
+      |  CAST(SUM(CASE WHEN e.c < b.lo_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low,
+      |  CAST(SUM(CASE WHEN e.c > b.hi_c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high,
+      |  CAST(SUM(least(greatest(e.c, b.lo_c), b.hi_c)) AS BIGINT)
+      |    AS sum_clipped_c
+      |FROM e JOIN b ON e.platform = b.platform
+      |GROUP BY 1, 3, 4 ORDER BY platform ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_winsorize" -> winsorizeSql,
     "q_containment" -> containmentSql,
     "q_dedup_stats" -> dedupStatsSql,
     "q_anomaly" -> anomalySql,

@@ -356,6 +356,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(covered == nDocs)
   }
 
+  test("winsorize clips roughly 5% on each side, within bounds") {
+    val out = graft.queries.PipelineQueries.q_winsorize(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nLow, nHigh, sumC) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(lo <= hi)
+      assert(nLow < n * 6 / 100 && nHigh <= n * 6 / 100)
+      assert(sumC >= lo * n && sumC <= hi * n)
+    }
+  }
+
   // ---- q_profile ---------------------------------------------------
 
   test("profile reports exact counts and extrema per column") {
