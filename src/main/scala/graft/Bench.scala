@@ -40,14 +40,24 @@ object Bench {
         else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
       (name, times.head, median)
     }
-    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + mn }
+    def r3(x: Double): String =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // per-query times at 1 ms precision: the driver archives only the
+    // LAST 2000 chars of this line (BENCH_r03 lost the min total to
+    // front-truncation), so the map is kept compact and every headline
+    // scalar sits AFTER it — `value` dead last, guaranteed in-tail
+    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + r3(mn) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // median alongside min: run-to-run variance on this box exceeds
     // any plausible regression, so regressions are judged on min and
     // sanity-checked against median
     val medianTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","median_total":$medianTotal}""")
+    // staged-artifact build time (DedupStage mining): paid once per
+    // session, so min-of-reps drops it from every query — report it
+    // separately instead of hiding it
+    val staged = graft.queries.DedupStage.stagedSeconds
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","staged_sec":${r3(staged)},"median_total":${r3(medianTotal)},"value":${r3(total)}}""")
     spark.stop()
   }
 }

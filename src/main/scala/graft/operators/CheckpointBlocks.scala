@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Frees the storage blocks behind a `localCheckpoint(eager = true)`
+  * Dataset. `Dataset.unpersist` routes through the CacheManager,
+  * which has NO entry for a checkpoint's persisted RDD — calling it
+  * on a checkpointed frame is a silent no-op, and iterative
+  * algorithms (PageRank, connected components) would accumulate one
+  * |V|-sized block set per round until ContextCleaner GC happens to
+  * run. The persisted RDD is reachable from the frame's physical
+  * scan, so walk the (one-node-deep, post-checkpoint) RDD lineage and
+  * unpersist anything holding storage.
+  *
+  * Only call on frames whose blocks nothing will read again: a local
+  * checkpoint's blocks ARE its data — they cannot be recomputed. */
+private[graft] object CheckpointBlocks {
+
+  def free(df: DataFrame): Unit = {
+    def walk(r: RDD[_]): Unit = {
+      if (r.getStorageLevel != StorageLevel.NONE) r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
+    walk(df.queryExecution.toRdd)
+  }
+
+  def free(dfs: Iterable[DataFrame]): Unit = dfs.foreach(free)
+}

@@ -88,9 +88,16 @@ object Components {
     }
     // free every intermediate round's blocks (the result reads only
     // the LAST checkpoint) — leaked checkpoint blocks otherwise
-    // pressure executor storage for the rest of the session
-    spent.foreach(_.unpersist())
-    und.unpersist()
+    // pressure executor storage for the rest of the session. NB:
+    // Dataset.unpersist would be a silent no-op here (CacheManager
+    // has no entry for checkpoint blocks) — [[CheckpointBlocks]]
+    // unpersists the persisted RDDs themselves. und only dies once a
+    // round replaced the initial labels (maxIters = 0 returns a
+    // frame still reading it).
+    if (iters > 0) {
+      CheckpointBlocks.free(spent)
+      CheckpointBlocks.free(und)
+    }
     (labels, iters)
   }
 }

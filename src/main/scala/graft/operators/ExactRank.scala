@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed EXACT global rank — the scale-safe replacement for
+  * `row_number()/ntile(k) OVER (ORDER BY …)` with no partition key,
+  * which Spark plans as `Exchange SinglePartition` + one-task sort
+  * (the whole table through a single reducer — a non-starter at
+  * 100 TB).
+  *
+  * Two-phase range-partitioned rank instead:
+  *
+  *  1. `repartitionByRange` on the sort keys — one ordinary shuffle,
+  *     every partition a contiguous key range, partitions ordered by
+  *     partition index (RangePartitioner's contract).
+  *  2. One cheap job counts rows per partition; a driver-side prefix
+  *     sum over those P counts (P = shuffle partitions, a few bytes)
+  *     yields each partition's global offset. The shuffle files are
+  *     reused by the next job — only the post-shuffle local sort
+  *     re-executes, in parallel.
+  *  3. A map-side pass assigns `offset(p) + local position` — the
+  *     exact 1-based global rank. No single-partition stage anywhere.
+  *
+  * Ranks are invariant to the partition count and to the sampled
+  * range boundaries (any boundaries give the same total order), which
+  * is what lets the callers keep bit-identical oracle hashes while
+  * swapping the plan. Sort keys MUST form a total order (include a
+  * unique tiebreaker column) or ranks at partition boundaries would
+  * be nondeterministic.
+  *
+  * `ntile` bucket membership is then pure integer math on the rank
+  * (see [[ntileFromRank]]), so equi-depth histograms, curriculum
+  * tiers and exact order-statistic bounds (P5/P95 winsorization) all
+  * derive map-side from one ranked pass.
+  */
+object ExactRank {
+
+  /** Appends `rankCol` = exact 1-based global rank under the total
+    * order of `sortKeys`. Returns the ranked frame and the total row
+    * count (already known from the counting pass — free for callers
+    * that need `n` for ntile math).
+    *
+    * The counting job runs eagerly at call time; the returned frame
+    * re-reads the same shuffle output lazily. Callers fanning out to
+    * several actions over the result should persist it.
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      sortKeys: Seq[Column],
+      rankCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(p, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val rdd = sorted.rdd
+    val counts = spark.sparkContext.runJob(
+      rdd,
+      (it: Iterator[Row]) => {
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        c
+      })
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    }
+    (spark.createDataFrame(ranked, schema), n)
+  }
+
+  /** `ntile(k)` bucket of a row given its exact global rank and the
+    * total count `n`, as integer Column math (matches the SQL-standard
+    * rule Spark and DuckDB share: the first `n mod k` buckets hold
+    * `⌈n/k⌉` rows, the rest `⌊n/k⌋`). IntegerType, like Spark's
+    * `ntile`. */
+  def ntileFromRank(rankCol: String, n: Long, k: Int): Column = {
+    val q = n / k
+    val rem = n % k
+    val cut = rem * (q + 1)
+    // qs guards the (unreachable when q == 0) ELSE branch against
+    // ANSI division-by-zero
+    val qs = math.max(q, 1L)
+    expr(
+      s"CAST(CASE WHEN $rankCol <= $cut THEN ($rankCol - 1) DIV ${q + 1} + 1 " +
+        s"ELSE $rem + ($rankCol - 1 - $cut) DIV $qs + 1 END AS INT)")
+  }
+
+  /** Global rank of the first row of ntile bucket `tierCol` minus one
+    * — i.e. the count of rows in buckets before it — so
+    * `rank - ntileOffset(tier)` is `row_number()` restarting inside
+    * each bucket. */
+  def ntileOffset(tierCol: String, n: Long, k: Int): Column = {
+    val q = n / k
+    val rem = n % k
+    val cut = rem * (q + 1)
+    expr(
+      s"CASE WHEN $tierCol - 1 <= $rem THEN ($tierCol - 1) * ${q + 1} " +
+        s"ELSE $cut + ($tierCol - 1 - $rem) * $q END")
+  }
+}

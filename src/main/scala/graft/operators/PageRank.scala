@@ -30,13 +30,36 @@ object PageRank {
 
   /** `edges` must have columns (src, dst) with every node appearing
     * as a src (undirected graphs: union both directions first).
-    * Returns (node, degree, mass) after `iters` damped rounds. */
-  def integerPageRank(edges: DataFrame, iters: Int, startMass: Long = 1000000L): DataFrame = {
+    * Returns (node, degree, mass) after `iters` damped rounds.
+    *
+    * Two layouts, bit-identical results (integer math is
+    * layout-independent; PipelineOpsSpec asserts the equality):
+    *
+    *  - `broadcastState = true` (default): node state (id, sent) is
+    *    |V| rows vs |E| edge rows — broadcast it so the edge list
+    *    never shuffles; per-round network traffic is just the
+    *    partial-agg'd contribution sums. Right while |V| fits a
+    *    broadcast.
+    *  - `broadcastState = false`: the GraphX-style co-partitioned
+    *    layout for graphs whose node state outgrows broadcast
+    *    (billions of nodes). Edges are hash-partitioned AND sorted on
+    *    src once before the checkpoint — the checkpoint preserves
+    *    partitioning and ordering, so each round's state join shuffles
+    *    and sorts ONLY the |V|-row state side; the |E|-row edge list
+    *    never moves again and no BroadcastExchange appears in the
+    *    loop. */
+  def integerPageRank(
+      edges: DataFrame,
+      iters: Int,
+      startMass: Long = 1000000L,
+      broadcastState: Boolean = true): DataFrame = {
     // materialize the edge list ONCE — it re-enters the loop every
     // round, and without this each iteration re-runs the caller's
     // whole edge derivation (scan + distinct + union) from scratch
     // (measured 11 s → 4 s at sf0.1 for the lineitem graph)
-    val e = edges.localCheckpoint(true)
+    val e = (if (broadcastState) edges
+             else edges.repartition(col("src")).sortWithinPartitions("src"))
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
       .localCheckpoint(true)
@@ -44,15 +67,10 @@ object PageRank {
     var state = deg.withColumn("mass", lit(startMass))
     var spent = List.empty[DataFrame]
     for (_ <- 1 to iters) {
-      // node state (id, sent) is |V| rows vs |E| edge rows — broadcast
-      // it so the edge list never shuffles; per-round network traffic
-      // is then just the partial-agg'd contribution sums. For graphs
-      // whose node state outgrows broadcast (billions of nodes), drop
-      // the hint and co-partition edges+state on src instead (the
-      // GraphX layout); the integer math is layout-independent.
+      val sent = state.select(col("node").as("src"),
+        expr("mass div degree").as("sent"))
       val contrib = e
-        .join(broadcast(state.select(col("node").as("src"),
-          expr("mass div degree").as("sent"))), "src")
+        .join(if (broadcastState) broadcast(sent) else sent, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("sent")).as("incoming"))
       val updated = deg
@@ -64,8 +82,15 @@ object PageRank {
       spent ::= state
       state = updated
     }
-    spent.foreach(_.unpersist())
-    e.unpersist()
+    // spent states are dead local-checkpoint blocks (state(0) is a
+    // projection over deg, harmlessly re-walked); e and deg are fully
+    // consumed once at least one round made state an independent
+    // checkpoint (iters == 0 returns a view OVER deg — keep it)
+    if (iters > 0) {
+      CheckpointBlocks.free(spent)
+      CheckpointBlocks.free(e)
+      CheckpointBlocks.free(deg)
+    }
     state
   }
 }

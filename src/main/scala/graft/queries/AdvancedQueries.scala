@@ -79,17 +79,12 @@ object AdvancedQueries {
 
   /** Transitive dedup clustering: MinHash near-dup pairs → connected
     * components → (doc, canonical doc). The step that makes pairwise
-    * dedup hits actionable at corpus scale. */
-  def q_dedup_components(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextOps.minhashDupPairs(
-      Tables.table(spark, dir, "documents"),
-      CorpusQueries.ShingleN, CorpusQueries.MinhashK,
-      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
-      .select("a", "b")
-    Components.connectedComponents(pairs)
+    * dedup hits actionable at corpus scale. Reads the shared
+    * [[DedupStage]] snapshot artifact (mined once, four consumers). */
+  def q_dedup_components(spark: SparkSession, dir: String): DataFrame =
+    DedupStage.components(spark, dir)
       .select(col("node").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id").asc)
-  }
 
   /** TF-IDF: top-3 terms per document by tf·ln(N/df). Scores are
     * rounded BEFORE ranking so the double `ln` (which can differ in
@@ -372,11 +367,7 @@ object AdvancedQueries {
     * across runs, engines, and cluster layouts. */
   def q_split_dedup_aware(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val pairs = TextOps.minhashDupPairs(
-      docs, CorpusQueries.ShingleN, CorpusQueries.MinhashK,
-      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
-      .select("a", "b")
-    val comp = Components.connectedComponents(pairs)
+    val comp = DedupStage.components(spark, dir)
       .select(col("node").as("doc_id"), col("label"))
     val canon = docs.select("doc_id")
       .join(comp, Seq("doc_id"), "left")
@@ -410,16 +401,19 @@ object AdvancedQueries {
       .orderBy(col("window_start").asc, col("platform").asc)
 
   /** Equi-DEPTH histogram (10 buckets of equal row count) over order
-    * totals: ntile under a TOTAL order (value, key — ties at bucket
-    * boundaries would otherwise land nondeterministically). The
-    * exact global-sort form is the oracle-checkable baseline; at
-    * 100 TB the same result shape comes from approx_percentile
-    * boundaries + a map-side bucket assignment (sketch bounds
-    * spec-gated in ScaleOpsSpec). */
+    * totals. Semantics: ntile under a TOTAL order (value, key — ties
+    * at bucket boundaries would otherwise land nondeterministically);
+    * plan: [[graft.operators.ExactRank]]'s two-phase range-partitioned
+    * rank plus map-side integer bucket math — no single-partition
+    * window, bit-identical to the `ntile(10) OVER (ORDER BY …)`
+    * oracle. (Approximate sketch-bound variant spec-gated in
+    * ScaleOpsSpec.) */
   def q_histogram(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.table(spark, dir, "orders")
-      .withColumn("bucket", ntile(10).over(w))
+    val (ranked, n) = graft.operators.ExactRank.withGlobalRank(
+      Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+      Seq(col("o_totalprice").asc, col("o_orderkey").asc), "_gr")
+    ranked
+      .withColumn("bucket", graft.operators.ExactRank.ntileFromRank("_gr", n, 10))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n"),

@@ -149,14 +149,20 @@ object ParityQueries {
       .limit(10)
 
   /** U1: order-preserving tagged union — position is an explicit
-    * column (row_number per source), never implicit row order. */
+    * column (row_number per source), never implicit row order. The
+    * per-branch position comes from [[graft.operators.ExactRank]]
+    * (the naive `PARTITION BY source` window constant-folds the
+    * literal tag away and funnels the whole branch through one task);
+    * c_custkey tiebreaks make the rank a total order. */
   def q_union_tagged(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
     def half(segment: String, source: String) = {
-      val w = Window.partitionBy("source").orderBy(col("name").asc)
-      c.where(col("c_mktsegment") === segment)
-        .select(lit(source).as("source"), col("c_name").as("name"))
-        .withColumn("position", row_number().over(w))
+      val (ranked, _) = graft.operators.ExactRank.withGlobalRank(
+        c.where(col("c_mktsegment") === segment)
+          .select(col("c_name").as("name"), col("c_custkey")),
+        Seq(col("name").asc, col("c_custkey").asc), "_gr")
+      ranked.select(lit(source).as("source"), col("name"),
+        col("_gr").cast("int").as("position"))
     }
     half("BUILDING", "Spotify")
       .unionByName(half("MACHINERY", "Apple Music"))

@@ -345,11 +345,7 @@ object PipelineQueries {
     * (partial map-side), re-joined to flag survivors. */
   def q_cluster_canonical(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val pairs = TextOps.minhashDupPairs(
-      docs, CorpusQueries.ShingleN, CorpusQueries.MinhashK,
-      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
-      .select("a", "b")
-    val comp = Components.connectedComponents(pairs)
+    val comp = DedupStage.components(spark, dir)
       .select(col("node").as("doc_id"), col("label"))
     val lbl = docs.select(col("doc_id"), col("n_chars"))
       .join(comp, Seq("doc_id"), "left")
@@ -410,14 +406,23 @@ object PipelineQueries {
         col("sq").cast("double") / col("sq_tot").cast("double") * MixBudget)
       .withColumn("base", floor(col("share")).cast("bigint"))
       .withColumn("frac", round(col("share") - col("base"), 9))
-    val remW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("frac").desc, col("source").asc)
-    val leftoverW = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    w.withColumn("leftover", lit(MixBudget) - sum(col("base")).over(leftoverW))
-      .withColumn("rk", row_number().over(remW))
+    // the remainder rank and the leftover total are over the ~#sources
+    // aggregated rows, but windows there would still plan single
+    // partition: the total is a broadcast cross join, the rank a
+    // triangle self-join predecessor count (rk-1 = rows ordering
+    // strictly before under (frac DESC, source ASC))
+    val leftover = w.agg((lit(MixBudget) - sum(col("base"))).as("leftover"))
+    w.as("a")
+      .join(broadcast(w.select(col("frac"), col("source")).as("b")),
+        col("b.frac") > col("a.frac") ||
+          (col("b.frac") === col("a.frac") && col("b.source") < col("a.source")),
+        "left")
+      .groupBy(col("a.source").as("source"), col("a.n_tokens").as("n_tokens"),
+        col("a.base").as("base"))
+      .agg(count(col("b.source")).as("n_before"))
+      .crossJoin(broadcast(leftover))
       .select(col("source"), col("n_tokens"),
-        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        (col("base") + when(col("n_before") < col("leftover"), 1L).otherwise(0L))
           .as("quota"))
       .orderBy(col("source").asc)
   }
@@ -426,25 +431,32 @@ object PipelineQueries {
     * (length as the difficulty proxy, ntile under a total order), then
     * the training order round-robins across tiers so every batch
     * window sees the full difficulty mix — all integer rank algebra,
-    * no RNG. The output IS a global ordering, so a global sort is
-    * inherent to the semantics; at cluster scale the ntile/rank
-    * windows become (a) tier boundaries from a quantile agg, bucketed
-    * map-side, and (b) a `repartitionByRange` sort on (pos, tier) —
-    * distributed range sort, not a single-partition window. The
-    * window form here is the oracle-exact specification. */
+    * no RNG. ONE [[graft.operators.ExactRank]] pass (range-partitioned,
+    * no single-partition window) yields the global difficulty rank;
+    * tier, within-tier position AND the interleaved training rank are
+    * all closed-form integer math on it, because the 4 tier sizes are
+    * known from n: `training_rank(pos, tier) = Σ_u min(pos-1, s_u) +
+    * #{u < tier : s_u ≥ pos} + 1` — bit-identical to the oracle's
+    * three stacked windows. */
   def q_curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ExactRank
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val tierW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    val posW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("tier"))
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pos").asc, col("tier").asc, col("doc_id").asc)
-    docs.withColumn("tier", ntile(4).over(tierW))
-      .withColumn("pos", row_number().over(posW))
-      .withColumn("training_rank", row_number().over(rankW))
+    val (ranked, n) = ExactRank.withGlobalRank(
+      docs, Seq(col("n_chars").asc, col("doc_id").asc), "_gr")
+    val q = n / 4
+    val rem = n % 4
+    ranked
+      .withColumn("tier", ExactRank.ntileFromRank("_gr", n, 4))
+      .withColumn("pos",
+        (col("_gr") - ExactRank.ntileOffset("tier", n, 4)).cast("int"))
+      .withColumn("training_rank", expr(
+        s"CAST($rem * least(pos - 1, ${q + 1}) + ${4 - rem} * least(pos - 1, $q)" +
+          s" + (CASE WHEN ${q + 1} >= pos THEN least(tier - 1, $rem) ELSE 0 END)" +
+          s" + (CASE WHEN $q >= pos THEN greatest(tier - 1 - $rem, 0) ELSE 0 END)" +
+          s" + 1 AS INT)"))
+      .select(col("doc_id"), col("n_chars"), col("tier"), col("pos"),
+        col("training_rank"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -495,11 +507,7 @@ object PipelineQueries {
     * clusters). The pipeline-health number every dedup run reports. */
   def q_dedup_stats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val pairs = TextOps.minhashDupPairs(
-      docs, CorpusQueries.ShingleN, CorpusQueries.MinhashK,
-      CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
-      .select("a", "b")
-    val sizes = Components.connectedComponents(pairs)
+    val sizes = DedupStage.components(spark, dir)
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val hist = sizes.groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
@@ -519,16 +527,25 @@ object PipelineQueries {
     * interpolation formula to drift by an ulp — and every clip/count/
     * sum after that is pure integer math. */
   def q_winsorize(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.table(spark, dir, "events")
       .select(col("event_id"), col("event_type").as("platform"),
         round(col("value") * 100, 0).cast("bigint").as("c"))
-    val ranked = e
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("platform"))
-          .orderBy(col("c").asc, col("event_id").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("platform"))))
-    val bounds = ranked.groupBy("platform").agg(
+    // per-platform rank WITHOUT `PARTITION BY platform` (platform
+    // cardinality ~5 would funnel n/5 of the fact through each
+    // reducer): one platform-major ExactRank pass, then rank within
+    // platform = global rank minus the platform's prefix-sum offset
+    // (tiny triangle self-join over the ~5-row platform counts)
+    val (ranked, _) = graft.operators.ExactRank.withGlobalRank(
+      e, Seq(col("platform").asc, col("c").asc, col("event_id").asc), "_gr")
+    val cnt = e.groupBy("platform").agg(count(lit(1)).as("n_p"))
+    val off = cnt.as("a")
+      .join(cnt.as("b"), col("b.platform") < col("a.platform"), "left")
+      .groupBy(col("a.platform").as("platform"), col("a.n_p").as("n_p"))
+      .agg(coalesce(sum(col("b.n_p")), lit(0L)).as("off0"))
+    val bounds = ranked.join(broadcast(off), "platform")
+      .select(col("platform"), (col("_gr") - col("off0")).as("rk"),
+        col("n_p").as("n"), col("c"))
+      .groupBy("platform").agg(
       min(when(col("rk") === expr("(n * 5 + 99) div 100"), col("c"))).as("lo_c"),
       min(when(col("rk") === expr("(n * 95 + 99) div 100"), col("c"))).as("hi_c"))
     e.join(broadcast(bounds), "platform")

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExactRank
+
+/** [[ExactRank]] must be BIT-IDENTICAL to the single-partition window
+  * forms it replaces (the oracle hashes of q_histogram / q_curriculum
+  * / q_winsorize / q_union_tagged depend on it), and invariant to the
+  * partition count — the property that makes the plan swap safe. */
+class ExactRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // values with heavy ties (i % 7) force the tiebreaker to matter;
+  // 103 is deliberately coprime with every partition count tried
+  private def sample(n: Int): DataFrame =
+    (0 until n).map(i => ((i * 53) % 103, i % 7, s"k$i")).toDF("id", "v", "s")
+
+  private def windowRank(df: DataFrame): DataFrame =
+    df.withColumn("_gr",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc)).cast("long"))
+
+  test("global rank matches row_number() for every partition count") {
+    val df = sample(103)
+    val expected = windowRank(df).orderBy("id").collect().toSeq
+    for (p <- Seq(1, 3, 4, 7, 32)) {
+      val (ranked, n) = ExactRank.withGlobalRank(
+        df, Seq(col("v").asc, col("id").asc), "_gr", numPartitions = p)
+      assert(n == 103L)
+      assert(ranked.orderBy("id").collect().toSeq == expected, s"p=$p")
+    }
+  }
+
+  test("ntileFromRank matches ntile(k) for uneven and tiny n") {
+    for (n <- Seq(1, 3, 10, 37, 103); k <- Seq(3, 4, 10)) {
+      val df = sample(n)
+      val viaWindow = df
+        .withColumn("b",
+          ntile(k).over(Window.orderBy(col("v").asc, col("id").asc)))
+        .select("id", "b").orderBy("id").collect().toSeq
+      val (ranked, total) = ExactRank.withGlobalRank(
+        df, Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 4)
+      val viaMath = ranked
+        .withColumn("b", ExactRank.ntileFromRank("_gr", total, k))
+        .select("id", "b").orderBy("id").collect().toSeq
+      assert(viaMath == viaWindow, s"n=$n k=$k")
+    }
+  }
+
+  test("ntileOffset restarts row_number inside each bucket") {
+    val df = sample(37)
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val viaWindow = df
+      .withColumn("tier", ntile(4).over(w))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy("tier").orderBy(col("v").asc, col("id").asc)))
+      .select("id", "tier", "pos").orderBy("id").collect().toSeq
+    val (ranked, n) = ExactRank.withGlobalRank(
+      df, Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 5)
+    val viaMath = ranked
+      .withColumn("tier", ExactRank.ntileFromRank("_gr", n, 4))
+      .withColumn("pos",
+        (col("_gr") - ExactRank.ntileOffset("tier", n, 4)).cast("int"))
+      .select("id", "tier", "pos").orderBy("id").collect().toSeq
+    assert(viaMath == viaWindow)
+  }
+
+  test("empty input ranks to an empty frame with n = 0") {
+    val df = sample(10).where(col("id") < -1)
+    val (ranked, n) = ExactRank.withGlobalRank(
+      df, Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 4)
+    assert(n == 0L && ranked.count() == 0L)
+  }
+
+  test("schema appends a non-nullable long rank, preserving input columns") {
+    val (ranked, _) = ExactRank.withGlobalRank(
+      sample(5), Seq(col("v").asc, col("id").asc), "r", numPartitions = 2)
+    assert(ranked.columns.toSeq == Seq("id", "v", "s", "r"))
+    assert(ranked.schema("r").dataType.typeName == "long")
+  }
+}

@@ -152,6 +152,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rowsOf(a) == rowsOf(b))
   }
 
+  test("co-partitioned pagerank: bit-equal to broadcast layout, no broadcast in the loop") {
+    val li = graft.io.Tables.table(spark, sf, "lineitem")
+      .select(concat(lit("p:"), $"l_partkey").as("p"),
+        concat(lit("s:"), $"l_suppkey").as("s")).distinct()
+    val e = li.select($"p".as("src"), $"s".as("dst"))
+      .unionByName(li.select($"s".as("src"), $"p".as("dst")))
+    val viaBroadcast = graft.operators.PageRank
+      .integerPageRank(e, 3).orderBy("node")
+    // forbid broadcast joins entirely for the co-partitioned run:
+    // with no hint, AQE would still pick broadcast at test scale and
+    // mask the layout under test
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val coPart = graft.operators.PageRank
+        .integerPageRank(e, 3, broadcastState = false)
+      // integer masses: layouts must agree on every bit
+      assert(rowsOf(coPart.orderBy("node")) == rowsOf(viaBroadcast))
+      // the edge side pre-positions once; the state join keeps the
+      // loop free of any BroadcastExchange
+      val plan = coPart.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastExchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
+  test("pagerank and components free their intermediate checkpoint blocks") {
+    import scala.jdk.CollectionConverters._
+    val und = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("x", "y")
+    val edges = und.select($"x".as("src"), $"y".as("dst"))
+      .unionByName(und.select($"y".as("src"), $"x".as("dst")))
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    graft.operators.PageRank.integerPageRank(edges, iters = 4).collect()
+    // only the returned frame's own checkpoint may remain (spent
+    // per-round states, the edge list and the degree table are freed)
+    assert(persisted - before <= 1, s"pagerank leaked: $before -> $persisted")
+    val base = persisted
+    graft.operators.Components
+      .connectedComponents(und.select($"x".as("a"), $"y".as("b"))).collect()
+    assert(persisted - base <= 1, s"components leaked: $base -> $persisted")
+  }
+
   // ---- BM25 --------------------------------------------------------
 
   test("bm25 is zero without query terms, positive with them") {

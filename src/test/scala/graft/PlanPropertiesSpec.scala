@@ -144,4 +144,56 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(p.contains("TakeOrderedAndProject"), s"$n:\n$p")
     }
   }
+
+  // ---- round-4 additions -------------------------------------------
+
+  /** Engine-wide single-partition lint: NO registered query may plan a
+    * Window over an empty partition spec (= `Exchange SinglePartition`
+    * + one-task sort of the whole input — the 100 TB scale-killer the
+    * round-3 verdict flagged on q_histogram/q_curriculum). Walks the
+    * STATIC plan of all queries, so a reintroduction anywhere fails
+    * loudly. Single-partition exchanges feeding a global AGGREGATE
+    * (e.g. q_bm25's corpus-stats reduce of partial aggs — a few rows)
+    * remain legitimate; windows and non-top-k sorts are not. */
+  test("no registered query windows over a single partition") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    // first shuffle at-or-below p, following unary chains only
+    @scala.annotation.tailrec
+    def inputExchange(p: SparkPlan): Option[ShuffleExchangeExec] = p match {
+      case e: ShuffleExchangeExec => Some(e)
+      case _ if p.children.size == 1 => inputExchange(p.children.head)
+      case _ => None
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      flatten(plan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          s"$name: global Window (${w.windowExpression.mkString(",").take(80)})"
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          s"$name: global WindowGroupLimit"
+        case s: SortExec if s.global &&
+          inputExchange(s.child).exists(_.outputPartitioning == SinglePartition) =>
+          s"$name: global Sort over SinglePartition exchange"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("histogram + curriculum + winsorize: two-phase rank, no single-partition stage") {
+    Seq("q_histogram", "q_curriculum", "q_winsorize").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("Exchange SinglePartition"), s"$n:\n$p")
+      assert(!p.contains("Window"), s"$n:\n$p")
+    }
+  }
 }
