@@ -59,7 +59,7 @@ object Load {
     }.select(cols: _*)
     val inserted = constraints.foldLeft(deduped) { (b, keys) =>
       b.join(existing, keys, "left_anti")
-    }
+    }.select(cols: _*) // USING anti-joins move key columns first — restore DDL order
     (inserted, existing.unionByName(inserted))
   }
 

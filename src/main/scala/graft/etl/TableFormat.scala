@@ -1,0 +1,131 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** The storage seam under the load layer — the contract a
+  * transactional table format (Delta, Iceberg, Hudi) would fulfil.
+  *
+  * The reference gets atomic `INSERT … ON CONFLICT DO NOTHING
+  * RETURNING` from Postgres (`etl_pipeline.py:594-612`); this engine's
+  * default backend models each table as a VERSIONED PARQUET directory
+  * (SURVEY §7.4 risk 1): immutable version dirs `v=N`, "merge" =
+  * [[Load.upsert]]'s anti-join chain + a new version commit, RETURNING
+  * computed pre-write. That carries a documented single-writer-per-
+  * table assumption — two concurrent merges could both anti-join
+  * against `v=N` and race the `v=N+1` commit. A real deployment swaps
+  * in a format whose commit protocol arbitrates that race
+  * (`MERGE WHEN NOT MATCHED`); everything above this trait is
+  * unchanged, which is the point of the seam.
+  */
+trait TableFormat {
+
+  /** Current committed state. */
+  def read(table: String): DataFrame
+
+  /** Point-in-time read of a committed version (audit/backfill). */
+  def readVersion(table: String, version: Long): DataFrame
+
+  /** Highest committed version, 0 if the table does not exist. */
+  def currentVersion(table: String): Long
+
+  /** Create-or-replace the table with `df` as its next version. */
+  def overwrite(table: String, df: DataFrame): Unit
+
+  /** `MERGE WHEN NOT MATCHED THEN INSERT` under the table's unique
+    * constraints (DDL order), with `priority` as the within-batch
+    * tie-break: commits the merged state and returns the inserted
+    * (RETURNING) set. A no-op merge (zero survivors) MUST NOT mint a
+    * new version. */
+  def mergeInsert(
+      table: String,
+      batch: DataFrame,
+      constraints: Seq[Seq[String]],
+      priority: Seq[Column]): DataFrame
+
+  /** `MERGE WHEN MATCHED AND target.valueCol IS NULL THEN UPDATE` —
+    * the fill-if-null enrich (S10). Returns the updated rows; no-op
+    * updates mint no version. */
+  def mergeUpdateIfNull(
+      table: String,
+      updates: DataFrame,
+      key: String,
+      valueCol: String): DataFrame
+}
+
+/** The default backend: one directory per table holding immutable
+  * `v=N` parquet version dirs. Commit protocol: write to a hidden
+  * `_tmp` dir, then a filesystem `rename` to `v=N+1` — the rename is
+  * the atomic commit point on HDFS-semantics stores (on object stores
+  * without atomic rename you want a log-based format; that's what the
+  * trait is for). Old versions stay readable (cheap time travel /
+  * concurrent readers never see a torn table); retention of old
+  * versions is the deployment's vacuum policy, out of scope here.
+  */
+final class VersionedParquet(spark: SparkSession, root: String) extends TableFormat {
+
+  private def fs =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(table: String) = new Path(root, table)
+
+  private def versionsOf(table: String): Seq[Long] = {
+    val dir = tableDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  override def currentVersion(table: String): Long =
+    versionsOf(table).lastOption.getOrElse(0L)
+
+  override def read(table: String): DataFrame = {
+    val v = currentVersion(table)
+    require(v > 0, s"table $table does not exist under $root")
+    readVersion(table, v)
+  }
+
+  override def readVersion(table: String, version: Long): DataFrame =
+    spark.read.parquet(new Path(tableDir(table), s"v=$version").toString)
+
+  override def overwrite(table: String, df: DataFrame): Unit = commit(table, df)
+
+  private def commit(table: String, df: DataFrame): Long = {
+    val next = currentVersion(table) + 1
+    val tmp = new Path(tableDir(table), s"_tmp_v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dest = new Path(tableDir(table), s"v=$next")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"commit race on $table v=$next (single-writer contract violated)")
+    next
+  }
+
+  override def mergeInsert(
+      table: String,
+      batch: DataFrame,
+      constraints: Seq[Seq[String]],
+      priority: Seq[Column]): DataFrame = {
+    val existing = read(table)
+    val (inserted, merged) = Load.upsert(existing, batch, constraints, priority)
+    // RETURNING is computed pre-commit (against the version the
+    // anti-joins saw — that version stays on disk, so the lazy frame
+    // remains valid after the commit); no-op merges mint no version
+    if (inserted.isEmpty) inserted
+    else { commit(table, merged); inserted }
+  }
+
+  override def mergeUpdateIfNull(
+      table: String,
+      updates: DataFrame,
+      key: String,
+      valueCol: String): DataFrame = {
+    val (returning, newState) =
+      Load.updateColumn(read(table), updates, key, valueCol)
+    if (returning.isEmpty) returning
+    else { commit(table, newState); returning }
+  }
+}

@@ -253,8 +253,10 @@ object PipelineQueries {
       .select(col("user_id"), col("n_items"),
         explode(sequence(lit(1), lit(NegDraws))).as("draw"))
       .select(col("user_id"), col("draw"),
-        pmod(col("user_id") * lit(2654435761L) + col("draw") * lit(40503L),
-          col("n_items")).as("item_id"))
+        // +1: p_partkey is 1-based [1, n_items] — a bare pmod would
+        // draw a nonexistent item 0 and never the max partkey
+        (pmod(col("user_id") * lit(2654435761L) + col("draw") * lit(40503L),
+          col("n_items")) + 1).as("item_id"))
     val neg = cand.join(pos, Seq("user_id", "item_id"), "left_anti")
       .groupBy("user_id", "item_id").agg(min(col("draw")).as("draw"))
     val w = org.apache.spark.sql.expressions.Window
@@ -475,9 +477,15 @@ object PipelineQueries {
       .select(col("event_id"), col("event_type").as("platform"),
         col("value"),
         round(col("value") * 100, 0).cast("bigint").as("c"))
+    // moment sums accumulate in DECIMAL(38,0) — the match for the
+    // oracle's HUGEINT. A LongType Σc² (c up to ~33k cents, c² ~1.1e9)
+    // would silently wrap beyond ~8e9 events per platform; the decimal
+    // stays internal (outputs are double), so the no-decimal-output
+    // oracle rule is untouched
     val stats = e.groupBy("platform")
-      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"),
-        sum(col("c") * col("c")).as("sumsq_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("sum_c"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sumsq_c"))
       .withColumn("mean_c", col("sum_c").cast("double") / col("n"))
       .withColumn("var_c",
         (col("sumsq_c").cast("double")
@@ -785,7 +793,7 @@ object PipelineQueries {
        |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |n AS (SELECT COUNT(*) AS n_items FROM part),
        |cand AS (SELECT user_id, CAST(u.i AS INTEGER) AS draw,
-       |           (user_id * 2654435761 + u.i * 40503) % n_items AS item_id
+       |           (user_id * 2654435761 + u.i * 40503) % n_items + 1 AS item_id
        |         FROM (SELECT DISTINCT user_id FROM pos), n,
        |              UNNEST(range(1, ${NegDraws + 1})) AS u(i)),
        |neg AS (SELECT c.user_id, c.item_id, MIN(c.draw) AS draw

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{TableFormat, VersionedParquet}
+
+/** MERGE-shaped contract for [[TableFormat]] — the behavior ANY
+  * backend (versioned parquet today, Delta/Iceberg in a deployment)
+  * must exhibit. Exercised against [[VersionedParquet]]; a new backend
+  * passes by construction if it passes this suite. */
+class TableFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshFormat(): TableFormat = {
+    val root = java.nio.file.Files.createTempDirectory("tfmt").toString
+    new VersionedParquet(spark, root)
+  }
+
+  private def seed(fmt: TableFormat): Unit =
+    fmt.overwrite("song",
+      Seq(("I1", "One", "u1"), ("I2", "Two", "u2"))
+        .toDF("isrc", "name", "url"))
+
+  test("mergeInsert: only non-conflicting rows land; RETURNING is exactly the inserted set") {
+    val fmt = freshFormat()
+    seed(fmt)
+    val batch = Seq(
+      ("I2", "Two-dup", "u2b", 1), // PK conflict with existing -> skipped
+      ("I3", "Three", "u3", 2),
+      ("I3", "Three-later", "u3b", 3), // within-batch dup, higher position loses
+      ("I4", "Four", "u1", 4)) // url conflicts with existing -> skipped
+      .toDF("isrc", "name", "url", "position")
+    val returned = fmt.mergeInsert("song", batch,
+      Seq(Seq("isrc"), Seq("url")), Seq(col("position").asc))
+    assert(rowsOf(returned.orderBy("isrc")) ==
+      Seq(Seq("I3", "Three", "u3")))
+    assert(rowsOf(fmt.read("song").orderBy("isrc")) == Seq(
+      Seq("I1", "One", "u1"),
+      Seq("I2", "Two", "u2"),
+      Seq("I3", "Three", "u3")))
+  }
+
+  test("idempotence: re-merging the same batch inserts nothing and mints no version") {
+    val fmt = freshFormat()
+    seed(fmt)
+    val batch = Seq(("I3", "Three", "u3", 1)).toDF("isrc", "name", "url", "position")
+    fmt.mergeInsert("song", batch, Seq(Seq("isrc")), Seq(col("position").asc))
+    val vAfterFirst = fmt.currentVersion("song")
+    val second = fmt.mergeInsert("song", batch, Seq(Seq("isrc")), Seq(col("position").asc))
+    assert(second.isEmpty)
+    assert(fmt.currentVersion("song") == vAfterFirst,
+      "a no-op merge must not mint a version")
+  }
+
+  test("mergeUpdateIfNull: fills only NULL targets, returns only changed rows") {
+    val fmt = freshFormat()
+    fmt.overwrite("song",
+      Seq(("I1", Option("keep")), ("I2", Option.empty[String]),
+        ("I3", Option.empty[String]))
+        .toDF("isrc", "apple_url"))
+    val updated = fmt.mergeUpdateIfNull("song",
+      Seq(("I1", "clobber"), ("I2", "filled")).toDF("isrc", "apple_url"),
+      "isrc", "apple_url")
+    assert(rowsOf(updated) == Seq(Seq("I2", "filled")))
+    assert(rowsOf(fmt.read("song").orderBy("isrc")) == Seq(
+      Seq("I1", "keep"), Seq("I2", "filled"), Seq("I3", null)))
+    // I3 untouched, nothing to update for it -> second call is a no-op
+    val v = fmt.currentVersion("song")
+    assert(fmt.mergeUpdateIfNull("song",
+      Seq(("I1", "clobber")).toDF("isrc", "apple_url"),
+      "isrc", "apple_url").isEmpty)
+    assert(fmt.currentVersion("song") == v)
+  }
+
+  test("versions are immutable: a reader pinned pre-merge still sees its snapshot") {
+    val fmt = freshFormat()
+    seed(fmt)
+    val v1 = fmt.currentVersion("song")
+    val pinned = fmt.readVersion("song", v1)
+    fmt.mergeInsert("song",
+      Seq(("I9", "Nine", "u9", 1)).toDF("isrc", "name", "url", "position"),
+      Seq(Seq("isrc")), Seq(col("position").asc))
+    assert(fmt.currentVersion("song") == v1 + 1)
+    assert(pinned.count() == 2 && fmt.read("song").count() == 3)
+  }
+
+  test("RETURNING stays valid after the commit it preceded") {
+    val fmt = freshFormat()
+    seed(fmt)
+    val returned = fmt.mergeInsert("song",
+      Seq(("I5", "Five", "u5", 1)).toDF("isrc", "name", "url", "position"),
+      Seq(Seq("isrc")), Seq(col("position").asc))
+    // evaluate AFTER the commit — the lazy frame reads the version the
+    // anti-joins saw, which the format keeps on disk
+    assert(rowsOf(returned) == Seq(Seq("I5", "Five", "u5")))
+  }
+}

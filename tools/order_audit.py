@@ -35,11 +35,19 @@ def order_cols(sql):
     clause = flat[idx + len("ORDER BY"):]
     clause = re.sub(r"\s+LIMIT\s+\d+\s*$", "", clause, flags=re.IGNORECASE)
     cols = []
+    dropped = []
     for part in clause.split(","):
-        tok = part.strip().split()[0].strip()
+        item = part.strip()
+        tok = item.split()[0].strip()
         tok = tok.split(".")[-1].strip('"')  # strip alias qualifier/quotes
+        # an expression key (abs(z), a+b, ...) is NOT a plain column:
+        # keeping only its first token would silently weaken the
+        # uniqueness check to the residual tie-break columns
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tok):
+            dropped.append(item)
+            continue
         cols.append(tok)
-    return cols
+    return cols, dropped
 
 
 def main(out_dir):
@@ -47,10 +55,16 @@ def main(out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     bad = 0
     for name, sql in sorted(oracle.items()):
-        cols = order_cols(sql)
-        if cols is None:
+        parsed = order_cols(sql)
+        if parsed is None:
             print(f"SKIP {name}: no ORDER BY (driver compares sorted? verify manually)")
             continue
+        cols, dropped = parsed
+        if dropped:
+            # visible weakening: the check below covers only the plain
+            # residual columns, not these expression keys
+            print(f"NOTE {name}: expression ORDER BY keys not checked: "
+                  f"{dropped}; uniqueness audited on {cols} only")
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"SKIP {name}: no result parquet")
