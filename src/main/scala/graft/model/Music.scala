@@ -45,14 +45,15 @@ object Music {
     * the reference never references a ranking_id across days either
     * (FK-free column). */
   def withRankingIds(ranking: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(
-      org.apache.spark.sql.functions.col("ranking_date").asc,
-      org.apache.spark.sql.functions.col("ranking_source").asc,
-      org.apache.spark.sql.functions.col("rank").asc)
-    // single-partition window: acceptable ONLY because callers use it
-    // for reference-shaped exports (small); analytics never needs it
-    ranking.withColumn("ranking_id",
-      org.apache.spark.sql.functions.row_number().over(w))
+    import org.apache.spark.sql.functions.col
+    // two-phase distributed rank — same ids as a global row_number
+    // window without its single-partition sort (ExactRankSpec proves
+    // the equivalence), so even this export-only path holds at scale
+    val (ranked, _) = graft.operators.ExactRank.withGlobalRank(
+      ranking,
+      Seq(col("ranking_date").asc, col("ranking_source").asc, col("rank").asc),
+      "ranking_id")
+    ranked.withColumn("ranking_id", col("ranking_id").cast("int"))
   }
 
   /** In-flight nested song doc (reference `etl_pipeline.py:350-363`):

@@ -15,7 +15,10 @@ import org.apache.spark.storage.StorageLevel
   * unpersist anything holding storage.
   *
   * Only call on frames whose blocks nothing will read again: a local
-  * checkpoint's blocks ARE its data — they cannot be recomputed. */
+  * checkpoint's blocks ARE its data — they cannot be recomputed.
+  * Spark logs a WARN ("lineage has been truncated and cannot be
+  * recomputed") per freed checkpoint; that is the expected contract
+  * here, not a defect. */
 private[graft] object CheckpointBlocks {
 
   def free(df: DataFrame): Unit = {
