@@ -225,7 +225,40 @@ object CorpusQueries {
     "q_ann_lsh_multiprobe" -> (q_ann_lsh_multiprobe _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_ann_ivf" -> (q_ann_ivf _),
+    "q_rank_fusion" -> (q_rank_fusion _),
   )
+
+  private val FusionN = 50 // per-arm retrieval depth
+  private val FusionK = 20 // fused output size
+  private val RrfC = 60 // the standard RRF smoothing constant
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: the lexical arm
+    * ranks documents by BM25 ([[PipelineQueries.bm25Scores]]) and the
+    * semantic arm by exact cosine to a fixed query embedding (vec 0);
+    * each arm retrieves its top-N with the heap-based
+    * [[graft.plans.TopK]] operator (the lexical arm's "global" top-N
+    * uses a constant group key — partial heaps still bound the
+    * shuffle to k rows per upstream partition, so no global sort and
+    * no single-partition window), then fused as
+    * `Σ 1/(60 + rank)` over a full-outer join of the two lists — the
+    * standard zero-tuning combiner for mixed lexical/vector search.
+    * Rank arithmetic is integer; the two-term float sum has a fixed
+    * operand order, so `round(…, 6)` is engine-exact. */
+  def q_rank_fusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = graft.plans.TopK.perGroup(
+      PipelineQueries.bm25Scores(spark, dir).withColumn("arm", lit("lex")),
+      Seq("arm"), Seq(("bm25", false), ("doc_id", true)), FusionN)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val v = Tables.table(spark, dir, "embeddings")
+    val sem = VectorOps.bruteForceTopK(v, v.where(col("vec_id") === 0), FusionN)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("sem_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(FusionK)
+  }
 
   // ---- generated DuckDB oracle SQL ---------------------------------
 
@@ -702,7 +735,26 @@ ORDER BY a ASC, b ASC"""
        |ORDER BY doc_id ASC""".stripMargin
   }
 
+  private val rankFusionSql: String =
+    s"""WITH bm AS (${PipelineQueries.bm25Sql}),
+v AS (SELECT vec_id, embedding,
+  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+lex AS (SELECT doc_id, CAST(r AS INTEGER) AS lex_rank FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM bm) WHERE r <= $FusionN),
+sem AS (SELECT doc_id, CAST(r AS INTEGER) AS sem_rank FROM (
+  SELECT b.vec_id AS doc_id,
+    ROW_NUMBER() OVER (ORDER BY $pairCosine DESC, b.vec_id ASC) AS r
+  FROM v a JOIN v b ON a.vec_id = 0 AND b.vec_id <> 0) WHERE r <= $FusionN)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+  round(COALESCE(CAST(1 AS DOUBLE) / ($RrfC + l.lex_rank), CAST(0 AS DOUBLE))
+    + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + s.sem_rank), CAST(0 AS DOUBLE)), 6)
+    AS rrf
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
+
   val oracles: Map[String, String] = Map(
+    "q_rank_fusion" -> rankFusionSql,
     "q_repetition" -> repetitionSql,
     "q_exact_substring" -> exactSubstringSql,
     "q_semantic_dedup" -> semanticDedupSql,

@@ -116,7 +116,45 @@ object PipelineQueries {
     * double expression is written with IDENTICAL operator order on
     * both engines and rounded (1e-6) at the boundary — the same
     * discipline as [[AdvancedQueries.q_tfidf]]. */
-  def q_bm25(spark: SparkSession, dir: String): DataFrame = {
+  def q_bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir).orderBy(col("doc_id").asc)
+
+  private val WsK = 10
+  private val WsMixA = 2654435761L
+  private val WsMixB = 987654321L
+  private val WsMod = 4294967296L // 2^32
+
+  /** Quality-weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis' A-ES, the standard distributed weighted reservoir):
+    * per source, keep the k documents maximizing `ln(u)/w` with
+    * weight w = n_chars (longer documents proportionally likelier) —
+    * exactly the weighted-without-replacement distribution, chosen in
+    * one pass with no retry loop. u is a deterministic integer mixer
+    * ((a·id + b) mod 2³², +0.5, /2³² — every step exact in binary
+    * doubles on both engines); the single `ln` per row is quantized
+    * (`round 12`, ~8 orders of magnitude above ulp noise) before
+    * ranking so an engine ulp can never flip a pick. Top-k per source
+    * runs on the heap-based [[graft.plans.TopK]] plan — partial heaps
+    * before the exchange, no sort, no window. */
+  def q_weighted_sample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("u",
+        (pmod(col("doc_id") * lit(WsMixA) + lit(WsMixB), lit(WsMod))
+          .cast("double") + lit(0.5)) / lit(WsMod.toDouble))
+      .withColumn("es_key",
+        round(log(col("u")) / greatest(col("n_chars"), lit(1L)), 12))
+      .drop("u")
+    graft.plans.TopK.perGroup(scored,
+      Seq("source"), Seq(("es_key", false), ("doc_id", true)), WsK, "pick")
+      .select(col("source"), col("pick"), col("doc_id"), col("n_chars"),
+        col("es_key"))
+      .orderBy(col("source").asc, col("pick").asc)
+  }
+
+  /** Per-document BM25 scores (no output ordering) — shared by
+    * [[q_bm25]] and [[CorpusQueries.q_rank_fusion]]'s lexical arm. */
+  private[queries] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val base = Tables.table(spark, dir, "documents").select(
       col("doc_id") +: size(toks).as("dl") +:
@@ -141,7 +179,6 @@ object PipelineQueries {
       .select(col("doc_id") +: col("dl") +:
         Bm25Terms.indices.map(i => col(s"tf$i")) :+
         round(score, 6).as("bm25"): _*)
-      .orderBy(col("doc_id").asc)
   }
 
   /** Z-order (Morton) code of every lineitem row on
@@ -571,6 +608,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winsorize" -> (q_winsorize _),
+    "q_weighted_sample" -> (q_weighted_sample _),
     "q_containment" -> (q_containment _),
     "q_dedup_stats" -> (q_dedup_stats _),
     "q_anomaly" -> (q_anomaly _),
@@ -678,7 +716,7 @@ object PipelineQueries {
       s"\nSELECT node, degree, CAST(mass AS BIGINT) AS mass FROM m$PrIters ORDER BY node ASC"
   }
 
-  private val bm25Sql: String = {
+  private[queries] val bm25Sql: String = {
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS INTEGER) AS tf$i"
     }.mkString(",\n        ")
@@ -1005,7 +1043,20 @@ object PipelineQueries {
       |FROM e JOIN b ON e.platform = b.platform
       |GROUP BY 1, 3, 4 ORDER BY platform ASC""".stripMargin
 
+  private val weightedSampleSql: String =
+    s"""WITH s AS (SELECT doc_id, source, n_chars,
+       |    (CAST((doc_id * $WsMixA + $WsMixB) % $WsMod AS DOUBLE) + 0.5)
+       |      / CAST($WsMod AS DOUBLE) AS u
+       |  FROM documents),
+       |k AS (SELECT doc_id, source, n_chars,
+       |    round(ln(u) / greatest(n_chars, 1), 12) AS es_key FROM s),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY es_key DESC, doc_id ASC) AS INTEGER) AS pick FROM k)
+       |SELECT source, pick, doc_id, n_chars, es_key FROM r
+       |WHERE pick <= $WsK ORDER BY source ASC, pick ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql,
     "q_winsorize" -> winsorizeSql,
     "q_containment" -> containmentSql,
     "q_dedup_stats" -> dedupStatsSql,

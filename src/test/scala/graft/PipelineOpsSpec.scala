@@ -196,6 +196,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(persisted - base <= 1, s"components leaked: $base -> $persisted")
   }
 
+  // ---- weighted sampling / rank fusion -----------------------------
+
+  test("weighted sample: k per source, deterministic, ES key favors long docs") {
+    val out = graft.queries.PipelineQueries.q_weighted_sample(spark, sf)
+    val rows = out.collect()
+    val perSource = rows.groupBy(_.getString(0))
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val sourceSizes = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, picks) =>
+      assert(picks.length == math.min(10L, sourceSizes(src)), src)
+      // picks arrive in rank order with es_key non-increasing
+      val keys = picks.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a >= b }, src)
+    }
+    // weight bias: sampled docs should skew longer than the corpus mean
+    // (ln(u)/w shrinks toward 0 as w grows) — a coarse but stable check
+    val meanAll = docs.agg(avg($"n_chars")).head.getDouble(0)
+    val meanPicked = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    assert(meanPicked > meanAll,
+      s"weighted sample should favor long docs: picked=$meanPicked corpus=$meanAll")
+    // determinism under physical layout
+    val again = graft.queries.PipelineQueries.q_weighted_sample(spark, sf)
+    assert(rowsOf(again) == rowsOf(out))
+  }
+
+  test("rank fusion: rrf is exactly the two-arm reciprocal sum, ranks bounded") {
+    val out = graft.queries.CorpusQueries.q_rank_fusion(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.nonEmpty || sem.nonEmpty)
+      (lex ++ sem).foreach(k => assert(k >= 1 && k <= 50))
+      val expected = BigDecimal(
+        lex.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+          sem.map(k => 1.0 / (60 + k)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expected, r)
+    }
+    // fused list is sorted by rrf desc
+    val rrfs = out.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+
   // ---- BM25 --------------------------------------------------------
 
   test("bm25 is zero without query terms, positive with them") {
