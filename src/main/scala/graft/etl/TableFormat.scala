@@ -91,16 +91,26 @@ final class VersionedParquet(spark: SparkSession, root: String) extends TableFor
   override def readVersion(table: String, version: Long): DataFrame =
     spark.read.parquet(new Path(tableDir(table), s"v=$version").toString)
 
-  override def overwrite(table: String, df: DataFrame): Unit = commit(table, df)
+  override def overwrite(table: String, df: DataFrame): Unit =
+    tryCommit(table, df, currentVersion(table))
 
-  private def commit(table: String, df: DataFrame): Long = {
-    val next = currentVersion(table) + 1
+  /** Optimistic-concurrency commit primitive: writes `df` as version
+    * `expectedBase + 1` and FAILS if that version already exists —
+    * i.e. if any other writer committed after the version this
+    * writer's reads were based on. (On HDFS semantics the rename
+    * itself arbitrates; LocalFileSystem renames INTO an existing dir,
+    * so the exists-check carries the guard there. The residual TOCTOU
+    * window between the two is what a log-based format's atomic
+    * commit protocol closes — the seam this trait exists for.) */
+  def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long = {
+    val next = expectedBase + 1
     val tmp = new Path(tableDir(table), s"_tmp_v$next")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val dest = new Path(tableDir(table), s"v=$next")
-    if (!fs.rename(tmp, dest))
+    if (fs.exists(dest) || !fs.rename(tmp, dest))
       throw new IllegalStateException(
-        s"commit race on $table v=$next (single-writer contract violated)")
+        s"commit race on $table v=$next: another writer committed after " +
+          s"the base version this merge read (single-writer contract)")
     next
   }
 
@@ -109,13 +119,17 @@ final class VersionedParquet(spark: SparkSession, root: String) extends TableFor
       batch: DataFrame,
       constraints: Seq[Seq[String]],
       priority: Seq[Column]): DataFrame = {
-    val existing = read(table)
+    val base = currentVersion(table)
+    require(base > 0, s"table $table does not exist under $root")
+    val existing = readVersion(table, base)
     val (inserted, merged) = Load.upsert(existing, batch, constraints, priority)
     // RETURNING is computed pre-commit (against the version the
     // anti-joins saw — that version stays on disk, so the lazy frame
-    // remains valid after the commit); no-op merges mint no version
+    // remains valid after the commit); no-op merges mint no version;
+    // the commit supersedes EXACTLY the version read, so a racer's
+    // rows can never be silently dropped
     if (inserted.isEmpty) inserted
-    else { commit(table, merged); inserted }
+    else { tryCommit(table, merged, base); inserted }
   }
 
   override def mergeUpdateIfNull(
@@ -123,9 +137,11 @@ final class VersionedParquet(spark: SparkSession, root: String) extends TableFor
       updates: DataFrame,
       key: String,
       valueCol: String): DataFrame = {
+    val base = currentVersion(table)
+    require(base > 0, s"table $table does not exist under $root")
     val (returning, newState) =
-      Load.updateColumn(read(table), updates, key, valueCol)
+      Load.updateColumn(readVersion(table, base), updates, key, valueCol)
     if (returning.isEmpty) returning
-    else { commit(table, newState); returning }
+    else { tryCommit(table, newState, base); returning }
   }
 }

@@ -68,6 +68,18 @@ class ExactRankSpec extends SparkSpec {
     assert(viaMath == viaWindow)
   }
 
+  test("the ranked frame is genuinely range-distributed, not funneled") {
+    val (ranked, n) = ExactRank.withGlobalRank(
+      sample(103), Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 4)
+    val rdd = ranked.rdd
+    assert(rdd.getNumPartitions == 4)
+    val counts = rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    // no partition may hold the whole input (the property the
+    // single-partition-window lint cannot see through the RDD boundary)
+    assert(counts.max < n, counts.mkString(","))
+    assert(counts.count(_ > 0) >= 2, counts.mkString(","))
+  }
+
   test("empty input ranks to an empty frame with n = 0") {
     val df = sample(10).where(col("id") < -1)
     val (ranked, n) = ExactRank.withGlobalRank(

@@ -84,6 +84,25 @@ class TableFormatSpec extends SparkSpec {
     assert(pinned.count() == 2 && fmt.read("song").count() == 3)
   }
 
+  test("a racing committer is detected, not silently clobbered") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt").toString
+    val fmt = new VersionedParquet(spark, root)
+    seed(fmt)
+    // this writer's merge is based on v=1; a racer commits v=2 in the
+    // window before our commit lands — the optimistic tryCommit on
+    // expectedBase=1 must collide instead of dropping the racer's rows
+    fmt.overwrite("song",
+      Seq(("I8", "Racer", "u8")).toDF("isrc", "name", "url"))
+    val ex = intercept[IllegalStateException] {
+      fmt.tryCommit("song",
+        Seq(("I7", "Seven", "u7")).toDF("isrc", "name", "url"),
+        expectedBase = 1)
+    }
+    assert(ex.getMessage.contains("commit race"))
+    // the racer's committed state is untouched
+    assert(rowsOf(fmt.read("song")) == Seq(Seq("I8", "Racer", "u8")))
+  }
+
   test("RETURNING stays valid after the commit it preceded") {
     val fmt = freshFormat()
     seed(fmt)
