@@ -41,6 +41,11 @@ object DedupStage {
   @volatile private var buildSecs: Double = 0.0
   def stagedSeconds: Double = buildSecs
 
+  /** Drop all staged artifacts (testing only) — DeterminismSpec uses
+    * this so the MINING stage re-runs under each partitioning, not
+    * just its consumers. */
+  private[graft] def clearForTesting(): Unit = cache.clear()
+
   /** (node, label) connected-component labeling of the MinHash
     * near-dup graph at the corpus default parameters — only nodes
     * incident to a near-dup pair appear (singletons derive by

@@ -575,24 +575,24 @@ object PipelineQueries {
     val e = Tables.table(spark, dir, "events")
       .select(col("event_id"), col("event_type").as("platform"),
         round(col("value") * 100, 0).cast("bigint").as("c"))
-    // per-platform rank WITHOUT `PARTITION BY platform` (platform
-    // cardinality ~5 would funnel n/5 of the fact through each
-    // reducer): one platform-major ExactRank pass, then rank within
-    // platform = global rank minus the platform's prefix-sum offset
-    // (tiny triangle self-join over the ~5-row platform counts)
-    val (ranked, _) = graft.operators.ExactRank.withGlobalRank(
-      e, Seq(col("platform").asc, col("c").asc, col("event_id").asc), "_gr")
-    val cnt = e.groupBy("platform").agg(count(lit(1)).as("n_p"))
-    val off = cnt.as("a")
-      .join(cnt.as("b"), col("b.platform") < col("a.platform"), "left")
-      .groupBy(col("a.platform").as("platform"), col("a.n_p").as("n_p"))
-      .agg(coalesce(sum(col("b.n_p")), lit(0L)).as("off0"))
-    val bounds = ranked.join(broadcast(off), "platform")
-      .select(col("platform"), (col("_gr") - col("off0")).as("rk"),
-        col("n_p").as("n"), col("c"))
+    // COUNTING-PASS exact percentiles: the fact never sorts at all.
+    // Values are cent-quantized, so the (platform, c) count table is
+    // bounded by the VALUE DOMAIN (~33k cents/platform), not by rows —
+    // one partial-agg'd shuffle of that table, a per-platform running
+    // sum over it (the window input is domain-bounded, so a ~5-way
+    // partition is harmless at any fact size), and the discrete
+    // percentile is the smallest c whose cumulative count reaches the
+    // target rank — identical, by definition, to the value at that
+    // rank under (c, event_id) order
+    val cnt = e.groupBy("platform", "c").agg(count(lit(1)).as("cc"))
+    val cum = cnt.withColumn("cum",
+      sum(col("cc")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("platform").orderBy(col("c").asc)))
+    val np = cnt.groupBy("platform").agg(sum(col("cc")).as("n"))
+    val bounds = cum.join(broadcast(np), "platform")
       .groupBy("platform").agg(
-      min(when(col("rk") === expr("(n * 5 + 99) div 100"), col("c"))).as("lo_c"),
-      min(when(col("rk") === expr("(n * 95 + 99) div 100"), col("c"))).as("hi_c"))
+      min(when(col("cum") >= expr("(n * 5 + 99) div 100"), col("c"))).as("lo_c"),
+      min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("c"))).as("hi_c"))
     e.join(broadcast(bounds), "platform")
       .groupBy(col("platform"), col("lo_c"), col("hi_c"))
       .agg(

@@ -189,11 +189,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("histogram + curriculum + winsorize: two-phase rank, no single-partition stage") {
+  test("histogram + curriculum + winsorize: no single-partition stage") {
+    // histogram/curriculum: two-phase ExactRank, window-free.
+    // winsorize: counting-pass percentiles — its one window runs over
+    // the domain-bounded (platform, cent) COUNT table, partitioned by
+    // platform (the general lint admits it; the fact never sorts).
     Seq("q_histogram", "q_curriculum", "q_winsorize").foreach { n =>
       val p = planOf(n)
       assert(!p.contains("Exchange SinglePartition"), s"$n:\n$p")
-      assert(!p.contains("Window"), s"$n:\n$p")
+    }
+    Seq("q_histogram", "q_curriculum").foreach { n =>
+      assert(!planOf(n).contains("Window"), n)
     }
   }
 }
