@@ -61,7 +61,11 @@ object DedupStage {
         CorpusQueries.ShingleN, CorpusQueries.MinhashK,
         CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
         .select("a", "b")
-      val built = Components.connectedComponents(pairs).localCheckpoint(true)
+      // connectedComponents' final round already ends in an EAGER
+      // localCheckpoint; the returned frame is a light projection over
+      // those materialized blocks. Checkpointing again here would
+      // duplicate the block set and strand the inner one.
+      val built = Components.connectedComponents(pairs)
       buildSecs += (System.nanoTime() - t0) / 1e9
       built
     })
