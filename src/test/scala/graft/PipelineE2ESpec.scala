@@ -96,4 +96,45 @@ class PipelineE2ESpec extends SparkSpec {
     assert(md.contains("""Artist t2, Common \- Song t2"""))
     assert(md.contains("+1"))
   }
+
+  test("daily pipeline persisted through the VersionedParquet table format") {
+    import graft.etl.VersionedParquet
+    val fmt = new VersionedParquet(spark,
+      java.nio.file.Files.createTempDirectory("e2efmt").toString)
+    val tables = Seq("artist", "song", "artist_song_map", "ranking")
+    def persist(db: MusicDb): Unit =
+      tables.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
+        .foreach { case (n, df) => fmt.overwrite(n, df) }
+    def load(): MusicDb = MusicDb(
+      fmt.read("artist"), fmt.read("song"),
+      fmt.read("artist_song_map"), fmt.read("ranking"))
+
+    // day 1 loads into an empty store; the commit IS the between-days
+    // checkpoint (no in-memory lineage survives the day boundary)
+    val ids = (1 to 10).map(i => s"t$i")
+    val docs1 = Sources.songDocsFromTracksJson(Seq(tracksJson(ids)).toDF("body"))
+    val r1 = Load.loadBatch(emptyDb, docs1, Date.valueOf("2026-02-01"))
+    persist(r1.db)
+    assert(tables.forall(fmt.currentVersion(_) == 1L))
+
+    // day 2 reads ONLY what the format committed
+    val docs2 = Sources.songDocsFromTracksJson(
+      Seq(tracksJson(ids.drop(1) :+ "t99")).toDF("body"))
+    val r2 = Load.loadBatch(load(), docs2, Date.valueOf("2026-02-02"))
+    assert(r2.insertedSongs.count() === 1)
+    assert(r2.insertedRankings.count() === 10)
+    persist(r2.db)
+    assert(tables.forall(fmt.currentVersion(_) == 2L))
+
+    // the delta view over the REHYDRATED store matches the in-memory path
+    val deltas = Views.allRankingsWithDelta(load())
+      .where(col("date") === lit(Date.valueOf("2026-02-02")))
+      .select("rank", "delta").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(deltas(1) === Some(1) && deltas(10) === None)
+    // day-1 state stays queryable (snapshot isolation across versions)
+    assert(fmt.readVersion("ranking", 1).count() === 10)
+    assert(fmt.read("ranking").count() === 20)
+  }
 }
