@@ -68,6 +68,21 @@ class ExactRankSpec extends SparkSpec {
     assert(viaMath == viaWindow)
   }
 
+  test("parity with the window form at 50k rows, heavy ties and null keys") {
+    import spark.implicits._
+    // 1000-way ties force cross-partition tie groups; every 97th key is
+    // NULL (asc ⇒ nulls first, same in both forms); id is the tiebreak
+    val big = spark.range(50000).select(
+      when(col("id") % 97 === 0, lit(null))
+        .otherwise(pmod(col("id") * 7919, lit(1000))).as("v"),
+      col("id"))
+    val expected = windowRank(big).orderBy("id").collect().toSeq
+    val (ranked, n) = ExactRank.withGlobalRank(
+      big, Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 16)
+    assert(n == 50000L)
+    assert(ranked.orderBy("id").collect().toSeq == expected)
+  }
+
   test("the ranked frame is genuinely range-distributed, not funneled") {
     val (ranked, n) = ExactRank.withGlobalRank(
       sample(103), Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 4)
