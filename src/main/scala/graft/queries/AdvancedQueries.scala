@@ -567,7 +567,12 @@ object AdvancedQueries {
     * rank/dense_rank/percent_rank/cume_dist are tie-deterministic by
     * definition; ntile is NOT (equal keys split across tiles
     * arbitrarily), so its window orders by a TOTAL key — the same
-    * discipline as everywhere else in the engine. */
+    * discipline as everywhere else in the engine. The PARTITION BY
+    * key is low-cardinality (5 segments over a dimension table —
+    * bounded here); if a group ever outgrew one reducer, the whole
+    * family reduces to one [[graft.operators.ExactRank]] pass + joins
+    * over domain-bounded aggregates — proven bit-equal, ties and all,
+    * in ExactRankSpec ("window-function family"). */
   def q_window_funcs(spark: SparkSession, dir: String): DataFrame = {
     val band = floor(col("c_acctbal") / 1000).cast("long")
     val tied = Window.partitionBy("c_mktsegment").orderBy(col("band").asc)

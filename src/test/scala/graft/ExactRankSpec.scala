@@ -95,6 +95,52 @@ class ExactRankSpec extends SparkSpec {
     assert(counts.count(_ > 0) >= 2, counts.mkString(","))
   }
 
+  test("the full window-function family derives from ExactRank math, bit-equal") {
+    // rank / dense_rank / percent_rank / cume_dist / ntile over a
+    // low-cardinality PARTITION BY (q_window_funcs' shape) all reduce
+    // to ONE group-major ExactRank pass + joins over domain-bounded
+    // aggregates — the distributed form if the partition key's groups
+    // ever outgrow one reducer. Proven bit-equal to the native window
+    // functions here, ties and all.
+    val c = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_mktsegment").as("g"), col("c_custkey").as("id"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+    val tied = Window.partitionBy("g").orderBy(col("band").asc)
+    val total = Window.partitionBy("g").orderBy(col("band").asc, col("id").asc)
+    val expected = c.select(col("g"), col("id"),
+        rank().over(tied).cast("int").as("rnk"),
+        dense_rank().over(tied).cast("int").as("drnk"),
+        round(percent_rank().over(tied), 6).as("prank"),
+        round(cume_dist().over(tied), 6).as("cdist"),
+        ntile(4).over(total).cast("int").as("quartile"))
+      .orderBy("g", "id").collect().toSeq
+
+    val (ranked, _) = ExactRank.withGlobalRank(
+      c, Seq(col("g").asc, col("band").asc, col("id").asc), "_gr")
+    val grp = ranked.groupBy("g")
+      .agg(min(col("_gr")).as("gmin"), count(lit(1)).as("n_g"))
+    val withR = ranked.join(broadcast(grp), "g")
+      .withColumn("r", col("_gr") - col("gmin") + 1)
+    val ties = withR.groupBy("g", "band")
+      .agg(min(col("r")).as("lo"), max(col("r")).as("hi"))
+    // band index within group: window over the AGGREGATED (g, band)
+    // table — domain-bounded input, the counting-pass discipline
+    val dense = ties.withColumn("d",
+      row_number().over(Window.partitionBy("g").orderBy(col("band").asc)))
+    val derived = withR.join(dense, Seq("g", "band"))
+      .select(col("g"), col("id"),
+        col("lo").cast("int").as("rnk"),
+        col("d").cast("int").as("drnk"),
+        round((col("lo") - 1).cast("double") / (col("n_g") - 1), 6).as("prank"),
+        round(col("hi").cast("double") / col("n_g"), 6).as("cdist"),
+        expr("CAST(CASE WHEN r <= (n_g % 4) * (n_g DIV 4 + 1)" +
+          " THEN (r - 1) DIV (n_g DIV 4 + 1) + 1" +
+          " ELSE (n_g % 4) + (r - 1 - (n_g % 4) * (n_g DIV 4 + 1))" +
+          " DIV greatest(n_g DIV 4, 1) + 1 END AS INT)").as("quartile"))
+      .orderBy("g", "id").collect().toSeq
+    assert(derived == expected)
+  }
+
   test("empty input ranks to an empty frame with n = 0") {
     val df = sample(10).where(col("id") < -1)
     val (ranked, n) = ExactRank.withGlobalRank(
