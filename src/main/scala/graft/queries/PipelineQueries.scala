@@ -434,9 +434,13 @@ object PipelineQueries {
     * denominator is order-exact; floors and the remainder
     * distribution are pure integer/rank logic. */
   def q_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    // the per-source token counts re-enter the plan three times
+    // (shares, the base-quota total, the remainder rank) — checkpoint
+    // the ≤#sources-row aggregate so the corpus scans ONCE, not 3×
     val toks = Tables.table(spark, dir, "documents")
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+      .localCheckpoint(true)
     val withSqrt = toks.withColumn("sq",
       round(sqrt(col("n_tokens")), 9).cast("decimal(20,9)"))
     val tot = withSqrt.agg(sum(col("sq")).as("sq_tot"))
