@@ -93,7 +93,11 @@ object AdvancedQueries {
     val docs = Tables.table(spark, dir, "documents")
     val tok = TextOps.withTokens(docs)
       .select(col("doc_id"), explode(col("tokens")).as("term"))
+    // (doc, term) counts feed both the document frequencies and the
+    // scoring join — checkpoint so the explode+count runs once (the
+    // materialize-the-TF-table call every TF-IDF pipeline makes)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")

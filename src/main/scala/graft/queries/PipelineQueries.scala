@@ -156,11 +156,14 @@ object PipelineQueries {
     * [[q_bm25]] and [[CorpusQueries.q_rank_fusion]]'s lexical arm. */
   private[queries] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
+    // per-doc (dl, tf*) feeds the corpus stats AND the scoring join —
+    // checkpoint it so the tokenize pass over the corpus runs once
     val base = Tables.table(spark, dir, "documents").select(
       col("doc_id") +: size(toks).as("dl") +:
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).as(s"tf$i")
         }: _*)
+      .localCheckpoint(true)
     val statCols = sum(col("dl")).as("sum_dl") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
@@ -279,11 +282,15 @@ object PipelineQueries {
     * the sequential retry loop: over-draw a fixed factor, keep the
     * first k survivors (the distributed-friendly formulation). */
   def q_neg_sample(spark: SparkSession, dir: String): DataFrame = {
+    // the positives set anchors BOTH the candidate user list and the
+    // anti-join; without a checkpoint the orders⋈lineitem shuffle join
+    // + distinct would execute twice
     val pos = Tables.table(spark, dir, "orders")
       .join(Tables.table(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .distinct()
+      .localCheckpoint(true)
     val nItems = Tables.table(spark, dir, "part").agg(count(lit(1)).as("n_items"))
     val cand = pos.select("user_id").distinct()
       .crossJoin(broadcast(nItems))
@@ -407,9 +414,13 @@ object PipelineQueries {
     * shuffle order and could never hash-match across engines; the
     * quantized decimal sum is exact in any order. */
   def q_entropy(spark: SparkSession, dir: String): DataFrame = {
+    // (source, term) counts feed both the totals and the entropy sum —
+    // checkpoint the vocabulary-bounded aggregate so the corpus
+    // explode+count runs once, not twice
     val cnt = Tables.table(spark, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = cnt.groupBy("source")
       .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_types"))
     cnt.join(broadcast(tot), "source")
