@@ -283,4 +283,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.subsetOf(streamed))
     assert(streamed.map(_._1).contains("2024-01-01"))
   }
+
+  test("streaming weighted reservoir converges to the batch weighted sample") {
+    import graft.streaming.StreamingMix
+    import graft.streaming.StreamingMix.{DocRow, Pick}
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"source", $"n_chars").as[DocRow].collect().toSeq
+    val in = MemoryStream[DocRow]
+    val q = StreamingMix.weightedReservoir(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("wres_t").start()
+    // arbitrary batch split — the reservoir must not care
+    docs.grouped(math.max(1, docs.size / 3 + 1)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // Update mode appends each re-emission; keep each source's LAST
+    val all = spark.table("wres_t").as[Pick].collect()
+    val latest = all.groupBy(_.source).toSeq.flatMap { case (_, ps) =>
+      val v = ps.map(_.version).max
+      ps.filter(_.version == v).toSeq
+    }.map(p => (p.source, p.pick, p.doc_id, p.n_chars, p.es_key)).toSet
+    val batch = graft.queries.PipelineQueries.q_weighted_sample(spark, sf)
+      .as[(String, Int, Long, Long, Double)].collect().toSet
+    assert(latest === batch)
+  }
 }
