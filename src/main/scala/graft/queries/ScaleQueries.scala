@@ -78,6 +78,43 @@ object ScaleQueries {
       .orderBy(col("region").asc, col("nation").asc)
   }
 
+  /** TPC-H Q5 shape — the canonical join-order stress: a six-table
+    * star with a cross-dimension equality (customer and supplier must
+    * share a nation — a join predicate BETWEEN two dimension paths,
+    * not just fact→dim), a selective region filter, and a pushed-down
+    * order-date range. Catalyst's reorder + broadcast dims carry the
+    * plan: the fact⋈fact join shuffles once, every dimension
+    * broadcasts, and the date range prunes the orders scan before the
+    * join (asserted in PlanPropertiesSpec). Revenue follows the
+    * house decimal discipline (exact decimal sum, double at the
+    * output boundary) so the DESC sort key is engine-deterministic. */
+  def q_local_supplier_volume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.table(spark, dir, "lineitem")
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer")
+    val s = Tables.table(spark, dir, "supplier")
+    val n = Tables.table(spark, dir, "nation")
+    val r = Tables.table(spark, dir, "region")
+    val price = col("l_extendedprice").cast("decimal(14,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    l.join(o.where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        sum(price * (lit(1) - disc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("nation").asc)
+  }
+
   /** §2.7 completeness beyond the reference: INTERSECT / EXCEPT
     * proper (customers active in both/only-one event window). */
   def q_set_ops(spark: SparkSession, dir: String): DataFrame = {
@@ -164,6 +201,7 @@ object ScaleQueries {
     "q_skew_salted_agg" -> (q_skew_salted_agg _),
     "q_distinct_users" -> (q_distinct_users _),
     "q_revenue_per_nation" -> (q_revenue_per_nation _),
+    "q_local_supplier_volume" -> (q_local_supplier_volume _),
     "q_set_ops" -> (q_set_ops _),
     "q_pivot" -> (q_pivot _),
   )
@@ -232,5 +270,22 @@ object ScaleQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY region ASC, nation ASC""".stripMargin,
+    "q_local_supplier_volume" ->
+      """SELECT n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, nation ASC""".stripMargin,
   )
 }

@@ -147,6 +147,14 @@ class PlanPropertiesSpec extends SparkSpec {
 
   // ---- round-4 additions -------------------------------------------
 
+  test("Q5 shape: order-date range pushed to the scan, dimensions broadcast") {
+    val p = planOf("q_local_supplier_volume")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   /** Engine-wide single-partition lint: NO registered query may plan a
     * Window over an empty partition spec (= `Exchange SinglePartition`
     * + one-task sort of the whole input — the 100 TB scale-killer the
