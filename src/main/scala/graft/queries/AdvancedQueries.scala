@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{AsofJoin, Components, Sessionize}
+import graft.operators.{AsofJoin, Components, ExactRank, Sessionize}
 import graft.text.TextOps
 
 /** Advanced large-pipeline operators beyond the reference's surface
@@ -296,6 +296,31 @@ object AdvancedQueries {
       .select(
         col("doc_id"), col("n_bigrams"),
         round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** CCNet-style perplexity quality gate: each document scored by the
+    * corpus bigram LM ([[q_bigram_lm]]'s scorer — the cheap stand-in
+    * for a KenLM pass), ppl = exp(−avg_logp), and the worst-decile
+    * tail flagged for drop. The percentile threshold comes from
+    * [[graft.operators.ExactRank]] over the per-doc frame — at 100 TB
+    * the scored frame is still billions of rows, so a
+    * `row_number() OVER (ORDER BY ppl)` would single-task it (the
+    * engine-wide plan lint bans that shape). `keep` is closed-form
+    * integer math on (rank, n) with n free from ExactRank's counting
+    * pass. exp() of an identical 6-dp-rounded input is the one
+    * transcendental — same libm discipline as tfidf/bm25. */
+  def q_perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val scored = q_bigram_lm(spark, dir)
+    val frame = scored.select(
+      col("doc_id"),
+      round(exp(-col("avg_logp")), 6).as("ppl"))
+    val (ranked, n) = ExactRank.withGlobalRank(
+      frame, Seq(col("ppl").asc, col("doc_id").asc), "prank")
+    ranked
+      .select(
+        col("doc_id"), col("ppl"),
+        (col("prank") <= lit(n * 9 / 10)).as("keep"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -636,6 +661,7 @@ object AdvancedQueries {
     "q_hopping_window" -> (q_hopping_window _),
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
+    "q_perplexity" -> (q_perplexity _),
     "q_redact" -> (q_redact _),
     "q_vec_quantize" -> (q_vec_quantize _),
     "q_grouping_cube" -> (q_grouping_cube _),
@@ -905,6 +931,29 @@ object AdvancedQueries {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |       round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
         |FROM scored GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    "q_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |             FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, toks[i::INTEGER] AS w1, toks[(i + 1)::INTEGER] AS w2
+        |       FROM tok, UNNEST(range(1, len(toks))) AS u(i)),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1),
+        |vocab AS (SELECT COUNT(DISTINCT t) AS v
+        |          FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln((c12 + 1.0) / (c1 + v)), 9) AS DECIMAL(20,9)) AS logp
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab),
+        |doc AS (
+        |  SELECT doc_id,
+        |    round(exp(-round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)), 6) AS ppl
+        |  FROM scored GROUP BY doc_id),
+        |rk AS (SELECT doc_id, ppl,
+        |         ROW_NUMBER() OVER (ORDER BY ppl ASC, doc_id ASC) AS prank,
+        |         COUNT(*) OVER () AS n
+        |       FROM doc)
+        |SELECT doc_id, ppl, (prank <= (n * 9) // 10) AS keep
+        |FROM rk ORDER BY doc_id ASC""".stripMargin,
     "q_redact" -> {
       val p = DenyPattern
       s"""SELECT doc_id,

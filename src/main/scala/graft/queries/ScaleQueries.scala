@@ -115,6 +115,76 @@ object ScaleQueries {
       .orderBy(col("revenue").desc, col("nation").asc)
   }
 
+  /** Mergeable HLL-sketch distinct counting — the pre-aggregated
+    * "sketch table" pattern (Druid datasketches, Trino `approx_set`/
+    * `merge`, BigQuery `HLL_COUNT.*`): per-(day, platform) 256-bucket
+    * HLL partials built map-side in one events scan, rolled up to
+    * platform level by a bucket-wise MAX. Sketch union is
+    * re-aggregable — max is associative and commutative — so daily
+    * partials merge in any order/layout; at 100 TB the daily sketch
+    * table (≤256 rows per group per day) is the persisted artifact
+    * and rollups never rescan the fact.
+    *
+    * Engine-reproducible by construction (unlike
+    * `approx_count_distinct`'s opaque binary sketch): bucket = first
+    * 2 md5 hex chars (m=256), rank ρ = leading-zero BITS of the next
+    * 13 hex chars + 1 — derived from the hex STRING (zero-run length
+    * + a CASE on the first nonzero char), so DuckDB replays the
+    * sketch bit-identically with no hex→int conversion. The divisor
+    * Σ 2^(-ρmax) is kept EXACT as an integer Σ 2^(53-ρmax) (bit
+    * shifts, one double division at the end) — a float sum of mixed
+    * magnitudes would round and is partition-order-dependent. Raw
+    * estimate α·m²/Σ2^(-M) with the standard linear-counting branch
+    * below 2.5m; exact countDistinct joined as the accuracy baseline
+    * (the expensive scan the sketch exists to avoid — labeled, like
+    * the n² ANN baselines). */
+  def q_hll_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val TwoP53 = 9007199254740992L // 2^53: empty-bucket term, M = 0
+    val hashed = ev.select(
+      col("event_type").as("platform"),
+      to_date(col("ts")).as("day"),
+      md5(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+    val zr = length(regexp_extract(col("rest"), "^0*", 0))
+    val nextc = col("rest").substr(zr + lit(1), lit(1))
+    val clz4 = when(nextc < "2", 3).when(nextc < "4", 2)
+      .when(nextc < "8", 1).otherwise(0)
+    val rho = (lit(4) * zr + when(zr === 13, 0).otherwise(clz4) + lit(1))
+      .cast("long")
+    val daily = hashed
+      .select(col("platform"), col("day"),
+        substring(col("h"), 1, 2).as("bucket"),
+        substring(col("h"), 3, 13).as("rest"))
+      .select(col("platform"), col("day"), col("bucket"), rho.as("rho"))
+      .groupBy("platform", "day", "bucket")
+      .agg(max(col("rho")).as("m")) // the persisted daily sketch table
+    val merged = daily.groupBy("platform", "bucket")
+      .agg(max(col("m")).as("m")) // sketch union = bucket-wise max
+    val perPlatform = merged.groupBy("platform").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+        .as("s_present"),
+      count(lit(1)).as("n_present"))
+    val zb = lit(256) - col("n_present")
+    val sumint = col("s_present") + zb * lit(TwoP53)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val raw = alpha * lit(65536.0) * lit(TwoP53.toDouble) /
+      sumint.cast("double")
+    val est = when(raw <= lit(640.0) && zb > 0,
+      lit(256.0) * log(lit(256.0) / zb.cast("double"))).otherwise(raw)
+    val exact = ev
+      .groupBy(col("event_type").as("platform"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    perPlatform
+      .withColumn("est_users", round(est, 6))
+      .join(broadcast(exact), "platform")
+      .select(
+        col("platform"), col("n_present"), col("est_users"),
+        col("exact_users"),
+        round(abs(col("est_users") - col("exact_users").cast("double")) /
+          col("exact_users").cast("double") * lit(100.0), 4).as("err_pct"))
+      .orderBy(col("platform").asc)
+  }
+
   /** §2.7 completeness beyond the reference: INTERSECT / EXCEPT
     * proper (customers active in both/only-one event window). */
   def q_set_ops(spark: SparkSession, dir: String): DataFrame = {
@@ -202,6 +272,7 @@ object ScaleQueries {
     "q_distinct_users" -> (q_distinct_users _),
     "q_revenue_per_nation" -> (q_revenue_per_nation _),
     "q_local_supplier_volume" -> (q_local_supplier_volume _),
+    "q_hll_rollup" -> (q_hll_rollup _),
     "q_set_ops" -> (q_set_ops _),
     "q_pivot" -> (q_pivot _),
   )
@@ -287,5 +358,48 @@ object ScaleQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, nation ASC""".stripMargin,
+    "q_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT event_type AS platform,
+        |         md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |p AS (SELECT platform, substr(h, 1, 2) AS bucket,
+        |             substr(h, 3, 13) AS rest FROM h),
+        |r AS (SELECT platform, bucket,
+        |        4 * length(regexp_extract(rest, '^0*')) +
+        |        CASE WHEN length(regexp_extract(rest, '^0*')) = 13 THEN 0
+        |             ELSE CASE
+        |               WHEN substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) < '2' THEN 3
+        |               WHEN substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) < '4' THEN 2
+        |               WHEN substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) < '8' THEN 1
+        |               ELSE 0 END END + 1 AS rho
+        |      FROM p),
+        |sk AS (SELECT platform, bucket, max(rho) AS m
+        |       FROM r GROUP BY platform, bucket),
+        |ag AS (SELECT platform,
+        |         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s_present,
+        |         COUNT(*) AS n_present
+        |       FROM sk GROUP BY platform),
+        |e1 AS (SELECT platform, n_present,
+        |         s_present + (256 - n_present) * (1::BIGINT << 53) AS sumint,
+        |         256 - n_present AS zb
+        |       FROM ag),
+        |e2 AS (SELECT platform, n_present, zb,
+        |         (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256))
+        |           * 65536 * 9007199254740992 / CAST(sumint AS DOUBLE) AS raw
+        |       FROM e1),
+        |e3 AS (SELECT platform, n_present,
+        |         round(CASE WHEN raw <= 640 AND zb > 0
+        |           THEN 256.0 * ln(CAST(256 AS DOUBLE) / CAST(zb AS DOUBLE))
+        |           ELSE raw END, 6) AS est_users
+        |       FROM e2),
+        |ex AS (SELECT event_type AS platform,
+        |              COUNT(DISTINCT user_id) AS exact_users
+        |       FROM events GROUP BY event_type)
+        |SELECT platform, n_present, est_users, exact_users,
+        |       round(abs(est_users - CAST(exact_users AS DOUBLE))
+        |             / CAST(exact_users AS DOUBLE) * 100.0, 4) AS err_pct
+        |FROM e3 JOIN ex USING (platform)
+        |ORDER BY platform ASC""".stripMargin,
   )
 }

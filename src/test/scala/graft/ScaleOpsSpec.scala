@@ -41,6 +41,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact) <= 1.0, s"approx=$approx exact=$exact")
   }
 
+  test("HLL sketch union is split-invariant: merge of arbitrary partial sketches equals the one-shot sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.io.Tables.table(spark, dir, "events")
+    val h = md5(concat(lit("hll:"), col("user_id").cast("string")))
+    val zr = length(regexp_extract(col("rest"), "^0*", 0))
+    val nextc = col("rest").substr(zr + lit(1), lit(1))
+    val clz4 = when(nextc < "2", 3).when(nextc < "4", 2)
+      .when(nextc < "8", 1).otherwise(0)
+    val rho = (lit(4) * zr + when(zr === 13, 0).otherwise(clz4) + lit(1)).cast("long")
+    val withRho = ev
+      .select(col("event_id"), substring(h, 1, 2).as("bucket"), substring(h, 3, 13).as("rest"))
+      .select(col("event_id"), col("bucket"), rho.as("rho"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("bucket").agg(max(col("rho")).as("m"))
+    val oneShot = sketch(withRho)
+      .orderBy("bucket").as[(String, Long)].collect().toSeq
+    // split on an arbitrary non-semantic key (event_id mod 7): partial
+    // sketches per split, merged by bucket-wise max — the daily-rollup path
+    val merged = withRho
+      .withColumn("split", pmod(col("event_id"), lit(7)))
+      .groupBy("split", "bucket").agg(max(col("rho")).as("m"))
+      .groupBy("bucket").agg(max(col("m")).as("m"))
+      .orderBy("bucket").as[(String, Long)].collect().toSeq
+    assert(merged === oneShot && oneShot.nonEmpty)
+  }
+
+  test("q_hll_rollup estimate stays within 5% of exact at sf0.001") {
+    val out = ScaleQueries.q_hll_rollup(spark, "/root/testdata/sf0.001")
+      .select("platform", "est_users", "exact_users", "err_pct").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) < 5.0, s"platform=${r.getString(0)} err=${r.getDouble(3)}")
+    }
+  }
+
+  test("q_perplexity keeps exactly floor(0.9 n) docs, dropping the highest-ppl tail") {
+    val out = graft.queries.AdvancedQueries.q_perplexity(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "ppl", "keep").collect()
+    val n = out.length.toLong
+    val kept = out.count(_.getBoolean(2)).toLong
+    assert(kept === n * 9 / 10, s"kept=$kept n=$n")
+    val maxKept = out.filter(_.getBoolean(2)).map(_.getDouble(1)).max
+    val minDropped = out.filterNot(_.getBoolean(2)).map(_.getDouble(1)).min
+    assert(maxKept <= minDropped,
+      s"kept ppl $maxKept exceeds dropped ppl $minDropped")
+  }
+
   test("salted join equals the plain join row-for-row") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
