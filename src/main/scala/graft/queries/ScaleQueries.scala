@@ -115,67 +115,34 @@ object ScaleQueries {
       .orderBy(col("revenue").desc, col("nation").asc)
   }
 
-  /** Mergeable HLL-sketch distinct counting — the pre-aggregated
-    * "sketch table" pattern (Druid datasketches, Trino `approx_set`/
-    * `merge`, BigQuery `HLL_COUNT.*`): per-(day, platform) 256-bucket
-    * HLL partials built map-side in one events scan, rolled up to
-    * platform level by a bucket-wise MAX. Sketch union is
-    * re-aggregable — max is associative and commutative — so daily
-    * partials merge in any order/layout; at 100 TB the daily sketch
+  /** Mergeable HLL-sketch distinct counting via
+    * [[graft.operators.HllSketch]] — the pre-aggregated "sketch
+    * table" pattern (Druid datasketches, Trino `approx_set`/`merge`,
+    * BigQuery `HLL_COUNT.*`): per-(day, platform) 256-bucket partials
+    * built map-side in one events scan, rolled up to platform level
+    * by the bucket-wise-max sketch union. At 100 TB the daily sketch
     * table (≤256 rows per group per day) is the persisted artifact
-    * and rollups never rescan the fact.
-    *
-    * Engine-reproducible by construction (unlike
-    * `approx_count_distinct`'s opaque binary sketch): bucket = first
-    * 2 md5 hex chars (m=256), rank ρ = leading-zero BITS of the next
-    * 13 hex chars + 1 — derived from the hex STRING (zero-run length
-    * + a CASE on the first nonzero char), so DuckDB replays the
-    * sketch bit-identically with no hex→int conversion. The divisor
-    * Σ 2^(-ρmax) is kept EXACT as an integer Σ 2^(53-ρmax) (bit
-    * shifts, one double division at the end) — a float sum of mixed
-    * magnitudes would round and is partition-order-dependent. Raw
-    * estimate α·m²/Σ2^(-M) with the standard linear-counting branch
-    * below 2.5m; exact countDistinct joined as the accuracy baseline
-    * (the expensive scan the sketch exists to avoid — labeled, like
-    * the n² ANN baselines). */
+    * and rollups never rescan the fact; exact countDistinct is
+    * joined as the accuracy baseline (the expensive scan the sketch
+    * exists to avoid — labeled, like the n² ANN baselines). The
+    * md5-derived bucket/ρ and the exact-integer divisor (see the
+    * operator's scaladoc) are what let DuckDB replay the sketch
+    * bit-identically for the hash gate. */
   def q_hll_rollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HllSketch
     val ev = Tables.table(spark, dir, "events")
-    val TwoP53 = 9007199254740992L // 2^53: empty-bucket term, M = 0
-    val hashed = ev.select(
-      col("event_type").as("platform"),
-      to_date(col("ts")).as("day"),
-      md5(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
-    val zr = length(regexp_extract(col("rest"), "^0*", 0))
-    val nextc = col("rest").substr(zr + lit(1), lit(1))
-    val clz4 = when(nextc < "2", 3).when(nextc < "4", 2)
-      .when(nextc < "8", 1).otherwise(0)
-    val rho = (lit(4) * zr + when(zr === 13, 0).otherwise(clz4) + lit(1))
-      .cast("long")
-    val daily = hashed
-      .select(col("platform"), col("day"),
-        substring(col("h"), 1, 2).as("bucket"),
-        substring(col("h"), 3, 13).as("rest"))
-      .select(col("platform"), col("day"), col("bucket"), rho.as("rho"))
-      .groupBy("platform", "day", "bucket")
-      .agg(max(col("rho")).as("m")) // the persisted daily sketch table
-    val merged = daily.groupBy("platform", "bucket")
-      .agg(max(col("m")).as("m")) // sketch union = bucket-wise max
-    val perPlatform = merged.groupBy("platform").agg(
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
-        .as("s_present"),
-      count(lit(1)).as("n_present"))
-    val zb = lit(256) - col("n_present")
-    val sumint = col("s_present") + zb * lit(TwoP53)
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
-    val raw = alpha * lit(65536.0) * lit(TwoP53.toDouble) /
-      sumint.cast("double")
-    val est = when(raw <= lit(640.0) && zb > 0,
-      lit(256.0) * log(lit(256.0) / zb.cast("double"))).otherwise(raw)
+    val daily = HllSketch.sketch( // the persisted daily sketch table
+      ev.select(
+        col("event_type").as("platform"),
+        to_date(col("ts")).as("day"),
+        col("user_id")),
+      col("user_id"), Seq("platform", "day"))
+    val merged = HllSketch.merge(daily, Seq("platform"))
     val exact = ev
       .groupBy(col("event_type").as("platform"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    perPlatform
-      .withColumn("est_users", round(est, 6))
+    HllSketch.estimate(merged, Seq("platform"))
+      .withColumn("est_users", round(col("est"), 6))
       .join(broadcast(exact), "platform")
       .select(
         col("platform"), col("n_present"), col("est_users"),

@@ -310,4 +310,35 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Int, Long, Long, Double)].collect().toSet
     assert(latest === batch)
   }
+
+  test("streaming HLL sketch maintenance converges to the batch sketch, arbitrary batch split") {
+    import graft.operators.HllSketch
+    implicit val sqlCtx = spark.sqlContext
+    val events = (1 to 120).map(i =>
+      Ev(i, ts(f"2024-01-01 ${10 + i % 8}%02d:00:00"), i % 47, "click", 1.0)) ++
+      (1 to 90).map(i =>
+        Ev(200 + i, ts("2024-01-02 09:00:00"), i % 31, "view", 1.0))
+    def project(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type").as("platform"), col("user_id"))
+    val in = MemoryStream[Ev]
+    // the EXACT batch operator code over an unbounded stream: max is
+    // an update-mode streaming aggregate and sketch state is
+    // intrinsically bounded (groups x 256), no watermark needed
+    val q = HllSketch.sketch(project(in.toDF()), col("user_id"), Seq("platform"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hll_sketch_t").start()
+    events.grouped(45).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    val streamed = spark.table("hll_sketch_t")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    val batchSketch = HllSketch.sketch(
+      project(events.toDF()), col("user_id"), Seq("platform"))
+    assert(streamed === batchSketch.as[(String, String, Long)].collect().toSet)
+    // and the estimates derived from the streamed sketch match batch
+    val estS = HllSketch.estimate(spark.table("hll_sketch_t"), Seq("platform"))
+      .as[(String, Long, Double)].collect().toSet
+    val estB = HllSketch.estimate(batchSketch, Seq("platform"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(estS === estB && estS.nonEmpty)
+  }
 }
