@@ -53,10 +53,11 @@ object Bench {
     // any plausible regression, so regressions are judged on min and
     // sanity-checked against median
     val medianTotal = results.map(_._3).sum
-    // staged-artifact build time (DedupStage mining): paid once per
-    // session, so min-of-reps drops it from every query — report it
-    // separately instead of hiding it
-    val staged = graft.queries.DedupStage.stagedSeconds
+    // staged-artifact build time (DedupStage mining + LmStage
+    // scoring): paid once per session, so min-of-reps drops it from
+    // every query — report it separately instead of hiding it
+    val staged = graft.queries.DedupStage.stagedSeconds +
+      graft.queries.LmStage.stagedSeconds
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","staged_sec":${r3(staged)},"median_total":${r3(medianTotal)},"value":${r3(total)}}""")
     spark.stop()
   }

@@ -263,41 +263,12 @@ object AdvancedQueries {
   /** Bigram language-model scoring: add-1-smoothed corpus bigram
     * probabilities, each document scored by its mean log-probability
     * (perplexity's log domain) — the LM-based quality filter family.
-    *
-    * Determinism trick: per-bigram log-probs are rounded to 9 dp and
-    * summed as DECIMAL(20,9) — double SUMs are partition-order-
-    * dependent and can never hash-match across engines, but a
-    * quantized decimal sum is exact in any order; the single double
-    * division happens once at the end. */
-  def q_bigram_lm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
-    val tok = TextOps.withTokens(docs).where(size(col("tokens")) >= 2)
-    val bg = tok.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), size(col("tokens")) - 1),
-        i => struct(
-          element_at(col("tokens"), i).as("w1"),
-          element_at(col("tokens"), i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cu = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = TextOps.withTokens(docs)
-      .select(explode(col("tokens")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
-    val logp = round(
-      log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 9)
-      .cast("decimal(20,9)")
-    bg.join(cb, Seq("w1", "w2"))
-      .join(broadcast(cu), Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("logp", logp)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("s"))
-      .select(
-        col("doc_id"), col("n_bigrams"),
-        round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
-      .orderBy(col("doc_id").asc)
-  }
+    * The corpus-scale train+score pass lives in [[LmStage]] (staged
+    * once per snapshot, shared with [[q_perplexity]]); the
+    * decimal-quantized log-sum determinism trick is documented
+    * there. */
+  def q_bigram_lm(spark: SparkSession, dir: String): DataFrame =
+    LmStage.docScores(spark, dir).orderBy(col("doc_id").asc)
 
   /** CCNet-style perplexity quality gate: each document scored by the
     * corpus bigram LM ([[q_bigram_lm]]'s scorer — the cheap stand-in
@@ -311,7 +282,7 @@ object AdvancedQueries {
     * pass. exp() of an identical 6-dp-rounded input is the one
     * transcendental — same libm discipline as tfidf/bm25. */
   def q_perplexity(spark: SparkSession, dir: String): DataFrame = {
-    val scored = q_bigram_lm(spark, dir)
+    val scored = LmStage.docScores(spark, dir)
     val frame = scored.select(
       col("doc_id"),
       round(exp(-col("avg_logp")), 6).as("ppl"))
@@ -619,6 +590,28 @@ object AdvancedQueries {
       .orderBy(col("c_mktsegment").asc, col("c_custkey").asc)
   }
 
+  /** Navigation window-function family — lead / first_value /
+    * last_value / nth_value — per-customer order history under a
+    * total order (o_orderdate, o_orderkey). Frames are explicit on
+    * both engines: last/nth over the FULL partition frame (the
+    * default running frame would return the current row for last and
+    * null-until-row-2 for nth). Partition key is o_custkey — high
+    * cardinality, so the one window shuffle distributes at scale
+    * (the navigation twin of q_window_funcs' ranking family). */
+  def q_window_nav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.table(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_orderkey")).over(full).as("first_order"),
+        last_value(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+      .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+  }
+
   /** Group-level similarity via the mergeable MinHash aggregate
     * ([[graft.functions.MinHashAgg]]): one k-row signature per SOURCE
     * over the union of its docs' shingles (partial-agg map-side, k×16
@@ -662,6 +655,7 @@ object AdvancedQueries {
     "q_sample_stratified" -> (q_sample_stratified _),
     "q_bigram_lm" -> (q_bigram_lm _),
     "q_perplexity" -> (q_perplexity _),
+    "q_window_nav" -> (q_window_nav _),
     "q_redact" -> (q_redact _),
     "q_vec_quantize" -> (q_vec_quantize _),
     "q_grouping_cube" -> (q_grouping_cube _),
@@ -931,6 +925,19 @@ object AdvancedQueries {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |       round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
         |FROM scored GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
     "q_perplexity" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
         |             FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -1,0 +1,80 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.TextOps
+
+/** The staged language-model artifact: every document scored by the
+  * corpus add-1-smoothed bigram LM, computed ONCE per corpus
+  * snapshot and shared by its consumers (`q_bigram_lm`,
+  * `q_perplexity`).
+  *
+  * Same seam as [[DedupStage]]: training an LM over the corpus and
+  * scoring every document is a full-corpus pass (tokenize → bigram
+  * counts → margins → per-doc join); a production pipeline
+  * materializes the scored table once per snapshot and every quality
+  * gate reads the artifact. Memoized per (session, snapshot dir),
+  * eagerly materialized via `localCheckpoint` (the in-process
+  * stand-in for the snapshot's parquet artifact), session-lifetime —
+  * a snapshot is immutable, so there is no invalidation story.
+  *
+  * Determinism: per-bigram log-probs are rounded to 9 dp and summed
+  * as DECIMAL(20,9) — a double sum is partition-order-dependent and
+  * could never hash-match across engines — with the single double
+  * division at the end (see `q_bigram_lm`'s oracle, which replays
+  * the LM in DuckDB SQL).
+  */
+object LmStage {
+
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  @volatile private var buildSecs: Double = 0.0
+  def stagedSeconds: Double = buildSecs
+
+  /** Drop staged artifacts (testing only) — DeterminismSpec clears
+    * between partitionings so SCORING re-runs under each layout. */
+  private[graft] def clearForTesting(): Unit = cache.clear()
+
+  /** (doc_id, n_bigrams, avg_logp) for every document with ≥2
+    * tokens: mean add-1-smoothed bigram log-probability under the
+    * corpus LM (the log domain of perplexity). */
+  def docScores(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}|$dir"
+    cache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val docs = Tables.table(spark, dir, "documents")
+      val tok = TextOps.withTokens(docs).where(size(col("tokens")) >= 2)
+      val bg = tok.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("tokens")) - 1),
+          i => struct(
+            element_at(col("tokens"), i).as("w1"),
+            element_at(col("tokens"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cu = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vocab = TextOps.withTokens(docs)
+        .select(explode(col("tokens")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val logp = round(
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 9)
+        .cast("decimal(20,9)")
+      val built = bg.join(cb, Seq("w1", "w2"))
+        .join(broadcast(cu), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("logp", logp)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("s"))
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
+        .localCheckpoint(true)
+      buildSecs += (System.nanoTime() - t0) / 1e9
+      built
+    })
+  }
+}

@@ -15,10 +15,11 @@ class DeterminismSpec extends SparkSpec {
   test("all registered queries are invariant to shuffle partitioning (3 vs 7)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(): Map[String, Seq[String]] = {
-      // re-mine the staged dedup artifact under THIS partitioning —
-      // otherwise the memo would carry run A's clusters into run B and
-      // the mining stage would escape the invariance check
+      // re-mine the staged artifacts under THIS partitioning —
+      // otherwise the memos would carry run A's results into run B and
+      // the mining/scoring stages would escape the invariance check
       graft.queries.DedupStage.clearForTesting()
+      graft.queries.LmStage.clearForTesting()
       SparkEntry.queries.map { case (name, fn) =>
         name -> fn(spark, dir).collect().toSeq.map(_.toString)
       }
