@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Data-selection operators for training-corpus curation:
+  * boilerplate stripping by cross-document chunk frequency (the
+  * CCNet/RefinedWeb paragraph-hash filter, re-expressed over
+  * fixed-width token chunks since the synthetic corpus has no line
+  * structure) and DSIR-style importance resampling weights (Xie et
+  * al. 2023: hashed n-gram likelihood ratios between a target and a
+  * raw distribution).
+  *
+  * Float discipline: the only non-integer math is the per-bucket log
+  * likelihood ratio, quantized to DECIMAL(20,9) at the bucket level
+  * (256 rows) so every corpus-sized sum is EXACT decimal arithmetic —
+  * the same log-sum determinism trick as
+  * [[AdvancedQueries.q_perplexity]].
+  */
+object SelectionQueries {
+
+  private val ChunkLen = 8
+  private val BoilerMinDocs = 2
+  private val DsirBuckets = 256
+  private val DsirTopK = 50
+  private val DsirTargetSource = "src0"
+
+  /** Boilerplate removal: split every document into fixed
+    * `ChunkLen`-token chunks, hash each chunk, and drop chunks whose
+    * hash appears in ≥ `BoilerMinDocs` DISTINCT documents (shared
+    * headers/footers/navigation in a real crawl; duplicated passages
+    * here). Emits the per-document damage report (chunks, dropped,
+    * surviving token count) — the form a curation pipeline joins back
+    * onto the corpus.
+    *
+    * Plan shape at 100 TB: chunking is map-side (explode over a
+    * sequence literal — no shuffle); document frequency is a
+    * two-level aggregation on the chunk hash (distinct (h, doc) then
+    * count — both partial-agg before their exchange); the flag join
+    * is an equi-join on the hash; the damage report re-aggregates on
+    * doc_id. Text itself never shuffles — only 32-byte hashes and
+    * integer lengths move. */
+  def q_boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val chunks = docs
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"),
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkLen)")).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") * ChunkLen + 1, lit(ChunkLen)))).as("h"),
+        least(lit(ChunkLen), col("n_toks") - col("i") * ChunkLen).as("chunk_len"))
+    val boiler = chunks.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+    chunks.join(boiler, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_boiler").isNull, col("chunk_len").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** DSIR importance weights: score every NON-target document by how
+    * target-like its hashed-bigram distribution is. Bigrams hash into
+    * `DsirBuckets` buckets; per-bucket Laplace-smoothed probabilities
+    * under the target (`source = src0`) and raw (everything else)
+    * corpora give a log-likelihood ratio per bucket, quantized to
+    * DECIMAL(20,9); a document's weight is the EXACT decimal sum of
+    * `count_in_doc(bucket) × ratio(bucket)`. Top-`DsirTopK` raw docs
+    * = the resampling front. (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling".)
+    *
+    * Plan shape at 100 TB: bigram extraction is map-side (`zip_with`
+    * over the token array); per-(doc, bucket) counts partial-agg on a
+    * composite key; the bucket model is `DsirBuckets` rows (a
+    * broadcast); scoring is one broadcast equi-join + a doc-keyed
+    * aggregation; the final top-k is TakeOrderedAndProject. No
+    * corpus-sized sort, no float accumulation. */
+  def q_dsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val bigrams = docs
+      .select(col("doc_id"), (col("source") === DsirTargetSource).as("is_target"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % DsirBuckets).as("bucket"))
+    val docBucket = bigrams.groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val bucketTotals = docBucket.groupBy("bucket")
+      .agg(
+        sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_b"),
+        sum(when(!col("is_target"), col("cnt")).otherwise(0L)).as("r_b"))
+    val corpus = bucketTotals.agg(
+      sum(col("t_b")).as("t_total"), sum(col("r_b")).as("r_total"))
+    val model = bucketTotals.crossJoin(broadcast(corpus))
+      .select(col("bucket"),
+        round(
+          log((col("t_b") + lit(1.0)) / (col("t_total") + lit(DsirBuckets.toDouble))) -
+            log((col("r_b") + lit(1.0)) / (col("r_total") + lit(DsirBuckets.toDouble))), 9)
+          .cast("decimal(20,9)").as("ratio"))
+    docBucket.filter(!col("is_target"))
+      .join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        // cnt stays DECIMAL(10,0): a raw LongType operand would push the
+        // product past precision 38 and Spark would silently truncate the
+        // scale to 6 (allowPrecisionLoss) — the oracle keeps scale 9
+        sum(col("cnt").cast("decimal(10,0)") * col("ratio")).as("w_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("w_dec").cast("double"), 6).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id").asc)
+      .limit(DsirTopK)
+  }
+
+  // ---- registration -------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate" -> (q_boilerplate _),
+    "q_dsir" -> (q_dsir _))
+
+  private val boilerplateSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |        md5(array_to_string(toks[(i*$ChunkLen+1):(i*$ChunkLen+$ChunkLen)], ' ')) AS h,
+       |        LEAST($ChunkLen, len(toks) - i*$ChunkLen) AS chunk_len
+       |      FROM t, UNNEST(range((len(toks)-1)//$ChunkLen + 1)) AS u(i)),
+       |b AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY h)
+       |      WHERE df >= $BoilerMinDocs)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(SUM(CASE WHEN b.h IS NULL THEN chunk_len ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM c LEFT JOIN b ON c.h = b.h
+       |GROUP BY c.doc_id ORDER BY c.doc_id ASC""".stripMargin
+
+  private val dsirSql =
+    s"""WITH t AS (SELECT doc_id, source = '$DsirTargetSource' AS is_target,
+       |             string_split(text, ' ') AS toks FROM documents),
+       |bg AS (SELECT doc_id, is_target,
+       |         ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT % $DsirBuckets AS bucket
+       |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+       |db AS (SELECT doc_id, is_target, bucket, COUNT(*) AS cnt
+       |       FROM bg GROUP BY 1, 2, 3),
+       |bt AS (SELECT bucket,
+       |         CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS t_b,
+       |         CAST(SUM(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS BIGINT) AS r_b
+       |       FROM db GROUP BY bucket),
+       |tot AS (SELECT CAST(SUM(t_b) AS BIGINT) AS t_total,
+       |               CAST(SUM(r_b) AS BIGINT) AS r_total FROM bt),
+       |model AS (SELECT bucket,
+       |            CAST(round(ln((t_b + 1.0) / (t_total + $DsirBuckets.0)) -
+       |                       ln((r_b + 1.0) / (r_total + $DsirBuckets.0)), 9)
+       |              AS DECIMAL(20,9)) AS ratio
+       |          FROM bt, tot)
+       |SELECT db.doc_id, CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+       |       round(CAST(SUM(CAST(db.cnt AS DECIMAL(10,0)) * model.ratio) AS DOUBLE), 6) AS logw
+       |FROM db JOIN model ON db.bucket = model.bucket
+       |WHERE NOT db.is_target
+       |GROUP BY db.doc_id
+       |ORDER BY logw DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_boilerplate" -> boilerplateSql,
+    "q_dsir" -> dsirSql)
+}
