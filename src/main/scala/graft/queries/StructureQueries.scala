@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Structural operators: triangle counting over the co-purchase
+  * graph (degree-ordered wedge enumeration — the skew-safe shape),
+  * inverted-index construction (IR posting lists), and k-anonymity
+  * generalization (privacy suppression for released training data).
+  */
+object StructureQueries {
+
+  private val TriTopK = 100
+
+  /** Per-node triangle counts on the part co-purchase graph (parts
+    * are adjacent when some order contains both). Triangles are the
+    * clustering signal behind community detection and link-spam
+    * scoring.
+    *
+    * Spark side enumerates via DEGREE-ORDERED orientation (each
+    * undirected edge points from its (degree, id)-smaller endpoint):
+    * every node's out-degree is O(√m), so wedge generation is bounded
+    * by m^{3/2} TOTAL and no hub node explodes a reducer — the
+    * classic node-iterator++ bound (Schank & Wagner 2005). The oracle
+    * enumerates the same triangle set with the simpler id-ordered
+    * a<b<c join chain — identical triangles, identical corner counts,
+    * different (skew-unsafe) physical shape.
+    *
+    * Scale: the per-order self-join is bounded by order size (≤
+    * single-digit parts per order); edges/wedges flow through hash
+    * equi-joins on node ids; the top-k is TakeOrderedAndProject. */
+  def q_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "udeg"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "vdeg"), "v")
+    // orient from the (deg, id)-smaller endpoint; carry the head's key
+    // so wedge generation can order the two heads without a re-join
+    val ukey = struct(col("udeg").as("d"), col("u").as("n"))
+    val vkey = struct(col("vdeg").as("d"), col("v").as("n"))
+    val oriented = withDeg.select(
+      when(ukey < vkey, col("u")).otherwise(col("v")).as("src"),
+      when(ukey < vkey, col("v")).otherwise(col("u")).as("dst"),
+      when(ukey < vkey, vkey).otherwise(ukey).as("dstkey"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstkey") < col("e2.dstkey"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(TriTopK)
+  }
+
+  private val PostingsPerTerm = 10
+
+  /** Inverted index over the document corpus: per term, document
+    * frequency, total term frequency, and the first
+    * `PostingsPerTerm` postings as a compact `doc:tf` string — the
+    * batch index-build behind retrieval (BM25 serving, deduplication
+    * lookups).
+    *
+    * Scale: tokenize is map-side; (term, doc) term frequencies
+    * partial-agg before the one wide exchange on the composite key;
+    * the posting-list truncation is a per-term window over the
+    * ALREADY-AGGREGATED (term, doc) table — key cardinality is the
+    * vocabulary, input is corpus-bounded, and no text is carried. */
+  def q_inverted_index(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val topPostings = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= PostingsPerTerm)
+      .groupBy("term")
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+        x => concat(x("doc_id"), lit(":"), x("tf")))).as("postings"))
+    stats.join(topPostings, "term")
+      .orderBy(col("term").asc)
+  }
+
+  private val KAnon = 10
+
+  /** k-anonymity release of customer counts over the
+    * (geography, market segment) quasi-identifier, with a two-level
+    * generalization ladder: exact nation cells of size ≥ k release at
+    * level 0; smaller cells generalize nation → region (level 1);
+    * cells still under k suppress geography entirely (level 2, `*`).
+    * The compliance gate run before demographic slices of a training
+    * corpus are published.
+    *
+    * Scale: three grouped aggregations (each partial-aggregated),
+    * dimension joins broadcast; the fact never sorts. */
+  def q_k_anon(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Tables.table(spark, dir, "customer")
+      .join(broadcast(Tables.table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.table(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("nation"), col("r_name").as("region"),
+        col("c_mktsegment").as("segment"))
+    val l0 = geo.groupBy("nation", "region", "segment").agg(count(lit(1)).as("n"))
+    val released0 = l0.filter(col("n") >= KAnon)
+      .select(col("nation").as("geo"), col("segment"), lit(0).as("level"), col("n"))
+    val l1 = l0.filter(col("n") < KAnon)
+      .groupBy("region", "segment").agg(sum(col("n")).as("n"))
+    val released1 = l1.filter(col("n") >= KAnon)
+      .select(col("region").as("geo"), col("segment"), lit(1).as("level"), col("n"))
+    val released2 = l1.filter(col("n") < KAnon)
+      .groupBy("segment").agg(sum(col("n")).as("n"))
+      .select(lit("*").as("geo"), col("segment"), lit(2).as("level"), col("n"))
+    released0.unionByName(released1).unionByName(released2)
+      .orderBy(col("level").asc, col("geo").asc, col("segment").asc)
+  }
+
+  // ---- registration -------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> (q_triangles _),
+    "q_inverted_index" -> (q_inverted_index _),
+    "q_k_anon" -> (q_k_anon _))
+
+  private val trianglesSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |corners AS (SELECT a AS node FROM tri
+       |            UNION ALL SELECT b FROM tri
+       |            UNION ALL SELECT c FROM tri)
+       |SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
+       |ORDER BY n_tri DESC, node ASC LIMIT $TriTopK""".stripMargin
+
+  private val invertedIndexSql =
+    s"""WITH tf AS (SELECT t.term, d.doc_id, COUNT(*) AS tf
+       |            FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(term)
+       |            GROUP BY t.term, d.doc_id),
+       |stats AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+       |          FROM tf GROUP BY term),
+       |top AS (SELECT term, doc_id, tf FROM tf
+       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC)
+       |          <= $PostingsPerTerm),
+       |posts AS (SELECT term,
+       |            STRING_AGG(doc_id || ':' || tf, ',' ORDER BY doc_id ASC) AS postings
+       |          FROM top GROUP BY term)
+       |SELECT stats.term, df, tf_total, postings
+       |FROM stats JOIN posts ON stats.term = posts.term
+       |ORDER BY stats.term ASC""".stripMargin
+
+  private val kAnonSql =
+    s"""WITH geo AS (SELECT n_name AS nation, r_name AS region,
+       |               c_mktsegment AS segment
+       |             FROM customer
+       |             JOIN nation ON c_nationkey = n_nationkey
+       |             JOIN region ON n_regionkey = r_regionkey),
+       |l0 AS (SELECT nation, region, segment, COUNT(*) AS n
+       |       FROM geo GROUP BY 1, 2, 3),
+       |r0 AS (SELECT nation AS geo, segment, 0 AS level, n
+       |       FROM l0 WHERE n >= $KAnon),
+       |l1 AS (SELECT region, segment, CAST(SUM(n) AS BIGINT) AS n
+       |       FROM l0 WHERE n < $KAnon GROUP BY 1, 2),
+       |r1 AS (SELECT region AS geo, segment, 1 AS level, n
+       |       FROM l1 WHERE n >= $KAnon),
+       |r2 AS (SELECT '*' AS geo, segment, 2 AS level, CAST(SUM(n) AS BIGINT) AS n
+       |       FROM l1 WHERE n < $KAnon GROUP BY segment)
+       |SELECT geo, segment, level, n FROM r0
+       |UNION ALL SELECT * FROM r1
+       |UNION ALL SELECT * FROM r2
+       |ORDER BY level ASC, geo ASC, segment ASC""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_triangles" -> trianglesSql,
+    "q_inverted_index" -> invertedIndexSql,
+    "q_k_anon" -> kAnonSql)
+}
