@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, BehaviorQueries, ChartQueries, CorpusQueries, ParityQueries, PipelineQueries, ScaleQueries, InsightQueries, SelectionQueries, StructureQueries}
+import graft.queries.{AdvancedQueries, BehaviorQueries, ChartQueries, CorpusQueries, ParityQueries, PipelineQueries, ScaleQueries, InsightQueries, ReleaseQueries, SelectionQueries, StructureQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,7 +50,7 @@ object SparkEntry {
     "q_date_funcs" -> (ParityQueries.q_date_funcs _),
     "q_delta_glyph" -> (ParityQueries.q_delta_glyph _),
     "q_rolling_window" -> (ParityQueries.q_rolling_window _),
-  ) ++ CorpusQueries.queries ++ ScaleQueries.queries ++ AdvancedQueries.queries ++ PipelineQueries.queries ++ BehaviorQueries.queries ++ SelectionQueries.queries ++ StructureQueries.queries ++ InsightQueries.queries
+  ) ++ CorpusQueries.queries ++ ScaleQueries.queries ++ AdvancedQueries.queries ++ PipelineQueries.queries ++ BehaviorQueries.queries ++ SelectionQueries.queries ++ StructureQueries.queries ++ InsightQueries.queries ++ ReleaseQueries.queries
   // ^ training-data pipeline ops (dedup family, text analysis,
   //   similarity search) + scale techniques (skew salting, exact
   //   distinct, star rollup) + advanced ops (as-of/range joins,
@@ -257,5 +257,5 @@ object SparkEntry {
         |    AS by_balance_desc
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation ASC""".stripMargin,
-  ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++ AdvancedQueries.oracles ++ PipelineQueries.oracles ++ BehaviorQueries.oracles ++ SelectionQueries.oracles ++ StructureQueries.oracles ++ InsightQueries.oracles
+  ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++ AdvancedQueries.oracles ++ PipelineQueries.oracles ++ BehaviorQueries.oracles ++ SelectionQueries.oracles ++ StructureQueries.oracles ++ InsightQueries.oracles ++ ReleaseQueries.oracles
 }
