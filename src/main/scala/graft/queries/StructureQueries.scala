@@ -47,10 +47,15 @@ object StructureQueries {
     // so wedge generation can order the two heads without a re-join
     val ukey = struct(col("udeg").as("d"), col("u").as("n"))
     val vkey = struct(col("vdeg").as("d"), col("v").as("n"))
+    // the oriented edge list feeds three consumers (both wedge sides
+    // and the closing probe) whose differing projections block
+    // ReuseExchange — checkpoint so the scan→distinct→degree-join
+    // pipeline runs once (the a1b16a3 materialization rule)
     val oriented = withDeg.select(
       when(ukey < vkey, col("u")).otherwise(col("v")).as("src"),
       when(ukey < vkey, col("v")).otherwise(col("u")).as("dst"),
       when(ukey < vkey, vkey).otherwise(ukey).as("dstkey"))
+      .localCheckpoint(true)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dstkey") < col("e2.dstkey"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
