@@ -79,6 +79,57 @@ object ExactRank {
     (spark.createDataFrame(ranked, schema), n)
   }
 
+  /** Appends `outCol` = the EXCLUSIVE running maximum of `valueCol`
+    * (a non-null LongType) over the total order of `sortKeys` — i.e.
+    * for each row, the max value among all strictly-earlier rows, or
+    * `Long.MinValue` for the first. The scale-safe replacement for
+    * `max(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)`, which Spark would plan as a single-partition
+    * window. Same two phases as [[withGlobalRank]]: range partition +
+    * local sort, one cheap job collects the P per-partition maxima, a
+    * driver-side exclusive scan turns them into partition seeds, and
+    * a map-side pass folds the local running max. Like the rank, the
+    * result is invariant to partition count and sampled boundaries.
+    *
+    * This is the sweep-line primitive: 2D skyline (Pareto frontier)
+    * membership, record-breaking scans ("best so far"), and
+    * monotone-envelope tests all reduce to it. */
+  def withExclusivePrefixMax(
+      df: DataFrame,
+      sortKeys: Seq[Column],
+      valueCol: String,
+      outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(p, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partMax = spark.sparkContext.runJob(
+      rdd,
+      (it: Iterator[Row]) => {
+        var m = Long.MinValue
+        while (it.hasNext) m = math.max(m, it.next().getLong(vIdx))
+        m
+      })
+    val seeds = partMax.scanLeft(Long.MinValue)(math.max)
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val swept = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = seeds(i)
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ run)
+        run = math.max(run, row.getLong(vIdx))
+        out
+      }
+    }
+    spark.createDataFrame(swept, schema)
+  }
+
   /** `ntile(k)` bucket of a row given its exact global rank and the
     * total count `n`, as integer Column math (matches the SQL-standard
     * rule Spark and DuckDB share: the first `n mod k` buckets hold

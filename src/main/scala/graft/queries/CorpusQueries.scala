@@ -72,6 +72,14 @@ object CorpusQueries {
       Tables.table(spark, dir, "documents"), ShingleN, JaccardThreshold)
       .orderBy(col("a").asc, col("b").asc)
 
+  /** Exact set-similarity join, prefix-filtered (the lossless scale
+    * path for exact Jaccard; same threshold as [[q_dedup_ngram]]'s n²
+    * baseline, as the rational 1/2). */
+  def q_ssjoin(spark: SparkSession, dir: String): DataFrame =
+    TextOps.prefixJaccardPairs(
+      Tables.table(spark, dir, "documents"), ShingleN, p = 1, q = 2)
+      .orderBy(col("a").asc, col("b").asc)
+
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.minhashDupPairs(
       Tables.table(spark, dir, "documents"),
@@ -214,6 +222,7 @@ object CorpusQueries {
     "q_fingerprint" -> (q_fingerprint _),
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_ngram" -> (q_dedup_ngram _),
+    "q_ssjoin" -> (q_ssjoin _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
@@ -345,6 +354,27 @@ j AS (SELECT a, b,
       FROM cm JOIN sz sa ON cm.a = sa.doc_id JOIN sz sb ON cm.b = sb.doc_id)
 SELECT a, b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
 ORDER BY a ASC, b ASC"""
+
+  /** Brute-force exact-Jaccard oracle for the prefix-filtered join:
+    * the filter is LOSSLESS, so the oracle needs no prefix replay —
+    * just the pairwise integer cross-product test at the same
+    * rational threshold 1/2. */
+  private val ssjoinSql: String = {
+    val n = ShingleN
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+shl AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS shingles
+FROM tok WHERE len(toks) >= $n),
+s AS (SELECT doc_id, shingles, len(shingles) AS ns FROM shl),
+pr AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_common,
+         CAST(x.ns + y.ns - len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_union
+       FROM s x JOIN s y ON x.doc_id < y.doc_id)
+SELECT a, b, n_common, n_union FROM pr
+WHERE n_common * 2 >= n_union * 1
+ORDER BY a ASC, b ASC"""
+  }
 
   /** The minhash pair pipeline WITHOUT the final sort — reused as a
     * subquery by the dedup-clustering oracle in [[AdvancedQueries]]. */
@@ -764,6 +794,7 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_fingerprint" -> fingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_ssjoin" -> ssjoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_simhash" -> dedupSimhashSql,

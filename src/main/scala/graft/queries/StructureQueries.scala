@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.operators.ExactRank
 
 /** Structural operators: triangle counting over the co-purchase
   * graph (degree-ordered wedge enumeration — the skew-safe shape),
+  * HITS hubs/authorities over the customer–part bipartite graph,
+  * 2D skyline (Pareto frontier) via the distributed sweep-line,
   * inverted-index construction (IR posting lists), and k-anonymity
   * generalization (privacy suppression for released training data).
   */
@@ -83,6 +86,78 @@ object StructureQueries {
       .limit(TriTopK)
   }
 
+  private val HitsStartMass = 1000000L
+  private val HitsTopK = 25
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    * customer→part purchase graph: a part is authoritative when
+    * bought by broad-basket customers, a customer is a strong hub
+    * when their basket concentrates on authoritative parts. Two full
+    * mutual-reinforcement rounds, UNNORMALIZED integer mass — the
+    * per-round scalar normalization only rescales, so rankings are
+    * identical, and integer sums are associative: bit-equal under any
+    * partitioning and exactly replayable in SQL (same rationale as
+    * [[graft.operators.PageRank]]; mass growth per round is bounded
+    * by max degree, ~1e13 after two rounds at sf0.1, far inside
+    * Long).
+    *
+    * Scale: each half-round is one equi-join of the |E| edge list
+    * with |V|-row state plus a partial-agg'd sum — state stays
+    * cluster-side, the edge list is checkpointed once and never
+    * recomputed, and the two top-k's are TakeOrderedAndProject. */
+  def q_hits(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true) // 4 consumers below — materialize once
+    val a1 = e.groupBy("p").agg((count(lit(1)) * HitsStartMass).as("s"))
+    val h1 = e.join(a1, "p").groupBy("c").agg(sum(col("s")).as("s"))
+    val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("s")).as("s"))
+    val h2 = e.join(a2, "p").groupBy("c").agg(sum(col("s")).as("s"))
+    def top(df: DataFrame, side: String, idCol: String): DataFrame =
+      df.orderBy(col("s").desc, col(idCol).asc).limit(HitsTopK)
+        .select(lit(side).as("side"), col(idCol).as("id"), col("s").as("score"))
+    top(a2, "authority", "p").unionByName(top(h2, "hub", "c"))
+      .orderBy(col("side").asc, col("score").desc, col("id").asc)
+  }
+
+  /** 2D skyline (Pareto frontier) of parts: minimize retail price,
+    * maximize size — no other part is both no-more-expensive and
+    * no-smaller with one strict. The multi-objective selection gate
+    * (price/quality curation trade-offs) that dominance-testing
+    * self-joins would make n².
+    *
+    * Sweep-line instead, on the [[ExactRank.withExclusivePrefixMax]]
+    * primitive: aggregate max size per distinct price, take the
+    * exclusive running max over ascending price (two-phase range
+    * partitioned — no single-partition window), and a row survives
+    * iff it strictly beats every strictly-cheaper row's best size
+    * (`size > prev_max`) and no same-price row is strictly larger
+    * (`size = pmax`). Prices quantized to integer cents at the scan,
+    * so dominance math is exact on both engines.
+    *
+    * Scale: one partial-agg'd aggregation to price granularity, the
+    * sweep over the (distinct-price) table, one hash join back to the
+    * fact — no n² dominance pairs, no global window. */
+  def q_skyline(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.table(spark, dir, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"),
+        col("p_size"))
+    val perPrice = parts.groupBy("price_c")
+      .agg(max(col("p_size")).cast("long").as("pmax"))
+    val swept = ExactRank.withExclusivePrefixMax(
+      perPrice, Seq(col("price_c").asc), "pmax", "prev_max")
+    parts.join(swept, "price_c")
+      .where(col("p_size") > col("prev_max") && col("p_size") === col("pmax"))
+      .select(col("p_partkey"), col("price_c"), col("p_size"))
+      .orderBy(col("price_c").asc, col("p_partkey").asc)
+  }
+
   private val PostingsPerTerm = 10
 
   /** Inverted index over the document corpus: per term, document
@@ -153,8 +228,40 @@ object StructureQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (q_triangles _),
+    "q_hits" -> (q_hits _),
+    "q_skyline" -> (q_skyline _),
     "q_inverted_index" -> (q_inverted_index _),
     "q_k_anon" -> (q_k_anon _))
+
+  private val hitsSql =
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |a1 AS (SELECT p, $HitsStartMass * COUNT(*) AS s FROM e GROUP BY p),
+       |h1 AS (SELECT e.c, CAST(SUM(a1.s) AS BIGINT) AS s
+       |       FROM e JOIN a1 ON e.p = a1.p GROUP BY e.c),
+       |a2 AS (SELECT e.p, CAST(SUM(h1.s) AS BIGINT) AS s
+       |       FROM e JOIN h1 ON e.c = h1.c GROUP BY e.p),
+       |h2 AS (SELECT e.c, CAST(SUM(a2.s) AS BIGINT) AS s
+       |       FROM e JOIN a2 ON e.p = a2.p GROUP BY e.c),
+       |ta AS (SELECT 'authority' AS side, p AS id, s AS score FROM a2
+       |       ORDER BY s DESC, p ASC LIMIT $HitsTopK),
+       |th AS (SELECT 'hub' AS side, c AS id, s AS score FROM h2
+       |       ORDER BY s DESC, c ASC LIMIT $HitsTopK)
+       |SELECT side, id, score
+       |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th) u
+       |ORDER BY side ASC, score DESC, id ASC""".stripMargin
+
+  private val skylineSql =
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+      |             p_size
+      |           FROM part)
+      |SELECT p_partkey, price_c, p_size FROM p r
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p s
+      |  WHERE s.price_c <= r.price_c AND s.p_size >= r.p_size
+      |    AND (s.price_c < r.price_c OR s.p_size > r.p_size))
+      |ORDER BY price_c ASC, p_partkey ASC""".stripMargin
 
   private val trianglesSql =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -208,6 +315,8 @@ object StructureQueries {
 
   val oracles: Map[String, String] = Map(
     "q_triangles" -> trianglesSql,
+    "q_hits" -> hitsSql,
+    "q_skyline" -> skylineSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_k_anon" -> kAnonSql)
 }

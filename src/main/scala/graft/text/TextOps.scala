@@ -300,6 +300,64 @@ object TextOps {
       .select("a", "b", "n_common", "cont_ab", "cont_ba")
   }
 
+  /** EXACT Jaccard ≥ p/q set-similarity join via PREFIX FILTERING
+    * (SSJoin/PPJoin family — Chaudhuri et al. 2006, Xiao et al.
+    * 2008): the lossless scale path for exact similarity, where
+    * [[ngramJaccardPairs]] is the labeled n²-candidate baseline and
+    * MinHash is the approximate one.
+    *
+    * Each doc's shingle set is ordered by GLOBAL ascending document
+    * frequency (rarest first, ties by shingle); a pair with
+    * J ≥ t must share at least one shingle within each side's first
+    * `|s| − ⌈t·|s|⌉ + 1` tokens, so the candidate join runs only on
+    * exploded PREFIX tokens — rare by construction, so bucket sizes
+    * (and the shuffle) track true near-dups, not corpus co-occurrence.
+    * Candidates are then exactly verified on the full sets; the
+    * threshold is the RATIONAL p/q compared in integer cross-products
+    * (`q·|A∩B| ≥ p·|A∪B|`) — no float threshold drift between
+    * engines.
+    *
+    * Scale: df-counting and prefix explode are one aggregation + a
+    * map; the candidate equi-join shuffles (prefix-token, doc) pairs
+    * only; full shingle arrays travel once, to verify the (small)
+    * candidate set. Output = exactly the pairs the brute-force form
+    * returns. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, p: Int, q: Int): DataFrame = {
+    val rows = shingleRows(docs, n)
+    val freq = rows.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // one row per doc: shingles ordered by (df, shingle), set size.
+    // Three consumers (prefix explode + both verify sides) — the
+    // a1b16a3 materialization rule says checkpoint, or the
+    // shingle+df pipeline runs three times.
+    val keyed = rows.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+      .select(col("doc_id"),
+        transform(col("ordered"), x => x("shingle")).as("toks"),
+        size(col("ordered")).as("n_sh"))
+      .localCheckpoint(true)
+    // L = |s| − ⌈(p/q)·|s|⌉ + 1, in integer math
+    val prefixLen = expr(s"n_sh - (($p * n_sh + ${q - 1}) DIV $q) + 1")
+    val pref = keyed.select(col("doc_id"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("ptok"))
+    val cand = pref.as("x")
+      .join(pref.as("y"),
+        col("x.ptok") === col("y.ptok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(keyed.select(col("doc_id").as("a"), col("toks").as("ta"),
+        col("n_sh").as("na")), "a")
+      .join(keyed.select(col("doc_id").as("b"), col("toks").as("tb"),
+        col("n_sh").as("nb")), "b")
+      .withColumn("n_common",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("n_union",
+        (col("na") + col("nb")).cast("long") - col("n_common"))
+      .where(col("n_common") * q >= col("n_union") * p)
+      .select("a", "b", "n_common", "n_union")
+  }
+
   /** MinHash signature columns mh0..mh{k-1}: per hash i, the
     * lexicographic MIN over shingles of md5("i:" ++ shingle) — the
     * salted-md5 family is engine-portable and collision-behaved. */

@@ -49,6 +49,20 @@ class ExactRankSpec extends SparkSpec {
     }
   }
 
+  test("exclusive prefix max matches the window form for every partition count") {
+    val df = sample(103).withColumn("lv", col("id").cast("long") * 7 % 61)
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df
+      .withColumn("_pm", coalesce(max(col("lv")).over(w), lit(Long.MinValue)))
+      .orderBy("id").collect().toSeq
+    for (p <- Seq(1, 3, 4, 7, 32)) {
+      val swept = ExactRank.withExclusivePrefixMax(
+        df, Seq(col("v").asc, col("id").asc), "lv", "_pm", numPartitions = p)
+      assert(swept.orderBy("id").collect().toSeq == expected, s"p=$p")
+    }
+  }
+
   test("ntileOffset restarts row_number inside each bucket") {
     val df = sample(37)
     val w = Window.orderBy(col("v").asc, col("id").asc)

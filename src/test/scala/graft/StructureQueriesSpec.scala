@@ -30,6 +30,71 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got.collect().toSeq == naive.collect().toSeq)
   }
 
+  test("hits: two integer power rounds match a driver-side matrix replay") {
+    val got = StructureQueries.q_hits(spark, dir).collect()
+
+    // independent replay: collect the tiny sf0.001 edge list and run
+    // the same two mutual-reinforcement rounds in plain Scala maps
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = e.groupBy(_._2).map { case (p, es) => p -> 1000000L * es.length }
+    def halfRound(byKey: Map[Long, Long], keyOf: ((Long, Long)) => Long,
+        outOf: ((Long, Long)) => Long): Map[Long, Long] =
+      e.groupBy(outOf).map { case (k, es) =>
+        k -> es.map(x => byKey(keyOf(x))).sum
+      }
+    val h1 = halfRound(a1, _._2, _._1)
+    val a2 = halfRound(h1, _._1, _._2)
+    val h2 = halfRound(a2, _._2, _._1)
+    def top(m: Map[Long, Long], side: String) =
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.take(25)
+        .map { case (id, s) => (side, id, s) }
+    val expected = top(a2, "authority") ++ top(h2, "hub")
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == expected)
+  }
+
+  test("skyline: sweep-line frontier equals brute-force dominance") {
+    val got = StructureQueries.q_skyline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val parts = Tables.table(spark, dir, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("c"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = parts.filter { case (_, c, s) =>
+      !parts.exists { case (_, c2, s2) =>
+        c2 <= c && s2 >= s && (c2 < c || s2 > s)
+      }
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("ssjoin: prefix filtering is lossless vs the brute-force integer test") {
+    import graft.text.TextOps
+    val docs = Tables.table(spark, dir, "documents")
+    val got = TextOps.prefixJaccardPairs(docs, 3, 1, 2).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("n_union"))).toSet
+
+    // brute force: every doc pair, same integer threshold test
+    val sets = TextOps.withShingles(docs, 3)
+      .select(col("doc_id"), col("shingles")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if inter * 2 >= union
+    } yield (a, b, inter, union)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("inverted index: postings truncate at the configured bound and stats dominate them") {
     val nDocs = Tables.table(spark, dir, "documents").count()
     StructureQueries.q_inverted_index(spark, dir).collect().foreach { r =>
