@@ -1,16 +1,20 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 
 /** Release-gate operators: differentially-private noisy counts,
-  * day-of-week seasonality indices, and a two-proportion A/B z-test
-  * — the statistical release layer between a data platform's
-  * internal tables and anything published (privacy noise before
-  * demographic slices go out, seasonal baselines before "traffic is
-  * down" alarms, significance before a curation-policy change ships).
+  * day-of-week seasonality indices, a two-proportion A/B z-test,
+  * CUSUM changepoint detection, and delete-one-group jackknife
+  * standard errors — the statistical release layer between a data
+  * platform's internal tables and anything published (privacy noise
+  * before demographic slices go out, seasonal baselines before
+  * "traffic is down" alarms, significance before a curation-policy
+  * change ships, a located changepoint before "the mix shifted on
+  * day X" claims, resampling error bars on any released mean).
   *
   * Deterministic throughout: the DP noise draws its uniform from the
   * engine-standard Knuth multiplicative hash (same constants as the
@@ -108,12 +112,88 @@ object ReleaseQueries {
           + lit(1.0) / col("n1").cast("double")))).as("z"))
   }
 
+  /** CUSUM changepoint per platform: the day where the cumulative
+    * sum of deviations from the platform's mean daily event count
+    * peaks in magnitude — the classic Page (1954) location estimate
+    * for a single level shift. Deviations are kept INTEGER by scaling:
+    * dev_t = n_t·D − N (D days, N total events), so the cusum is
+    * D·(prefix count) − t·N — exact on both engines, no fractional
+    * mean ever materializes.
+    *
+    * Plan: the fact aggregates once to (platform, day) with partial
+    * aggregation before the exchange; both windows (running sum,
+    * top-1 pick) run over that tiny daily table partitioned by
+    * platform — bounded by days×platforms rows, never the fact. */
+  def q_changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type").as("platform"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_ev"))
+    val tot = daily.groupBy(col("platform"))
+      .agg(sum(col("n_ev")).as("n_total"), count(lit(1)).as("n_days"))
+    val dev = daily.join(broadcast(tot), "platform")
+      .withColumn("dev", col("n_ev") * col("n_days") - col("n_total"))
+    val run = Window.partitionBy(col("platform")).orderBy(col("date").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = dev.withColumn("cusum", sum(col("dev")).over(run))
+    val pick = Window.partitionBy(col("platform"))
+      .orderBy(abs(col("cusum")).desc, col("date").asc)
+    cusum.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("platform"), col("date").as("change_date"),
+        col("cusum"), col("n_days"), col("n_total"))
+      .orderBy(col("platform").asc)
+  }
+
+  private val JkScale = 1000000L
+
+  /** Delete-one-group (cluster) jackknife (Tukey 1958; Efron 1982)
+    * on the mean order price, clusters = customer nations: the
+    * released mean plus the standard error a reviewer asks for, with
+    * the resampling respecting that orders within a nation correlate.
+    * Leave-one-out means are single divisions of EXACT integer sums
+    * (cents), quantized to 1e-6 cents before the cross-group moment
+    * sums (taken in decimal — associative, order-invariant), so the
+    * only double steps are per-row division and one final scalar
+    * chain, both engine-identical.
+    *
+    * Plan: one fact-fact equi-join (orders ⋈ customer on custkey),
+    * partial-agg'd down to 25 nation rows before anything global;
+    * the moment pass reduces 25 rows to one. */
+  def q_jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s_c"),
+        count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("s_c")).as("s_all"), sum(col("n")).as("n_all"),
+      count(lit(1)).as("g"))
+    // θ̂_(i) in cents, scaled by 1e6 and rounded → exact BIGINT
+    val t = per.crossJoin(broadcast(tot))
+      .withColumn("t", round((col("s_all") - col("s_c")).cast("double")
+        * lit(JkScale.toDouble) / (col("n_all") - col("n")).cast("double"))
+        .cast("long"))
+    val m = t.groupBy(col("s_all"), col("n_all"), col("g"))
+      .agg(sum(col("t")).as("st"),
+        sum(col("t").cast("decimal(38,0)") * col("t")).as("st2"))
+    val gD = col("g").cast("double")
+    val varT = (col("st2").cast("double")
+      - col("st").cast("double") * col("st") / gD) * (gD - lit(1.0)) / gD
+    m.select(col("g"), col("n_all").as("n_orders"),
+      round(col("s_all").cast("double") / col("n_all") / lit(100.0), 6)
+        .as("mean_price"),
+      round(sqrt(varT) / lit(1.0e8), 6).as("jk_se"))
+  }
+
   // ---- registration -------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dp_counts" -> (q_dp_counts _),
     "q_seasonality" -> (q_seasonality _),
-    "q_abtest" -> (q_abtest _))
+    "q_abtest" -> (q_abtest _),
+    "q_changepoint" -> (q_changepoint _),
+    "q_jackknife" -> (q_jackknife _))
 
   private val dpCountsSql =
     s"""WITH c AS (SELECT n_nationkey, n_name AS nation, COUNT(*) AS n
@@ -167,8 +247,53 @@ object ReleaseQueries {
       |               + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS z
       |FROM s""".stripMargin
 
+  private val changepointSql =
+    """WITH daily AS (SELECT event_type AS platform, CAST(ts AS DATE) AS date,
+      |                 COUNT(*) AS n_ev
+      |               FROM events GROUP BY 1, 2),
+      |t AS (SELECT platform, CAST(SUM(n_ev) AS BIGINT) AS n_total,
+      |        COUNT(*) AS n_days
+      |      FROM daily GROUP BY 1),
+      |c AS (SELECT daily.platform, date, n_days, n_total,
+      |        SUM(n_ev * n_days - n_total) OVER (
+      |          PARTITION BY daily.platform ORDER BY date ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |      FROM daily JOIN t ON daily.platform = t.platform),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY platform ORDER BY abs(cusum) DESC, date ASC) AS rn
+      |      FROM c)
+      |SELECT platform, date AS change_date, CAST(cusum AS BIGINT) AS cusum,
+      |       n_days, n_total
+      |FROM r WHERE rn = 1 ORDER BY platform ASC""".stripMargin
+
+  private val jackknifeSql =
+    s"""WITH per AS (SELECT c_nationkey,
+       |        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_c,
+       |        COUNT(*) AS n
+       |      FROM orders JOIN customer ON o_custkey = c_custkey
+       |      GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(s_c) AS BIGINT) AS s_all,
+       |          CAST(SUM(n) AS BIGINT) AS n_all, COUNT(*) AS g
+       |        FROM per),
+       |t AS (SELECT s_all, n_all, g,
+       |        CAST(round(CAST(s_all - s_c AS DOUBLE) * $JkScale.0
+       |          / CAST(n_all - n AS DOUBLE)) AS BIGINT) AS t
+       |      FROM per CROSS JOIN tot),
+       |m AS (SELECT s_all, n_all, g, CAST(SUM(t) AS BIGINT) AS st,
+       |        SUM(CAST(t AS HUGEINT) * t) AS st2
+       |      FROM t GROUP BY 1, 2, 3)
+       |SELECT g, n_all AS n_orders,
+       |       round(CAST(s_all AS DOUBLE) / n_all / 100.0, 6) AS mean_price,
+       |       round(sqrt((CAST(st2 AS DOUBLE)
+       |           - CAST(st AS DOUBLE) * st / CAST(g AS DOUBLE))
+       |         * (CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)) / 1e8, 6)
+       |         AS jk_se
+       |FROM m""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dp_counts" -> dpCountsSql,
     "q_seasonality" -> seasonalitySql,
-    "q_abtest" -> abtestSql)
+    "q_abtest" -> abtestSql,
+    "q_changepoint" -> changepointSql,
+    "q_jackknife" -> jackknifeSql)
 }

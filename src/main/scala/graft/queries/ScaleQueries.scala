@@ -176,6 +176,22 @@ object ScaleQueries {
       .orderBy(col("date").asc)
   }
 
+  /** Unpivot (melt): the wide daily-counts matrix back to long
+    * (date, platform, n_events) rows via `stack` — the inverse of
+    * [[q_pivot]] and the standard wide→long reshape for feature
+    * tables. Zero cells are KEPT: the melt is dense, which is what
+    * distinguishes it from re-aggregating the fact (a gap day shows
+    * as an explicit 0 row). One generator expression per input row —
+    * map-only over the pivoted table, no extra exchange. */
+  def q_unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val platforms = Seq("click", "error", "purchase", "signup", "view")
+    val cells = platforms.map(p => s"'$p', $p").mkString(", ")
+    q_pivot(spark, dir)
+      .select(col("date"),
+        expr(s"stack(${platforms.size}, $cells) AS (platform, n_events)"))
+      .orderBy(col("date").asc, col("platform").asc)
+  }
+
   /** Skew-salted JOIN: the big side gets a synthetic salt, the small
     * side is replicated once per salt value, and the join key becomes
     * (key, salt) — each hot key spreads over `salts` reducers. The
@@ -242,6 +258,7 @@ object ScaleQueries {
     "q_hll_rollup" -> (q_hll_rollup _),
     "q_set_ops" -> (q_set_ops _),
     "q_pivot" -> (q_pivot _),
+    "q_unpivot" -> (q_unpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,6 +313,17 @@ object ScaleQueries {
         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY date ASC""".stripMargin,
+    "q_unpivot" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type AS platform,
+        |             COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |dates AS (SELECT DISTINCT date FROM d),
+        |p AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |        AS platform)
+        |SELECT dates.date, p.platform,
+        |       COALESCE(n, 0) AS n_events
+        |FROM dates CROSS JOIN p
+        |LEFT JOIN d ON d.date = dates.date AND d.platform = p.platform
+        |ORDER BY dates.date ASC, p.platform ASC""".stripMargin,
     "q_revenue_per_nation" ->
       """SELECT r_name AS region, n_name AS nation,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))

@@ -158,6 +158,43 @@ object StructureQueries {
       .orderBy(col("price_c").asc, col("p_partkey").asc)
   }
 
+  private val LinkPredK = 50
+
+  /** Common-neighbors link prediction (Liben-Nowell & Kleinberg
+    * 2003) on the part co-purchase graph: the top-k NON-adjacent
+    * part pairs ranked by shared-neighbor count — the candidate
+    * generator behind "bought together" recommendation and
+    * graph-completion curricula. The score stays an integer count,
+    * so ranking is exact on both engines.
+    *
+    * Plan: wedges fan out through a shuffle equi-join of the
+    * directed edge list with itself on the CENTER node — the join's
+    * hub keys are exactly what AQE skew-split partitions, and the
+    * per-pair counts group on (u,v) pair keys, which are well-spread
+    * by construction. The Σ C(deg,2) wedge volume is the true
+    * (pair, witness) incidence size — inherent to exact scoring, not
+    * a plan artifact; the existing-edge anti-join and the top-k
+    * (TakeOrderedAndProject) both run on the aggregated pair table.
+    * The edge list is checkpointed once: it feeds the directed view
+    * twice and the anti-join. */
+  def q_link_pred(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint(true)
+    val directed = edges.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(edges.select(col("v").as("c"), col("u").as("n")))
+    val wedges = directed.as("x").join(directed.as("y"),
+        col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    wedges.join(edges, Seq("u", "v"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u").asc, col("v").asc)
+      .limit(LinkPredK)
+  }
+
   private val PostingsPerTerm = 10
 
   /** Inverted index over the document corpus: per term, document
@@ -230,8 +267,20 @@ object StructureQueries {
     "q_triangles" -> (q_triangles _),
     "q_hits" -> (q_hits _),
     "q_skyline" -> (q_skyline _),
+    "q_link_pred" -> (q_link_pred _),
     "q_inverted_index" -> (q_inverted_index _),
     "q_k_anon" -> (q_k_anon _))
+
+  private val linkPredSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |d AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
+       |w AS (SELECT x.n AS u, y.n AS v, COUNT(*) AS common_neighbors
+       |      FROM d x JOIN d y ON x.c = y.c AND x.n < y.n GROUP BY 1, 2)
+       |SELECT u, v, common_neighbors
+       |FROM w ANTI JOIN e USING (u, v)
+       |ORDER BY common_neighbors DESC, u ASC, v ASC LIMIT $LinkPredK""".stripMargin
 
   private val hitsSql =
     s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
@@ -317,6 +366,7 @@ object StructureQueries {
     "q_triangles" -> trianglesSql,
     "q_hits" -> hitsSql,
     "q_skyline" -> skylineSql,
+    "q_link_pred" -> linkPredSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_k_anon" -> kAnonSql)
 }

@@ -37,6 +37,54 @@ class ReleaseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: peak cusum matches a driver-side scan and the full cusum closes at zero") {
+    val got = ReleaseQueries.q_changepoint(spark, dir).collect()
+      .map(r => (r.getAs[String]("platform"), r.getAs[java.sql.Date]("change_date").toString,
+        r.getAs[Long]("cusum"))).toSeq
+
+    val daily = Tables.table(spark, dir, "events")
+      .groupBy(col("event_type").as("platform"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("platform"), r.getAs[java.sql.Date]("date").toString,
+        r.getAs[Long]("n")))
+    val expected = daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, rows) =>
+      val byDay = rows.sortBy(_._2)
+      val total = byDay.map(_._3).sum
+      val d = byDay.length.toLong
+      val cusums = byDay.scanLeft(0L) { case (acc, (_, _, n)) => acc + n * d - total }.tail
+      // last cusum must close at zero: Σ(n·D − N) = D·N − D·N
+      assert(cusums.last == 0L, s"$p cusum tail ${cusums.last}")
+      val (day, cu) = byDay.map(_._2).zip(cusums)
+        .minBy { case (dy, c) => (-math.abs(c), dy) }
+      (p, day, cu)
+    }
+    assert(got == expected)
+  }
+
+  test("jackknife: se and mean match a driver-side leave-one-nation-out replay") {
+    val r = ReleaseQueries.q_jackknife(spark, dir).collect().head
+    val per = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(x => (x.getAs[Long]("s"), x.getAs[Long]("n")))
+    val (sAll, nAll) = (per.map(_._1).sum, per.map(_._2).sum)
+    val g = per.length
+    val t = per.map { case (s, n) =>
+      math.round((sAll - s).toDouble * 1e6 / (nAll - n).toDouble) }
+    val st = t.sum.toDouble
+    val st2 = t.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val varT = (st2 - st * st / g) * (g - 1.0) / g
+    assert(r.getAs[Long]("g") == g && r.getAs[Long]("n_orders") == nAll)
+    assert(math.abs(r.getAs[Double]("mean_price")
+      - sAll.toDouble / nAll / 100.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("jk_se") - math.sqrt(varT) / 1e8) < 1e-6)
+    assert(r.getAs[Double]("jk_se") > 0.0)
+  }
+
   test("abtest: arms tile the user base and z matches a driver-side recomputation") {
     val r = ReleaseQueries.q_abtest(spark, dir).collect().head
     val (n0, c0, n1, c1) = (r.getAs[Long]("n0"), r.getAs[Long]("c0"),

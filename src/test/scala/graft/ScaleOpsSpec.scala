@@ -18,6 +18,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === naive)
   }
 
+  test("unpivot is the dense inverse of pivot: zero gap cells kept, non-zero cells match the fact") {
+    val dir = "/root/testdata/sf0.001"
+    val long = ScaleQueries.q_unpivot(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString,
+        r.getAs[String]("platform"), r.getAs[Long]("n_events")))
+    val fact = graft.io.Tables.table(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("date"), col("event_type").as("platform"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString,
+        r.getAs[String]("platform")) -> r.getAs[Long]("n")).toMap
+    val nDates = long.map(_._1).distinct.length
+    assert(long.length == nDates * 5) // dense: every (date, platform) cell
+    long.foreach { case (d, p, n) =>
+      assert(n == fact.getOrElse((d, p), 0L), s"($d, $p)")
+    }
+    assert(long.exists(_._3 == 0L) || fact.size == long.length)
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     val events = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "events")
     val both = events.agg(

@@ -59,6 +59,29 @@ class StructureQueriesSpec extends SparkSpec {
       == expected)
   }
 
+  test("link prediction: wedge counts equal brute-force common-neighbor sets") {
+    val got = StructureQueries.q_link_pred(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for {
+      (o, parts) <- li.groupBy(_._1)
+      ps = parts.map(_._2).distinct
+      a <- ps; b <- ps if a < b
+    } { adj(a) += b; adj(b) += a }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      u <- nodes; v <- nodes if u < v && !adj(u).contains(v)
+      cn = (adj(u) & adj(v)).size.toLong if cn > 0
+    } yield (u, v, cn))
+      .sortBy { case (u, v, cn) => (-cn, u, v) }.take(50)
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("skyline: sweep-line frontier equals brute-force dominance") {
     val got = StructureQueries.q_skyline(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
