@@ -338,20 +338,39 @@ object TextOps {
       .localCheckpoint(true)
     // L = |s| − ⌈(p/q)·|s|⌉ + 1, in integer math
     val prefixLen = expr(s"n_sh - (($p * n_sh + ${q - 1}) DIV $q) + 1")
-    val pref = keyed.select(col("doc_id"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("ptok"))
-    val cand = pref.as("x")
+    val pref = keyed.select(col("doc_id"), col("n_sh"),
+      posexplode(slice(col("toks"), lit(1), prefixLen)))
+      .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("pos"),
+        col("col").as("ptok"))
+    // LENGTH filter (PPJoin): J ≥ p/q forces q·min(|A|,|B|) ≥
+    // p·max(|A|,|B|) — applied inside the candidate join so size-
+    // mismatched docs sharing a prefix token never become a pair
+    val joined = pref.as("x")
       .join(pref.as("y"),
-        col("x.ptok") === col("y.ptok") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+        col("x.ptok") === col("y.ptok") && col("x.doc_id") < col("y.doc_id")
+          && col("x.n_sh") * q >= col("y.n_sh") * p
+          && col("y.n_sh") * q >= col("x.n_sh") * p)
+    // POSITIONAL filter (PPJoin): both docs order shingles by the
+    // same global (df, shingle) key, so the FIRST shared token sits
+    // at min(pos) on both sides of the same incidence; overlap
+    // before it is zero, hence |A∩B| ≤ 1 + min(|A|−i, |B|−j). The
+    // threshold needs |A∩B| ≥ α = ⌈p(|A|+|B|)/(p+q)⌉ — candidates
+    // whose bound can't reach α die before the verify joins ship
+    // any shingle array. Lossless, like the prefix itself.
+    val cand = joined
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("ib"),
+        first(col("x.n_sh")).as("sa"), first(col("y.n_sh")).as("sb"))
+      .where(lit(1) + least(col("sa") - col("ia"), col("sb") - col("ib"))
+        >= expr(s"($p * (sa + sb) + ${p + q - 1}) DIV ${p + q}"))
+      .select("a", "b")
     cand
       .join(keyed.select(col("doc_id").as("a"), col("toks").as("ta"),
         col("n_sh").as("na")), "a")
       .join(keyed.select(col("doc_id").as("b"), col("toks").as("tb"),
         col("n_sh").as("nb")), "b")
       .withColumn("n_common",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        graft.functions.TextExprs.intersectSize(col("ta"), col("tb")))
       .withColumn("n_union",
         (col("na") + col("nb")).cast("long") - col("n_common"))
       .where(col("n_common") * q >= col("n_union") * p)

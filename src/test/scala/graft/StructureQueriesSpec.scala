@@ -59,9 +59,9 @@ class StructureQueriesSpec extends SparkSpec {
       == expected)
   }
 
-  test("link prediction: wedge counts equal brute-force common-neighbor sets") {
+  test("link prediction: per-target top-5 equals brute-force common-neighbor sets") {
     val got = StructureQueries.q_link_pred(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
 
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).collect()
@@ -69,16 +69,20 @@ class StructureQueriesSpec extends SparkSpec {
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
       .withDefaultValue(Set.empty)
     for {
-      (o, parts) <- li.groupBy(_._1)
+      (_, parts) <- li.groupBy(_._1)
       ps = parts.map(_._2).distinct
       a <- ps; b <- ps if a < b
     } { adj(a) += b; adj(b) += a }
-    val nodes = adj.keys.toSeq.sorted
-    val expected = (for {
-      u <- nodes; v <- nodes if u < v && !adj(u).contains(v)
-      cn = (adj(u) & adj(v)).size.toLong if cn > 0
-    } yield (u, v, cn))
-      .sortBy { case (u, v, cn) => (-cn, u, v) }.take(50)
+    val targets = adj.keys.filter(_ % 200 == 0).toSeq.sorted
+    val expected = for {
+      t <- targets
+      ranked = adj.keys.toSeq
+        .filter(v => v != t && !adj(t).contains(v))
+        .map(v => (v, (adj(t) & adj(v)).size.toLong))
+        .filter(_._2 > 0)
+        .sortBy { case (v, cn) => (-cn, v) }.take(5)
+      ((v, cn), i) <- ranked.zipWithIndex
+    } yield (t, i + 1, v, cn)
     assert(got == expected && got.nonEmpty)
   }
 
