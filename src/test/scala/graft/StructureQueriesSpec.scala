@@ -86,6 +86,38 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("kcore: iterative peel equals a driver-side replay and converges inside the oracle bound") {
+    val got = StructureQueries.q_kcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for {
+      (_, parts) <- li.groupBy(_._1)
+      ps = parts.map(_._2).distinct
+      a <- ps; b <- ps if a < b
+    } { adj(a) += b; adj(b) += a }
+    val degs = adj.values.map(_.size.toLong).toSeq.sorted
+    val rank = ((degs.length + 49) / 50).toInt
+    val k = degs(rank - 1) // ⌈n/50⌉-th smallest degree
+    var nodes = adj.keySet.toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val keep = nodes.filter(v => (adj(v) & nodes).size >= k)
+      changed = keep.size != nodes.size
+      nodes = keep
+      if (changed) rounds += 1
+    }
+    assert(rounds < 16, s"peel took $rounds rounds — oracle unroll too short")
+    val expected = nodes.toSeq.sorted
+      .map(v => (v, (adj(v) & nodes).size.toLong, k))
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("skyline: sweep-line frontier equals brute-force dominance") {
     val got = StructureQueries.q_skyline(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
