@@ -57,7 +57,8 @@ object Bench {
     // scoring): paid once per session, so min-of-reps drops it from
     // every query — report it separately instead of hiding it
     val staged = graft.queries.DedupStage.stagedSeconds +
-      graft.queries.LmStage.stagedSeconds
+      graft.queries.LmStage.stagedSeconds +
+      graft.queries.GraphStage.stagedSeconds
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","staged_sec":${r3(staged)},"median_total":${r3(medianTotal)},"value":${r3(total)}}""")
     spark.stop()
   }

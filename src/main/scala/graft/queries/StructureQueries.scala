@@ -38,11 +38,7 @@ object StructureQueries {
     * wedge fan-out happens inside a codegen'd array intersection, not
     * through an exchange); the top-k is TakeOrderedAndProject. */
   def q_triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val edges = GraphStage.copurchaseEdges(spark, dir)
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -186,12 +182,7 @@ object StructureQueries {
     * the custom heap-based [[graft.plans.TopKPerGroupPlan]] in its
     * winning regime (many small groups, no sort). */
   def q_link_pred(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .localCheckpoint(true)
+    val edges = GraphStage.copurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
     val adjT = adj.where(pmod(col("node"), lit(LinkPredTargetMod)) === 0)
@@ -235,17 +226,12 @@ object StructureQueries {
     * choice buys; asserted by the spec at sf0.001), so
     * both engines reach the identical maximal subgraph. */
   def q_kcore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    // build the DIRECTED adjacency straight from the per-order
-    // self-join (≠ instead of <): one distinct, one checkpoint — the
-    // undirected u<v list is never materialized, since every
-    // consumer below (degrees, per-round decrements) wants both
-    // orientations anyway
-    val directed = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("node"), col("b.p").as("nbr")).distinct()
-      .localCheckpoint(true)
+    // both orientations of the staged undirected edges — the swap
+    // union is a narrow map over the artifact's materialized blocks,
+    // re-walked cheaply by each peel round below
+    val edges = GraphStage.copurchaseEdges(spark, dir)
+    val directed = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
     val deg0 = directed.groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val hist = deg0.groupBy(col("deg").as("d")).agg(count(lit(1)).as("cnt"))

@@ -20,6 +20,7 @@ class DeterminismSpec extends SparkSpec {
       // the mining/scoring stages would escape the invariance check
       graft.queries.DedupStage.clearForTesting()
       graft.queries.LmStage.clearForTesting()
+      graft.queries.GraphStage.clearForTesting()
       SparkEntry.queries.map { case (name, fn) =>
         name -> fn(spark, dir).collect().toSeq.map(_.toString)
       }
