@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  // rounds between eager lineage-truncating checkpoints: deep enough
+  // that short power iterations (≤8 rounds) run as ONE pipelined job,
+  // shallow enough that Catalyst never plans an unbounded join chain
+  private val CheckpointInterval = 8
+
   /** `edges` must have columns (src, dst) with every node appearing
     * as a src (undirected graphs: union both directions first).
     * Returns (node, degree, mass) after `iters` damped rounds.
@@ -65,8 +70,9 @@ object PageRank {
       .localCheckpoint(true)
     val teleport = startMass * 15L / 100L
     var state = deg.withColumn("mass", lit(startMass))
-    var spent = List.empty[DataFrame]
-    for (_ <- 1 to iters) {
+    var spentCps = List.empty[DataFrame]
+    var lastCp: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val sent = state.select(col("node").as("src"),
         expr("mass div degree").as("sent"))
       val contrib = e
@@ -78,16 +84,27 @@ object PageRank {
         .select(col("node"), col("degree"),
           (lit(teleport) +
             expr("(85 * coalesce(incoming, 0)) div 100")).as("mass"))
-        .localCheckpoint(true)
-      spent ::= state
-      state = updated
+      // state enters the next round's lineage exactly once (via sent),
+      // so rounds PIPELINE with no recompute blowup — checkpoint every
+      // CheckpointInterval rounds to bound plan depth, not every
+      // round: an eager checkpoint is a full materialization job, and
+      // one per round costs more than the two pipelined shuffles it
+      // replaces (5 iters at sf0.1: 2.7 s → 2.5 s min, 3.4 s → 2.7 s
+      // median of 5). The FINAL round
+      // always checkpoints so the returned frame is self-contained
+      // and everything older can be freed.
+      if (i % CheckpointInterval == 0 || i == iters) {
+        val cp = updated.localCheckpoint(true)
+        lastCp.foreach(spentCps ::= _) // superseded: nothing reads it again
+        lastCp = Some(cp)
+        state = cp
+      } else state = updated
     }
-    // spent states are dead local-checkpoint blocks (state(0) is a
-    // projection over deg, harmlessly re-walked); e and deg are fully
-    // consumed once at least one round made state an independent
+    // spent checkpoints are dead block sets; e and deg are fully
+    // consumed once the final round made state an independent
     // checkpoint (iters == 0 returns a view OVER deg — keep it)
     if (iters > 0) {
-      CheckpointBlocks.free(spent)
+      CheckpointBlocks.free(spentCps)
       CheckpointBlocks.free(e)
       CheckpointBlocks.free(deg)
     }

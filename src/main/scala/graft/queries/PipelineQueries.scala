@@ -93,14 +93,24 @@ object PipelineQueries {
     * five power iterations replay exactly in the oracle's unrolled
     * CTE chain. */
   def q_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    // long node ids inside the iteration (part k → 2k, supplier k →
+    // 2k+1): every distinct/join/shuffle hashes 8-byte keys instead
+    // of "p:<k>"/"s:<k>" strings; the display label re-attaches as a
+    // map-side format over the |V|-row result. Same graph, same
+    // integer masses, 3.6 s → 2.7 s at sf0.1 (min of 5).
     val pairs = Tables.table(spark, dir, "lineitem")
-      .select(
-        concat(lit("p:"), col("l_partkey").cast("string")).as("p"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
     val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("p").as("dst")))
     PageRank.integerPageRank(edges, PrIters, PrStartMass)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("p:"), expr("node div 2").cast("string")))
+          .otherwise(
+            concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
+          .as("node"),
+        col("degree"), col("mass"))
       .orderBy(col("node").asc)
   }
 
