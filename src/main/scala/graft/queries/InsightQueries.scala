@@ -22,27 +22,36 @@ import graft.operators.AssocRules
   */
 object InsightQueries {
 
-  private val AssocMinSup = 3L
-  private val AssocTopK = 100
+  private[graft] val AssocMinSup = 3L
+  private[graft] val AssocTopK = 100
 
-  /** Association rules over order baskets ([[AssocRules]]): A-priori
-    * frequent-pair mining with the downward-closure item prune, then
-    * confidence/lift scoring, top-100 by lift.
+  /** Association rules over order baskets: frequent pairs from the
+    * staged co-occurrence artifact ([[GraphStage.copurchasePairCounts]]
+    * — built once per snapshot, shared with the graph queries), then
+    * [[AssocRules.rules]] confidence/lift scoring, top-100 by lift.
     *
-    * Plan shape: item supports partial-agg before one exchange on
-    * `item`; the pair self-join is an equi-join on `basket` (cost
-    * Σ|basket|², never |vocab|²); pair counts partial-agg on the
-    * composite key; top-k is TakeOrderedAndProject. The oracle runs
-    * the same mining unpruned — downward closure guarantees the
-    * pruned and unpruned frequent-pair sets are identical. */
+    * Equivalence to the prune-first [[AssocRules.frequentPairs]] path
+    * (which remains the standalone operator and is spec-asserted
+    * against this query): ps ≤ min(sup_a, sup_b), so every pair with
+    * ps ≥ minSup already has both items frequent — filtering the
+    * unpruned pair counts yields the identical pair set, and the item
+    * supports re-attach via two broadcast joins on the (post-filter,
+    * tiny) pair table. Plan shape: one pass over the staged artifact
+    * + one item-support aggregation of the incidence; top-k is
+    * TakeOrderedAndProject. */
   def q_assoc_rules(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
-      .distinct()
+    val li = GraphStage.basketItems(spark, dir)
+      .select(col("o").as("basket"), col("p").as("item"))
     val nBaskets = li.select(col("basket")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    AssocRules.rules(
-      AssocRules.frequentPairs(li, AssocMinSup), nBaskets, AssocTopK)
+    val itemSup = li.groupBy("item").agg(count(lit(1)).as("sup"))
+    val pairs = GraphStage.copurchasePairCounts(spark, dir)
+      .where(col("n_co") >= AssocMinSup)
+      .join(broadcast(itemSup.select(col("item").as("u"), col("sup").as("sup_a"))), "u")
+      .join(broadcast(itemSup.select(col("item").as("v"), col("sup").as("sup_b"))), "v")
+      .select(col("u").as("ia"), col("v").as("ib"),
+        col("sup_a"), col("sup_b"), col("n_co").as("ps"))
+    AssocRules.rules(pairs, nBaskets, AssocTopK)
   }
 
   /** Per-nation OLS regression of order value (cents) on order date

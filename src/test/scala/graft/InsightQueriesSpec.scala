@@ -30,6 +30,21 @@ class InsightQueriesSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("assoc rules: staged-artifact mining equals the prune-first operator path") {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val nBaskets = li.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val direct = AssocRules.rules(
+        AssocRules.frequentPairs(li, InsightQueries.AssocMinSup),
+        nBaskets, InsightQueries.AssocTopK)
+      .collect().map(_.toSeq).toSeq
+    val staged = InsightQueries.q_assoc_rules(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(staged == direct && staged.nonEmpty)
+  }
+
   test("assoc rules: confidence in (0,1], support bounded by item supports, lift consistent both directions") {
     val rows = InsightQueries.q_assoc_rules(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
