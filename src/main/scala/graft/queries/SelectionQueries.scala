@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.text.TextOps
 
 /** Data-selection operators for training-corpus curation:
   * boilerplate stripping by cross-document chunk frequency (the
@@ -120,11 +121,36 @@ object SelectionQueries {
       .limit(DsirTopK)
   }
 
+  private[graft] val SourceCapK = 10
+
+  /** Per-source document cap: keep the `SourceCapK` highest-quality
+    * documents per source — the C4/Gopher-style anti-domination gate
+    * (without it, one over-represented crawl domain floods the
+    * training mixture). Rank key = the blended quality score
+    * ([[TextOps.qualityExpr]], identical formula to
+    * `q_quality_score`), doc_id tie-break.
+    *
+    * Plan shape at 100 TB: scoring is map-side over the corpus scan;
+    * the per-source keep-k runs on the custom heap-based
+    * [[graft.plans.TopKPerGroupPlan]] in its winning regime (group
+    * count = source cardinality, k tiny, no per-source sort of the
+    * corpus); output is |sources|·k rows. */
+  def q_source_cap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityExpr(split(col("text"), " ")).as("quality"))
+    graft.plans.TopK.perGroup(scored, Seq("source"),
+        Seq(("quality", false), ("doc_id", true)), SourceCapK)
+      .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy(col("source").asc, col("rank").asc)
+  }
+
   // ---- registration -------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (q_boilerplate _),
-    "q_dsir" -> (q_dsir _))
+    "q_dsir" -> (q_dsir _),
+    "q_source_cap" -> (q_source_cap _))
 
   private val boilerplateSql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -166,7 +192,26 @@ object SelectionQueries {
        |GROUP BY db.doc_id
        |ORDER BY logw DESC, doc_id ASC LIMIT $DsirTopK""".stripMargin
 
+  private val sourceCapSql = {
+    val stop = TextOps.allStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, source,
+       |        round((len(list_distinct(toks)) / len(toks)) * 0.6
+       |              + (1.0 - len(list_filter(toks, x -> x IN $stop))
+       |                       / len(toks)) * 0.4, 6) AS quality
+       |      FROM t)
+       |SELECT source,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |         ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS rank,
+       |       doc_id, quality
+       |FROM s
+       |QUALIFY rank <= $SourceCapK
+       |ORDER BY source ASC, rank ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
-    "q_dsir" -> dsirSql)
+    "q_dsir" -> dsirSql,
+    "q_source_cap" -> sourceCapSql)
 }

@@ -269,6 +269,54 @@ object StructureQueries {
       .orderBy(col("node").asc)
   }
 
+  private val WalkSteps = 4
+  private val WalkStartMod = 100
+  private val WalkMixA = 2654435761L // Knuth multiplicative hash
+  private val WalkMixB = 40503L
+  private val WalkMixC = 1000003L
+
+  /** Deterministic random-walk corpus over the co-purchase graph —
+    * the sequence generator behind DeepWalk/node2vec-style graph
+    * embeddings (walks become "sentences" a skip-gram model trains
+    * on). One `WalkSteps`-step walk starts at every part in a 1/100
+    * key slice; the step choice is an integer hash mixer over
+    * (walk, current node, step) indexing into the SORTED neighbor
+    * list — no RNG state, so any run and the oracle generate the
+    * identical corpus (same discipline as `q_neg_sample`).
+    *
+    * Scale: the adjacency (node → sorted neighbor array) builds once
+    * from the staged edge artifact and is walked by every step; each
+    * step is one broadcast equi-join of the tiny walk frontier
+    * against it (at a billion walks the frontier outgrows broadcast
+    * and the same join shuffles on node id — the plan shape is
+    * unchanged). Walk count scales with the start slice, never the
+    * graph. */
+  def q_random_walks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphStage.copurchaseEdges(spark, dir)
+    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .groupBy("node").agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      .localCheckpoint(true)
+    var walk = adj
+      .where(pmod(col("node"), lit(WalkStartMod)) === 0)
+      .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
+    var out = walk
+    for (s <- 1 to WalkSteps) {
+      // every neighbor has ≥1 edge by symmetry, so the frontier never
+      // dead-ends and each walk emits exactly WalkSteps+1 rows
+      walk = adj
+        .join(broadcast(walk.select(col("walk_id"), col("node"))), Seq("node"))
+        .select(col("walk_id"), lit(s).as("step"),
+          element_at(col("nbrs"),
+            pmod(
+              col("walk_id") * WalkMixC + col("node") * WalkMixA
+                + lit(s.toLong) * WalkMixB,
+              size(col("nbrs")).cast("long")).cast("int") + 1).as("node"))
+      out = out.unionByName(walk)
+    }
+    out.orderBy(col("walk_id").asc, col("step").asc)
+  }
+
   private val PostingsPerTerm = 10
 
   /** Inverted index over the document corpus: per term, document
@@ -343,8 +391,33 @@ object StructureQueries {
     "q_skyline" -> (q_skyline _),
     "q_link_pred" -> (q_link_pred _),
     "q_kcore" -> (q_kcore _),
+    "q_random_walks" -> (q_random_walks _),
     "q_inverted_index" -> (q_inverted_index _),
     "q_k_anon" -> (q_k_anon _))
+
+  private val randomWalksSql: String = {
+    val steps = (1 to WalkSteps).map { s =>
+      val prev = s"w${s - 1}"
+      s"""w$s AS (SELECT walk_id, $s AS step,
+         |  nbrs[CAST((walk_id * $WalkMixC + adj.node * $WalkMixA
+         |             + $s * $WalkMixB) % len(nbrs) AS INTEGER) + 1] AS node
+         |FROM $prev JOIN adj ON $prev.node = adj.node)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to WalkSteps).map(s => s"SELECT * FROM w$s")
+      .mkString("\n       UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |      FROM lineitem),
+       |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |adj AS MATERIALIZED (SELECT node, list_sort(list(nbr)) AS nbrs FROM
+       |      (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e)
+       |      GROUP BY node),
+       |w0 AS (SELECT node AS walk_id, 0 AS step, node FROM adj
+       |       WHERE node % $WalkStartMod = 0),
+       |$steps
+       |SELECT walk_id, step, node FROM ($union)
+       |ORDER BY walk_id ASC, step ASC""".stripMargin
+  }
 
   private val kcoreSql: String = {
     val rounds = (1 until KCoreRounds).map { i =>
@@ -485,6 +558,7 @@ object StructureQueries {
     "q_skyline" -> skylineSql,
     "q_link_pred" -> linkPredSql,
     "q_kcore" -> kcoreSql,
+    "q_random_walks" -> randomWalksSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_k_anon" -> kAnonSql)
 }

@@ -194,6 +194,17 @@ object TextOps {
   /** All-language stopword union, for quality scoring. */
   val allStopwords: Seq[String] = stopwordSets.flatMap(_._2).distinct
 
+  /** The blended quality score over a token-array column — exposed
+    * separately so curation composites ([[qualityScore]], per-source
+    * caps) share one formula. */
+  def qualityExpr(tokens: Column): Column = {
+    val stop = size(filter(tokens, t => t.isInCollection(allStopwords)))
+    round(
+      (size(array_distinct(tokens)) / size(tokens)) * 0.6
+        + (lit(1.0) - stop / size(tokens)) * 0.4,
+      6)
+  }
+
   /** Quality scoring: uniqueness + stopword ratios and a blended
     * score — the length/punct/stopword-ratio family used to filter
     * web corpora. */
@@ -203,10 +214,7 @@ object TextOps {
       round(size(array_distinct(col("tokens"))) / size(col("tokens")), 6)
         .as("uniq_ratio"),
       round(hits(allStopwords) / size(col("tokens")), 6).as("stopword_ratio"),
-      round(
-        (size(array_distinct(col("tokens"))) / size(col("tokens"))) * 0.6
-          + (lit(1.0) - hits(allStopwords) / size(col("tokens"))) * 0.4,
-        6).as("quality"))
+      qualityExpr(col("tokens")).as("quality"))
 
   // ---- fingerprinting & exact dedup --------------------------------
 

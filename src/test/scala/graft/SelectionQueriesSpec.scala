@@ -33,6 +33,29 @@ class SelectionQueriesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("source cap: heap top-k equals a window-rank replay; every source capped") {
+    val got = SelectionQueries.q_source_cap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    // window-function replay of the same cap
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityExpr(split(col("text"), " ")).as("quality"))
+    val expected = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= SelectionQueries.SourceCapK)
+      .orderBy(col("source").asc, col("rank").asc)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toSeq
+    assert(got == expected && got.nonEmpty)
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.size <= SelectionQueries.SourceCapK))
+  }
+
   test("dsir: output is raw-corpus only, bigram counts match doc length, weights are finite and sorted") {
     val docs = Tables.table(spark, dir, "documents")
     val top = SelectionQueries.q_dsir(spark, dir)

@@ -118,6 +118,33 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("random walks: engine walks equal a driver-side replay over the same adjacency") {
+    val got = StructureQueries.q_random_walks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for {
+      (_, parts) <- li.groupBy(_._1)
+      ps = parts.map(_._2).distinct
+      a <- ps; b <- ps if a < b
+    } { adj(a) += b; adj(b) += a }
+    val expectedRows = adj.keySet.filter(_ % 100 == 0).toSeq.sorted.flatMap { start =>
+      var cur = start
+      Seq((start, 0, start)) ++ (1 to 4).map { s =>
+        val nbrs = adj(cur).toSeq.sorted
+        val idx = ((start * 1000003L + cur * 2654435761L + s * 40503L)
+          % nbrs.length).toInt
+        cur = nbrs(idx)
+        (start, s, cur)
+      }
+    }
+    assert(got == expectedRows && got.nonEmpty)
+  }
+
   test("skyline: sweep-line frontier equals brute-force dominance") {
     val got = StructureQueries.q_skyline(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
