@@ -419,6 +419,55 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  private val ContrastiveDraws = 8
+  private val CtrMixA = 2654435761L // anchor weight (Knuth hash)
+  private val CtrMixB = 40503L      // positive weight
+  private val CtrMixC = 1000003L    // draw weight
+
+  /** Contrastive triplet generation from the staged dedup clusters —
+    * training data for embedding / reranker models: every same-cluster
+    * document pair is a positive (the near-dups the model should map
+    * together); the negative is the first of `ContrastiveDraws`
+    * hash-drawn documents that lands OUTSIDE the pair's cluster
+    * (cluster-aware negative sampling — drawing uniformly and
+    * rejecting in-cluster hits avoids false negatives). Integer mixer
+    * + first-survivor selection, the `q_neg_sample` discipline: no RNG
+    * state, identical triplets on any run and in the oracle.
+    *
+    * Scale: positives are Σ|cluster|² rows (clusters are near-dup
+    * groups — tiny by construction after [[q_cluster_canonical]]-style
+    * curation); draws explode ×8 map-side; the cluster lookup for
+    * candidates is an equi-join on doc_id against the corpus-sized
+    * label table (shuffle join — the label side is NOT broadcast, it
+    * scales with the corpus); survivor selection is a `min_by` hash
+    * aggregation on the pair key. */
+  def q_contrastive(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").select(col("doc_id"))
+    val comp = DedupStage.components(spark, dir)
+      .select(col("node").as("doc_id"), col("label"))
+    val clustered = docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pos = clustered.as("x").join(clustered.as("y"),
+        col("x.cluster") === col("y.cluster")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("anchor"), col("y.doc_id").as("positive"),
+        col("x.cluster").as("cluster"))
+    val draws = pos.crossJoin(broadcast(nDocs))
+      .select(col("anchor"), col("positive"), col("cluster"), col("n_docs"),
+        explode(sequence(lit(1), lit(ContrastiveDraws))).as("d"))
+      .select(col("anchor"), col("positive"), col("cluster"), col("d"),
+        pmod(col("anchor") * CtrMixA + col("positive") * CtrMixB
+          + col("d") * CtrMixC, col("n_docs")).as("cand"))
+    draws
+      .join(clustered.select(col("doc_id").as("cand"),
+        col("cluster").as("cand_cluster")), "cand")
+      .where(col("cand_cluster") =!= col("cluster"))
+      .groupBy("anchor", "positive")
+      .agg(min_by(col("cand"), col("d")).as("negative"))
+      .orderBy(col("anchor").asc, col("positive").asc)
+  }
+
   /** Per-source token-distribution Shannon entropy — the corpus
     * diversity metric mixture tuning reads (low entropy ⇒ templated/
     * boilerplate source). Each −p·ln p term is quantized to
@@ -645,6 +694,7 @@ object PipelineQueries {
     "q_curriculum" -> (q_curriculum _),
     "q_entropy" -> (q_entropy _),
     "q_cluster_canonical" -> (q_cluster_canonical _),
+    "q_contrastive" -> (q_contrastive _),
     "q_chunk" -> (q_chunk _),
     "q_agg_merge" -> (q_agg_merge _),
     "q_feature_hash" -> (q_feature_hash _),
@@ -936,6 +986,38 @@ object PipelineQueries {
        |FROM lbl l JOIN rep r ON l.cluster = r.cluster
        |ORDER BY l.doc_id ASC""".stripMargin
 
+  private val contrastiveSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (
+       |${CorpusQueries.minhashPairsBody}
+       |  ) mh
+       |),
+       |und AS (SELECT a AS x, b AS y FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+       |  UNION
+       |  SELECT u.x, r.lab FROM reach r JOIN und u ON u.y = r.node
+       |),
+       |comp AS (SELECT node AS doc_id, MIN(lab) AS cluster
+       |         FROM reach GROUP BY node),
+       |cl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |pos AS (SELECT x.doc_id AS anchor, y.doc_id AS positive, x.cluster
+       |        FROM cl x JOIN cl y ON x.cluster = y.cluster
+       |          AND x.doc_id < y.doc_id),
+       |dr AS (SELECT anchor, positive, cluster, u.d,
+       |         (anchor * $CtrMixA + positive * $CtrMixB + u.d * $CtrMixC)
+       |           % n_docs AS cand
+       |       FROM pos, nn, UNNEST(range(1, ${ContrastiveDraws + 1})) AS u(d)),
+       |neg AS (SELECT anchor, positive, arg_min(cand, d) AS negative
+       |        FROM dr JOIN cl ON dr.cand = cl.doc_id
+       |        WHERE cl.cluster <> dr.cluster
+       |        GROUP BY anchor, positive)
+       |SELECT anchor, positive, negative FROM neg
+       |ORDER BY anchor ASC, positive ASC""".stripMargin
+
   private val entropySql: String =
     """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS t
       |             FROM documents),
@@ -1094,6 +1176,7 @@ object PipelineQueries {
     "q_curriculum" -> curriculumSql,
     "q_entropy" -> entropySql,
     "q_cluster_canonical" -> clusterCanonicalSql,
+    "q_contrastive" -> contrastiveSql,
     "q_chunk" -> chunkSql,
     "q_agg_merge" -> aggMergeSql,
     "q_feature_hash" -> featureHashSql,

@@ -11,6 +11,27 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("contrastive triplets: positives share a dedup cluster, negatives never do, and the draw replays") {
+    val cluster = graft.io.Tables.table(spark, sf, "documents").select("doc_id")
+      .join(graft.queries.DedupStage.components(spark, sf)
+        .select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = cluster.size
+    val got = graft.queries.PipelineQueries.q_contrastive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, p, n) =>
+      assert(cluster(a) == cluster(p) && a < p, (a, p))
+      assert(cluster(n) != cluster(a), (a, p, n))
+      // first-survivor replay of the hash draw
+      val expected = (1 to 8).iterator
+        .map(d => Math.floorMod(a * 2654435761L + p * 40503L + d * 1000003L, nDocs.toLong))
+        .find(c => cluster(c) != cluster(a))
+      assert(expected.contains(n), (a, p, n, expected))
+    }
+  }
+
   // ---- FuzzyJoin ---------------------------------------------------
 
   test("fuzzy join finds exactly the brute-force distance<=1 pairs") {
