@@ -39,23 +39,49 @@ object LmStage {
     * between partitionings so SCORING re-runs under each layout. */
   private[graft] def clearForTesting(): Unit = cache.clear()
 
+  /** The corpus-sized (doc_id, w1, w2) bigram stream over documents
+    * with ≥2 tokens — deliberately NOT cached: it is map-side
+    * (tokenize + explode) and each consumer prunes it differently;
+    * only the aggregates over it are artifacts. */
+  private def bigramStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val tok = TextOps.withTokens(docs).where(size(col("tokens")) >= 2)
+    tok.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), size(col("tokens")) - 1),
+        i => struct(
+          element_at(col("tokens"), i).as("w1"),
+          element_at(col("tokens"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** (w1, w2, c12) corpus bigram counts — the vocab²-bounded
+    * statistic both the LM scoring join and `q_collocations`' PMI
+    * mining read; one corpus aggregation pass per snapshot. */
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}|$dir|bigrams"
+    cache.computeIfAbsent(key, _ => {
+      val t0 = System.nanoTime()
+      val built = bigramStream(spark, dir)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
+      buildSecs += (System.nanoTime() - t0) / 1e9
+      built
+    })
+  }
+
   /** (doc_id, n_bigrams, avg_logp) for every document with ≥2
     * tokens: mean add-1-smoothed bigram log-probability under the
     * corpus LM (the log domain of perplexity). */
   def docScores(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the dependency BEFORE computeIfAbsent — a nested
+    // computeIfAbsent on the same map is a recursive update
+    val cb = bigramCounts(spark, dir)
     val key = s"${spark.sparkContext.applicationId}|$dir"
     cache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
       val docs = Tables.table(spark, dir, "documents")
-      val tok = TextOps.withTokens(docs).where(size(col("tokens")) >= 2)
-      val bg = tok.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("tokens")) - 1),
-          i => struct(
-            element_at(col("tokens"), i).as("w1"),
-            element_at(col("tokens"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val bg = bigramStream(spark, dir)
       val cu = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
       val vocab = TextOps.withTokens(docs)
         .select(explode(col("tokens")).as("t"))

@@ -248,22 +248,12 @@ object PipelineQueries {
     * double division + ln round at the boundary. Top-50 under a total
     * order → TakeOrderedAndProject, no global sort. */
   def q_collocations(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
-    val toks = split(col("text"), " ")
-    val bg = docs.where(size(toks) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => struct(
-          element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ONE corpus-wide aggregation; unigram margins and the total
-    // derive from the (vocab²-bounded) bigram-count table, not from
-    // re-reading the corpus-sized bigram stream three more times —
-    // all four consumers share the identical (w1, w2) agg subtree, so
-    // AQE's runtime stage reuse materializes its shuffle once (an
-    // explicit checkpoint measured NEUTRAL at sf0.1: redundant)
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the corpus bigram aggregation is the staged LM-statistics
+    // artifact ([[LmStage.bigramCounts]] — one corpus pass per
+    // snapshot, shared with the bigram-LM/perplexity scoring);
+    // unigram margins and the total derive from the (vocab²-bounded)
+    // count table, never from re-reading the corpus
+    val cb = LmStage.bigramCounts(spark, dir)
     val c1t = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val c2t = cb.groupBy("w2").agg(sum(col("c12")).as("c2"))
     val n = cb.agg(sum(col("c12")).as("n_bg"))
