@@ -16,7 +16,8 @@ class ScalingProbeSpec extends SparkSpec {
   private val heavyweights = Seq(
     "q_dedup_minhash", // MinHash banding + verify (mining scaling probed here)
     "q_fuzzy_join", // deletion-variant blocking
-    "q_collocations", // PMI pair mining
+    "q_triangles", // packed-adjacency intersections over the staged edges
+    "q_kcore", // histogram threshold + delta-peel rounds
     "q_pagerank", // iterative integer mass
     "q_split_dedup_aware") // components consumer over the staged artifact
 
@@ -31,7 +32,23 @@ class ScalingProbeSpec extends SparkSpec {
     // itself scales under q_dedup_minhash, which shares the kernel)
     graft.queries.DedupStage.components(spark, small).count()
     graft.queries.DedupStage.components(spark, big).count()
-    val failures = heavyweights.flatMap { name =>
+    // the co-purchase pair mining is the graph family's generation
+    // cost — time the staged build itself at each scale (consumers
+    // q_triangles/q_kcore then probe their own iteration/intersection
+    // scaling over the materialized artifact)
+    val stageFailure = {
+      def build(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.GraphStage.copurchasePairCounts(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val gs = build(small)
+      val gb = build(big)
+      val ratio = gb / math.max(gs, 0.1)
+      info(f"graph-stage build      sf0.01=$gs%6.2f s  sf0.1=$gb%6.2f s  ratio=$ratio%4.1f")
+      if (ratio > 5.0) Some(f"graph-stage build scales $ratio%.1fx for 10x rows") else None
+    }
+    val failures = stageFailure.toSeq ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
