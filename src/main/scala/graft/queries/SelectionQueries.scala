@@ -121,6 +121,56 @@ object SelectionQueries {
       .limit(DsirTopK)
   }
 
+  private val PsiBuckets = 64
+
+  /** Population Stability Index per source — the drift monitor a
+    * production corpus pipeline runs between snapshots ("has this
+    * source's token distribution shifted enough to re-tune the
+    * mixture?"). Reference vs current halves are a deterministic md5
+    * half-split of doc_ids (the `q_sample_hash` idiom — orthogonal to
+    * every other column, where doc_id PARITY would correlate with the
+    * synthetic source assignment and empty one half per source); the
+    * halves stand in for yesterday's/today's snapshot. Tokens hash
+    * into `PsiBuckets` buckets; PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    * over Laplace-smoothed bucket probabilities. Each term is
+    * quantized to DECIMAL(20,9) before the per-source sum (the
+    * [[q_dsir]] discipline) so the corpus-sized reduction is exact
+    * decimal arithmetic — identical on both engines. Standard read:
+    * <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Plan shape at 100 TB: tokenize + bucket are map-side; per
+    * (source, bucket, half) counts partial-agg on a composite key
+    * bounded by \|sources\|·B·2; everything after is arithmetic over
+    * that tiny table. The fact never sorts, nothing broadcasts except
+    * scalars. */
+  def q_psi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .select(col("source"),
+        (substring(md5(concat(lit("psi:"), col("doc_id").cast("string"))), 1, 1)
+          <= "7").as("is_ref"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), col("is_ref"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          % PsiBuckets).as("bucket"))
+    val cell = toks.groupBy("source", "bucket")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val totals = cell.groupBy("source")
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    val b = lit(PsiBuckets.toDouble)
+    val p = (col("c_ref") + lit(1.0)) / (col("n_ref") + b)
+    val q = (col("c_cur") + lit(1.0)) / (col("n_cur") + b)
+    cell.join(totals, "source")
+      .select(col("source"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 9).cast("decimal(20,9)").as("term"))
+      .groupBy("source")
+      .agg(min(col("n_ref")).as("n_ref_tokens"),
+        min(col("n_cur")).as("n_cur_tokens"),
+        round(sum(col("term")).cast("double"), 6).as("psi"))
+      .orderBy(col("source").asc)
+  }
+
   private[graft] val SourceCapK = 10
 
   /** Per-source document cap: keep the `SourceCapK` highest-quality
@@ -150,7 +200,8 @@ object SelectionQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (q_boilerplate _),
     "q_dsir" -> (q_dsir _),
-    "q_source_cap" -> (q_source_cap _))
+    "q_source_cap" -> (q_source_cap _),
+    "q_psi" -> (q_psi _))
 
   private val boilerplateSql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -210,8 +261,34 @@ object SelectionQueries {
        |ORDER BY source ASC, rank ASC""".stripMargin
   }
 
+  private val psiSql =
+    s"""WITH tk AS (SELECT source,
+       |              substr(md5('psi:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS is_ref,
+       |              ('0x' || substr(md5(t.t), 1, 8))::BIGINT % $PsiBuckets AS bucket
+       |            FROM documents, UNNEST(string_split(text, ' ')) AS t(t)),
+       |cell AS (SELECT source, bucket,
+       |           CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       |           CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+       |         FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+       |          CAST(SUM(c_cur) AS BIGINT) AS n_cur
+       |        FROM cell GROUP BY source),
+       |term AS (SELECT cell.source, n_ref, n_cur,
+       |           CAST(round(
+       |             ((cell.c_ref + 1.0) / (tot.n_ref + $PsiBuckets.0)
+       |              - (cell.c_cur + 1.0) / (tot.n_cur + $PsiBuckets.0))
+       |             * ln(((cell.c_ref + 1.0) / (tot.n_ref + $PsiBuckets.0))
+       |                  / ((cell.c_cur + 1.0) / (tot.n_cur + $PsiBuckets.0))), 9)
+       |             AS DECIMAL(20,9)) AS term
+       |         FROM cell JOIN tot ON cell.source = tot.source)
+       |SELECT source, MIN(n_ref) AS n_ref_tokens, MIN(n_cur) AS n_cur_tokens,
+       |       round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+       |FROM term GROUP BY source
+       |ORDER BY source ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
     "q_dsir" -> dsirSql,
-    "q_source_cap" -> sourceCapSql)
+    "q_source_cap" -> sourceCapSql,
+    "q_psi" -> psiSql)
 }

@@ -317,6 +317,45 @@ object StructureQueries {
     out.orderBy(col("walk_id").asc, col("step").asc)
   }
 
+  /** Degree distribution of the co-purchase graph with a power-law
+    * fit: node counts per log₂ degree bucket, plus the OLS slope of
+    * ln(count) against the bucket index — the scale-free-ness
+    * diagnostic (slope ≈ −(α−1)·ln 2 for a power-law graph) that
+    * tells a pipeline whether hub-aware plans (degree-ordered
+    * orientation, skew salting) are worth their cost on this graph.
+    *
+    * Determinism: the bucket is `length(bin(deg))` — INTEGER bit
+    * length, immune to the 1-ulp log2 boundary problem at exact
+    * powers of two; the regression runs over the ≤64-row histogram
+    * with decimal-quantized ln(count) terms, so every sum is exact
+    * and the slope is one double chain on exact values (the
+    * [[graft.queries.InsightQueries.q_regression]] discipline).
+    *
+    * Scale: degrees are one partial-agg'd aggregation over the staged
+    * edges; the histogram is ≤64 rows; the fit broadcasts back as a
+    * scalar. */
+  def q_degree_dist(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphStage.copurchaseEdges(spark, dir)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val pts = hist.select(col("bucket").as("x"),
+      round(log(col("n_nodes")), 9).cast("decimal(20,9)").as("y"))
+    val fit = pts.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(20,9)") * col("y")).as("sxy"))
+      .select(round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+        6).as("slope"))
+    hist.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_nodes"), col("slope"))
+      .orderBy(col("bucket").asc)
+  }
+
   private val PostingsPerTerm = 10
 
   /** Inverted index over the document corpus: per term, document
@@ -392,6 +431,7 @@ object StructureQueries {
     "q_link_pred" -> (q_link_pred _),
     "q_kcore" -> (q_kcore _),
     "q_random_walks" -> (q_random_walks _),
+    "q_degree_dist" -> (q_degree_dist _),
     "q_inverted_index" -> (q_inverted_index _),
     "q_k_anon" -> (q_k_anon _))
 
@@ -515,6 +555,24 @@ object StructureQueries {
        |SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
        |ORDER BY n_tri DESC, node ASC LIMIT $TriTopK""".stripMargin
 
+  private val degreeDistSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |d AS (SELECT node, COUNT(*) AS deg FROM
+      |      (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |h AS (SELECT LENGTH(bin(deg)) AS bucket, COUNT(*) AS n_nodes
+      |      FROM d GROUP BY 1),
+      |p AS (SELECT CAST(bucket AS BIGINT) AS x,
+      |        CAST(round(ln(n_nodes), 9) AS DECIMAL(20,9)) AS y FROM h),
+      |f AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+      |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |        SUM(CAST(x AS DECIMAL(20,9)) * y) AS sxy FROM p),
+      |s AS (SELECT round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |              / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope FROM f)
+      |SELECT bucket, n_nodes, slope FROM h, s
+      |ORDER BY bucket ASC""".stripMargin
+
   private val invertedIndexSql =
     s"""WITH tf AS (SELECT t.term, d.doc_id, COUNT(*) AS tf
        |            FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(term)
@@ -559,6 +617,7 @@ object StructureQueries {
     "q_link_pred" -> linkPredSql,
     "q_kcore" -> kcoreSql,
     "q_random_walks" -> randomWalksSql,
+    "q_degree_dist" -> degreeDistSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_k_anon" -> kAnonSql)
 }

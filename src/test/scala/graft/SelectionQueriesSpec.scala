@@ -56,6 +56,23 @@ class SelectionQueriesSpec extends SparkSpec {
       assert(g.size <= SelectionQueries.SourceCapK))
   }
 
+  test("psi: non-negative for every source, zero-drift self-comparison, token accounting") {
+    val rows = SelectionQueries.q_psi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // PSI terms (p−q)·ln(p/q) are individually non-negative; the only
+    // slack is the 9-dp term quantization (≤1e-6 after the final round)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi") >= -1e-6, r)
+      assert(r.getAs[Long]("n_ref_tokens") > 0 && r.getAs[Long]("n_cur_tokens") > 0, r)
+    }
+    // total token accounting: ref+cur across sources = corpus tokens
+    val total = rows.map(r => r.getAs[Long]("n_ref_tokens") + r.getAs[Long]("n_cur_tokens")).sum
+    val corpus = Tables.table(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == corpus)
+  }
+
   test("dsir: output is raw-corpus only, bigram counts match doc length, weights are finite and sorted") {
     val docs = Tables.table(spark, dir, "documents")
     val top = SelectionQueries.q_dsir(spark, dir)

@@ -145,6 +145,40 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got == expectedRows && got.nonEmpty)
   }
 
+  test("degree distribution: buckets cover every node and the slope replays driver-side") {
+    val rows = StructureQueries.q_degree_dist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for {
+      (_, parts) <- li.groupBy(_._1)
+      ps = parts.map(_._2).distinct
+      a <- ps; b <- ps if a < b
+    } { adj(a) += b; adj(b) += a }
+    assert(rows.map(_._2).sum == adj.size)
+    val hist = adj.values.map(_.size)
+      .groupBy(d => java.lang.Long.toBinaryString(d.toLong).length.toLong)
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == hist)
+    // OLS replay over the histogram points (x = bucket, y = quantized ln n)
+    val pts = hist.toSeq.map { case (x, n) =>
+      (x, BigDecimal(math.log(n.toDouble)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val n = pts.size
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => BigDecimal(p._1) * p._2).sum
+    val slope = (BigDecimal(n) * sxy - BigDecimal(sx) * sy).toDouble /
+      (n * sxx - sx * sx).toDouble
+    val expected = BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach(r => assert(r._3 == expected, (r._3, expected)))
+  }
+
   test("skyline: sweep-line frontier equals brute-force dominance") {
     val got = StructureQueries.q_skyline(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
