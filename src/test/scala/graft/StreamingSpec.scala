@@ -284,6 +284,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1).contains("2024-01-01"))
   }
 
+  test("streaming PSI monitor converges to the batch PSI under any batch split") {
+    import graft.streaming.StreamingDrift
+    import graft.streaming.StreamingDrift.{PsiRow, TokenRow}
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val toks = StreamingDrift.tokenRows(
+      graft.io.Tables.table(spark, sf, "documents")).collect().toSeq
+    val in = MemoryStream[TokenRow]
+    val q = StreamingDrift.psiMonitor(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("psi_t").start()
+    toks.grouped(math.max(1, toks.size / 3 + 1)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val all = spark.table("psi_t").as[PsiRow].collect()
+    val latest = all.groupBy(_.source).toSeq.map { case (_, rs) =>
+      val r = rs.maxBy(_.version)
+      (r.source, r.n_ref_tokens, r.n_cur_tokens, r.psi)
+    }.toSet
+    val batch = graft.queries.SelectionQueries.q_psi(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(latest === batch && batch.nonEmpty)
+  }
+
   test("streaming weighted reservoir converges to the batch weighted sample") {
     import graft.streaming.StreamingMix
     import graft.streaming.StreamingMix.{DocRow, Pick}
