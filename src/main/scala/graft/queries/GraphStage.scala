@@ -91,4 +91,18 @@ object GraphStage {
     * materialized blocks, not a recompute. */
   def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     copurchasePairCounts(spark, dir).select("u", "v")
+
+  /** (node, deg) — each part's co-purchase neighbor count, the
+    * third shared statistic (triangle orientation, k-core seed state,
+    * degree distribution all start here). One aggregation over the
+    * pair artifact, materialized once. */
+  def copurchaseDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    cached(spark, dir, "degrees") {
+      edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+    }
+  }
 }

@@ -39,9 +39,7 @@ object StructureQueries {
     * through an exchange); the top-k is TakeOrderedAndProject. */
   def q_triangles(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStage.copurchaseEdges(spark, dir)
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = GraphStage.copurchaseDegrees(spark, dir)
     val withDeg = edges
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "udeg"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "vdeg"), "v")
@@ -232,8 +230,7 @@ object StructureQueries {
     val edges = GraphStage.copurchaseEdges(spark, dir)
     val directed = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
-    val deg0 = directed.groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    val deg0 = GraphStage.copurchaseDegrees(spark, dir)
     val hist = deg0.groupBy(col("deg").as("d")).agg(count(lit(1)).as("cnt"))
     val kDf = hist.as("a").join(hist.as("b"), col("b.d") <= col("a.d"))
       .groupBy(col("a.d").as("d")).agg(sum(col("b.cnt")).as("cum"))
@@ -335,10 +332,7 @@ object StructureQueries {
     * edges; the histogram is ≤64 rows; the fit broadcasts back as a
     * scalar. */
   def q_degree_dist(spark: SparkSession, dir: String): DataFrame = {
-    val edges = GraphStage.copurchaseEdges(spark, dir)
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = GraphStage.copurchaseDegrees(spark, dir)
     val hist = deg.groupBy(length(bin(col("deg"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_nodes"))
     val pts = hist.select(col("bucket").as("x"),
