@@ -409,6 +409,42 @@ object PipelineQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Quality-score calibration against near-duplicate membership:
+    * rank the corpus into quality deciles (ExactRank — no global
+    * window) and report each decile's near-dup rate from the staged
+    * pair mining. The score-validation read a curation pipeline runs
+    * before trusting a quality gate: a well-calibrated score shows
+    * dup-rate falling as quality rises; a flat curve means the gate
+    * isn't separating anything. "Near-dup" = incident to any MinHash
+    * pair at the corpus defaults (the [[DedupStage]] artifact's node
+    * set — membership, not clustering, so the oracle needs only the
+    * pair CTE).
+    *
+    * Plan shape: scoring is map-side; the decile is two-phase
+    * range-partitioned rank + integer math; the dup flag is one
+    * equi-join against the (near-dup-bounded) node list; the output
+    * aggregation is 10 groups. */
+  def q_quality_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.qualityExpr(split(col("text"), " ")).as("quality"))
+    val (ranked, n) = graft.operators.ExactRank.withGlobalRank(
+      scored, Seq(col("quality").asc, col("doc_id").asc), "_gr")
+    val dup = DedupStage.components(spark, dir)
+      .select(col("node").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    ranked
+      .withColumn("decile",
+        graft.operators.ExactRank.ntileFromRank("_gr", n, 10))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        round(col("n_dup") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy(col("decile").asc)
+  }
+
   private val ContrastiveDraws = 8
   private val CtrMixA = 2654435761L // anchor weight (Knuth hash)
   private val CtrMixB = 40503L      // positive weight
@@ -685,6 +721,7 @@ object PipelineQueries {
     "q_entropy" -> (q_entropy _),
     "q_cluster_canonical" -> (q_cluster_canonical _),
     "q_contrastive" -> (q_contrastive _),
+    "q_quality_calibration" -> (q_quality_calibration _),
     "q_chunk" -> (q_chunk _),
     "q_agg_merge" -> (q_agg_merge _),
     "q_feature_hash" -> (q_feature_hash _),
@@ -976,6 +1013,35 @@ object PipelineQueries {
        |FROM lbl l JOIN rep r ON l.cluster = r.cluster
        |ORDER BY l.doc_id ASC""".stripMargin
 
+  private val qualityCalibrationSql: String = {
+    val stop = graft.text.TextOps.allStopwords
+      .map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH pairs AS (
+       |  SELECT a, b FROM (
+       |${CorpusQueries.minhashPairsBody}
+       |  ) mh
+       |),
+       |dup AS (SELECT DISTINCT doc_id FROM
+       |        (SELECT a AS doc_id FROM pairs UNION ALL SELECT b FROM pairs)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |        round((len(list_distinct(toks)) / len(toks)) * 0.6
+       |              + (1.0 - len(list_filter(toks, x -> x IN $stop))
+       |                       / len(toks)) * 0.4, 6) AS quality
+       |      FROM t),
+       |r AS (SELECT doc_id, quality,
+       |        CAST(ntile(10) OVER (ORDER BY quality ASC, doc_id ASC)
+       |          AS INTEGER) AS decile
+       |      FROM s)
+       |SELECT decile, COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_dup,
+       |       round(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |             / COUNT(*), 6) AS dup_rate
+       |FROM r LEFT JOIN dup ON r.doc_id = dup.doc_id
+       |GROUP BY decile ORDER BY decile ASC""".stripMargin
+  }
+
   private val contrastiveSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT a, b FROM (
@@ -1167,6 +1233,7 @@ object PipelineQueries {
     "q_entropy" -> entropySql,
     "q_cluster_canonical" -> clusterCanonicalSql,
     "q_contrastive" -> contrastiveSql,
+    "q_quality_calibration" -> qualityCalibrationSql,
     "q_chunk" -> chunkSql,
     "q_agg_merge" -> aggMergeSql,
     "q_feature_hash" -> featureHashSql,

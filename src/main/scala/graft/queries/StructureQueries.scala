@@ -288,7 +288,7 @@ object StructureQueries {
     * and the same join shuffles on node id — the plan shape is
     * unchanged). Walk count scales with the start slice, never the
     * graph. */
-  def q_random_walks(spark: SparkSession, dir: String): DataFrame = {
+  private def walks(spark: SparkSession, dir: String): DataFrame = {
     val edges = GraphStage.copurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
@@ -311,7 +311,34 @@ object StructureQueries {
               size(col("nbrs")).cast("long")).cast("int") + 1).as("node"))
       out = out.unionByName(walk)
     }
-    out.orderBy(col("walk_id").asc, col("step").asc)
+    out
+  }
+
+  def q_random_walks(spark: SparkSession, dir: String): DataFrame =
+    walks(spark, dir).orderBy(col("walk_id").asc, col("step").asc)
+
+  private val WalkWindow = 2
+
+  /** Skip-gram training pairs from the walk corpus — the final
+    * emission of the DeepWalk pipeline: every (center, context) node
+    * pair within `WalkWindow` steps on the same walk, with its
+    * co-occurrence count (what a skip-gram embedding model consumes).
+    * Pure composition over [[q_random_walks]]' deterministic corpus,
+    * so both engines emit identical pairs.
+    *
+    * Scale: the pair space is walks × window — linear in the walk
+    * corpus, never in the graph; the self-join is an equi-join on
+    * walk_id (walk length bounds the per-key fan-out) and counts
+    * partial-aggregate on the composite key. */
+  def q_walk_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = walks(spark, dir)
+    w.as("a").join(w.as("b"),
+        col("a.walk_id") === col("b.walk_id")
+          && col("a.step") =!= col("b.step")
+          && abs(col("a.step") - col("b.step")) <= WalkWindow)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("center").asc, col("context").asc)
   }
 
   /** Degree distribution of the co-purchase graph with a power-law
@@ -425,11 +452,14 @@ object StructureQueries {
     "q_link_pred" -> (q_link_pred _),
     "q_kcore" -> (q_kcore _),
     "q_random_walks" -> (q_random_walks _),
+    "q_walk_pairs" -> (q_walk_pairs _),
     "q_degree_dist" -> (q_degree_dist _),
     "q_inverted_index" -> (q_inverted_index _),
     "q_k_anon" -> (q_k_anon _))
 
-  private val randomWalksSql: String = {
+  /** Shared walk-corpus CTE chain, ending in `w` = all (walk_id,
+    * step, node) rows — prefix of both walk oracles. */
+  private val walkCtes: String = {
     val steps = (1 to WalkSteps).map { s =>
       val prev = s"w${s - 1}"
       s"""w$s AS (SELECT walk_id, $s AS step,
@@ -448,10 +478,22 @@ object StructureQueries {
        |      GROUP BY node),
        |w0 AS (SELECT node AS walk_id, 0 AS step, node FROM adj
        |       WHERE node % $WalkStartMod = 0),
-       |$steps
-       |SELECT walk_id, step, node FROM ($union)
-       |ORDER BY walk_id ASC, step ASC""".stripMargin
+       |$steps,
+       |w AS ($union)""".stripMargin
   }
+
+  private val randomWalksSql: String =
+    s"""$walkCtes
+       |SELECT walk_id, step, node FROM w
+       |ORDER BY walk_id ASC, step ASC""".stripMargin
+
+  private val walkPairsSql: String =
+    s"""$walkCtes
+       |SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+       |FROM w a JOIN w b ON a.walk_id = b.walk_id AND a.step <> b.step
+       |  AND abs(a.step - b.step) <= $WalkWindow
+       |GROUP BY 1, 2
+       |ORDER BY center ASC, context ASC""".stripMargin
 
   private val kcoreSql: String = {
     val rounds = (1 until KCoreRounds).map { i =>
@@ -611,6 +653,7 @@ object StructureQueries {
     "q_link_pred" -> linkPredSql,
     "q_kcore" -> kcoreSql,
     "q_random_walks" -> randomWalksSql,
+    "q_walk_pairs" -> walkPairsSql,
     "q_degree_dist" -> degreeDistSql,
     "q_inverted_index" -> invertedIndexSql,
     "q_k_anon" -> kAnonSql)

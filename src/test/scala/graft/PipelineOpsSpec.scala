@@ -11,6 +11,20 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("quality calibration: deciles tile the corpus and dup totals match the pair-incident node set") {
+    val rows = graft.queries.PipelineQueries.q_quality_calibration(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getAs[Double]("dup_rate")))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val corpus = graft.io.Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == corpus)
+    val dupNodes = graft.queries.DedupStage.components(spark, sf)
+      .select("node").distinct().count()
+    assert(rows.map(_._3).sum == dupNodes)
+    rows.foreach { case (_, nd, ndup, rate) =>
+      assert(ndup <= nd && math.abs(rate - ndup.toDouble / nd) < 1e-6)
+    }
+  }
+
   test("contrastive triplets: positives share a dedup cluster, negatives never do, and the draw replays") {
     val cluster = graft.io.Tables.table(spark, sf, "documents").select("doc_id")
       .join(graft.queries.DedupStage.components(spark, sf)

@@ -145,6 +145,18 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got == expectedRows && got.nonEmpty)
   }
 
+  test("walk pairs: symmetric counts and exactly 14 window pairs per walk") {
+    val rows = StructureQueries.q_walk_pairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    // |i-j| symmetry: every (center, context) count equals its reverse
+    rows.foreach { case ((c, x), n) => assert(rows((x, c)) == n, (c, x)) }
+    // 5-position walks with window 2: per walk Σ = 2+3+4+3+2 = 14
+    val nWalks = StructureQueries.q_random_walks(spark, dir)
+      .select("walk_id").distinct().count()
+    assert(rows.values.sum == 14 * nWalks)
+  }
+
   test("degree distribution: buckets cover every node and the slope replays driver-side") {
     val rows = StructureQueries.q_degree_dist(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
