@@ -29,28 +29,58 @@ trait TableFormat {
   /** Highest committed version, 0 if the table does not exist. */
   def currentVersion(table: String): Long
 
+  /** Backend commit primitive: persist `df` as version
+    * `expectedBase + 1`, FAILING (not clobbering) if any other writer
+    * committed after `expectedBase` — each backend supplies its own
+    * arbitration (filesystem rename, log CAS, …). Returns the
+    * committed version. */
+  def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long
+
   /** Create-or-replace the table with `df` as its next version. */
-  def overwrite(table: String, df: DataFrame): Unit
+  def overwrite(table: String, df: DataFrame): Unit =
+    tryCommit(table, df, currentVersion(table))
 
   /** `MERGE WHEN NOT MATCHED THEN INSERT` under the table's unique
     * constraints (DDL order), with `priority` as the within-batch
     * tie-break: commits the merged state and returns the inserted
     * (RETURNING) set. A no-op merge (zero survivors) MUST NOT mint a
-    * new version. */
-  def mergeInsert(
+    * new version.
+    *
+    * Defined ONCE on the trait: the merge semantics ARE the contract;
+    * backends only supply read + arbitrated commit. RETURNING is
+    * computed pre-commit against the version the anti-joins saw —
+    * committed versions are immutable in every backend, so the lazy
+    * frame remains valid after the commit — and the commit supersedes
+    * EXACTLY the version read, so a racer's rows can never be
+    * silently dropped. */
+  final def mergeInsert(
       table: String,
       batch: DataFrame,
       constraints: Seq[Seq[String]],
-      priority: Seq[Column]): DataFrame
+      priority: Seq[Column]): DataFrame = {
+    val base = currentVersion(table)
+    require(base > 0, s"table $table does not exist")
+    val existing = readVersion(table, base)
+    val (inserted, merged) = Load.upsert(existing, batch, constraints, priority)
+    if (inserted.isEmpty) inserted
+    else { tryCommit(table, merged, base); inserted }
+  }
 
   /** `MERGE WHEN MATCHED AND target.valueCol IS NULL THEN UPDATE` —
     * the fill-if-null enrich (S10). Returns the updated rows; no-op
     * updates mint no version. */
-  def mergeUpdateIfNull(
+  final def mergeUpdateIfNull(
       table: String,
       updates: DataFrame,
       key: String,
-      valueCol: String): DataFrame
+      valueCol: String): DataFrame = {
+    val base = currentVersion(table)
+    require(base > 0, s"table $table does not exist")
+    val (returning, newState) =
+      Load.updateColumn(readVersion(table, base), updates, key, valueCol)
+    if (returning.isEmpty) returning
+    else { tryCommit(table, newState, base); returning }
+  }
 }
 
 /** The default backend: one directory per table holding immutable
@@ -91,18 +121,15 @@ final class VersionedParquet(spark: SparkSession, root: String) extends TableFor
   override def readVersion(table: String, version: Long): DataFrame =
     spark.read.parquet(new Path(tableDir(table), s"v=$version").toString)
 
-  override def overwrite(table: String, df: DataFrame): Unit =
-    tryCommit(table, df, currentVersion(table))
-
   /** Optimistic-concurrency commit primitive: writes `df` as version
     * `expectedBase + 1` and FAILS if that version already exists —
     * i.e. if any other writer committed after the version this
     * writer's reads were based on. (On HDFS semantics the rename
     * itself arbitrates; LocalFileSystem renames INTO an existing dir,
     * so the exists-check carries the guard there. The residual TOCTOU
-    * window between the two is what a log-based format's atomic
-    * commit protocol closes — the seam this trait exists for.) */
-  def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long = {
+    * window between the two is what [[CommitLogTable]]'s CAS — and a
+    * real log-based format's commit protocol — closes.) */
+  override def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long = {
     val next = expectedBase + 1
     val tmp = new Path(tableDir(table), s"_tmp_v$next")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -114,34 +141,49 @@ final class VersionedParquet(spark: SparkSession, root: String) extends TableFor
     next
   }
 
-  override def mergeInsert(
-      table: String,
-      batch: DataFrame,
-      constraints: Seq[Seq[String]],
-      priority: Seq[Column]): DataFrame = {
-    val base = currentVersion(table)
-    require(base > 0, s"table $table does not exist under $root")
-    val existing = readVersion(table, base)
-    val (inserted, merged) = Load.upsert(existing, batch, constraints, priority)
-    // RETURNING is computed pre-commit (against the version the
-    // anti-joins saw — that version stays on disk, so the lazy frame
-    // remains valid after the commit); no-op merges mint no version;
-    // the commit supersedes EXACTLY the version read, so a racer's
-    // rows can never be silently dropped
-    if (inserted.isEmpty) inserted
-    else { tryCommit(table, merged, base); inserted }
+}
+
+/** A second backend proving the seam: an in-memory COMMIT LOG whose
+  * versions are eagerly-materialized snapshots and whose commit is a
+  * synchronized compare-and-swap on the expected base version — the
+  * arbitration shape of a log-based format (Delta/Iceberg), with no
+  * rename TOCTOU window at all. Committed versions are
+  * `localCheckpoint(true)` snapshots, so pinned readers get the same
+  * immutability VersionedParquet gets from immutable `v=N` dirs.
+  * Session-lifetime state (no persistence): a test/demo backend whose
+  * job is to pass the identical TableFormatSpec contract suite
+  * through a different commit protocol. */
+final class CommitLogTable(spark: SparkSession) extends TableFormat {
+
+  private val log =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[DataFrame]]()
+
+  private def versions(table: String): Vector[DataFrame] =
+    Option(log.get(table)).getOrElse(Vector.empty)
+
+  override def currentVersion(table: String): Long = versions(table).size.toLong
+
+  override def read(table: String): DataFrame = {
+    val v = currentVersion(table)
+    require(v > 0, s"table $table does not exist in the commit log")
+    readVersion(table, v)
   }
 
-  override def mergeUpdateIfNull(
-      table: String,
-      updates: DataFrame,
-      key: String,
-      valueCol: String): DataFrame = {
-    val base = currentVersion(table)
-    require(base > 0, s"table $table does not exist under $root")
-    val (returning, newState) =
-      Load.updateColumn(readVersion(table, base), updates, key, valueCol)
-    if (returning.isEmpty) returning
-    else { tryCommit(table, newState, base); returning }
-  }
+  override def readVersion(table: String, version: Long): DataFrame =
+    versions(table)(version.toInt - 1)
+
+  /** CAS commit: the version check and the log append are one atomic
+    * step, so a writer whose base was superseded always fails cleanly.
+    * (The snapshot materialization runs a Spark job inside the lock —
+    * fine for a demo backend; a real log format stages files first
+    * and holds the lock only for the log append.) */
+  override def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long =
+    synchronized {
+      val cur = currentVersion(table)
+      if (cur != expectedBase)
+        throw new IllegalStateException(
+          s"commit race on $table: expected base $expectedBase but log is at $cur")
+      log.put(table, versions(table) :+ df.localCheckpoint(true))
+      expectedBase + 1
+    }
 }
