@@ -100,4 +100,46 @@ object Components {
     }
     (labels, iters)
   }
+
+  /** Incremental maintenance of a components labeling: fold a NEW
+    * pair batch into an existing (node, label) labeling WITHOUT
+    * re-running components over the historical pair set — the daily
+    * shape of dedup-cluster maintenance at 100 TB, where the history
+    * is huge and the delta is small.
+    *
+    * Old components CONTRACT to their representative (the label,
+    * already the min member id); new pairs become edges between
+    * representatives (or raw new nodes); components runs over that
+    * DELTA graph only, whose size is bounded by the new pairs, never
+    * the history; relabeling is two hash joins against the labeling.
+    * Exactly equal to a full recompute over (old ∪ new) pairs: a
+    * merged super-component's min contracted id is the min over all
+    * underlying members, because each old label was already the min
+    * of its members (AdvancedOpsSpec asserts bit-equality, including
+    * the new-chain-bridges-two-old-components case). */
+  def incremental(oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val la = oldLabels.select(col("node").as("a"), col("label").as("la"))
+    val lb = oldLabels.select(col("node").as("b"), col("label").as("lb"))
+    val contracted = newPairs
+      .join(la, Seq("a"), "left")
+      .join(lb, Seq("b"), "left")
+      .select(
+        coalesce(col("la"), col("a")).as("a"),
+        coalesce(col("lb"), col("b")).as("b"))
+      // a self-loop means the pair is already inside one old
+      // component — no structural change
+      .where(col("a") =!= col("b")).distinct()
+    val sup = connectedComponents(contracted) // (contracted id, merged label)
+    val oldFinal = oldLabels
+      .join(sup.select(col("node").as("label"), col("label").as("merged")),
+        Seq("label"), "left")
+      .select(col("node"), coalesce(col("merged"), col("label")).as("label"))
+    val newNodes = newPairs.select(col("a").as("node"))
+      .unionAll(newPairs.select(col("b").as("node"))).distinct()
+      .join(oldLabels.select("node"), Seq("node"), "left_anti")
+    val newFinal = newNodes
+      .join(sup.select(col("node"), col("label").as("merged")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("merged"), col("node")).as("label"))
+    oldFinal.unionByName(newFinal)
+  }
 }

@@ -103,6 +103,39 @@ object CorpusQueries {
       .orderBy(col("a").asc, col("b").asc)
   }
 
+  /** Incremental dedup-CLUSTER maintenance
+    * ([[graft.operators.Components.incremental]]): yesterday's corpus
+    * (3/4 of the table) carries a components labeling; today's batch
+    * (the other 1/4) mines its pairs against the band index + within
+    * itself, and the labeling folds the delta in by contracting old
+    * components to representatives — components never re-runs over
+    * the historical pair set. Output = the merged labeling plus a
+    * `changed` flag (new node or relabeled), i.e. exactly what a
+    * daily pipeline writes back to the cluster table. The oracle
+    * recomputes BOTH labelings from scratch (full + corpus-only
+    * recursive CTEs), so the hash gate proves incremental ==
+    * full-recompute. */
+  def q_cc_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") % 4 =!= 0)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    val oldPairs = TextOps.minhashDupPairs(
+      corpus, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
+    val oldLabels = graft.operators.Components.connectedComponents(oldPairs)
+    val index = TextOps.lshBandRows(corpus, ShingleN, MinhashK, MinhashBands)
+    val cross = TextOps.minhashDupAgainstIndex(
+      index, batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
+    val intra = TextOps.minhashDupPairs(
+      batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
+    val merged = graft.operators.Components.incremental(
+      oldLabels, cross.unionByName(intra))
+    merged
+      .join(oldLabels.withColumnRenamed("label", "old_label"), Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("label").as("component"),
+        (col("old_label").isNull || col("old_label") =!= col("label")).as("changed"))
+      .orderBy(col("doc_id").asc)
+  }
+
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
     TextOps.simhashNearPairs(
       Tables.table(spark, dir, "documents"), SimhashMaxHamming)
@@ -225,6 +258,7 @@ object CorpusQueries {
     "q_ssjoin" -> (q_ssjoin _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
+    "q_cc_incremental" -> (q_cc_incremental _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_embed_nn" -> (q_embed_nn _),
     "q_embed_near_dup" -> (q_embed_near_dup _),
@@ -418,6 +452,35 @@ SELECT a, b, jaccard FROM ver WHERE jaccard >= $JaccardThreshold"""
 
   private val dedupMinhashSql: String =
     minhashPairsBody + "\nORDER BY a ASC, b ASC"
+
+  private val ccIncrementalSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM (
+       |$minhashPairsBody
+       |  ) mh
+       |),
+       |und AS (SELECT a AS x, b AS y FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM und) n
+       |  UNION
+       |  SELECT u.x, r.lab FROM reach r JOIN und u ON u.y = r.node
+       |),
+       |comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+       |opairs AS (SELECT a, b FROM pairs WHERE a % 4 <> 0 AND b % 4 <> 0),
+       |ound AS (SELECT a AS x, b AS y FROM opairs
+       |         UNION ALL SELECT b, a FROM opairs),
+       |oreach(node, lab) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM ound) n
+       |  UNION
+       |  SELECT u.x, r.lab FROM oreach r JOIN ound u ON u.y = r.node
+       |),
+       |ocomp AS (SELECT node, MIN(lab) AS component FROM oreach GROUP BY node)
+       |SELECT comp.node AS doc_id, comp.component,
+       |       (ocomp.component IS NULL OR ocomp.component <> comp.component)
+       |         AS changed
+       |FROM comp LEFT JOIN ocomp ON comp.node = ocomp.node
+       |ORDER BY doc_id ASC""".stripMargin
 
   private val dedupIncrementalSql: String =
     minhashPairsBodyWith("x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0") +
@@ -797,6 +860,7 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_ssjoin" -> ssjoinSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_cc_incremental" -> ccIncrementalSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_nn" -> embedNnSql,
     "q_embed_near_dup" -> embedNearDupSql,

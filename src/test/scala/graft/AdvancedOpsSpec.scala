@@ -73,6 +73,23 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got == (1L to 8L).map(i => (i, 1L)))
   }
 
+  test("incremental components equal a full recompute, including cross-component bridges") {
+    // old graph: {1,2,3} (label 1), {10,11} (label 10), {20,21} (label 20)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val oldLabels = Components.connectedComponents(oldPairs)
+    // delta: a new chain 11—30—3 BRIDGES {1,2,3} and {10,11}; a pair
+    // inside {20,21} is a structural no-op; {40,41} is a new-only clique
+    val newPairs = Seq((11L, 30L), (30L, 3L), (20L, 21L), (40L, 41L)).toDF("a", "b")
+    val got = Components.incremental(oldLabels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Components.connectedComponents(oldPairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == full)
+    // the merged super-component took the global min label
+    assert(got(11L) == 1L && got(30L) == 1L && got(10L) == 1L)
+    assert(got(20L) == 20L && got(40L) == 40L)
+  }
+
   test("table diff: added/removed/changed classified; unchanged and null-variant rows distinct") {
     val before = Seq(
       (1L, Option("a"), Option("x")), // unchanged
