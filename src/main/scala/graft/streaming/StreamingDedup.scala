@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
+import graft.etl.TableFormat
+import graft.operators.Components
 import graft.text.TextOps
 
 /** Streaming front door of INCREMENTAL near-dup dedup: documents
@@ -42,5 +44,29 @@ object StreamingDedup {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(TextOps.minhashDupAgainstIndex(index, batch, n, k, bands, threshold), id)
+      }
+
+  /** LIVE dedup-cluster table: a stream of near-dup pairs folds into
+    * a components labeling maintained through the [[TableFormat]]
+    * seam — each micro-batch reads the current labeling, applies
+    * [[Components.incremental]] (CC over the delta graph only, the
+    * history never re-clusters), and commits the merged labeling as
+    * the table's next version. The composition a production pipeline
+    * runs: pair mining upstream (e.g. [[dupsAgainstIndex]]), this
+    * sink keeping the cluster table current, pinned readers keeping
+    * their snapshot. StreamingSpec asserts the final version is
+    * bit-equal to a from-scratch components run over every pair seen,
+    * under arbitrary batch splits. */
+  def clusterMaintenance(
+      pairs: DataFrame,
+      fmt: TableFormat,
+      table: String): DataStreamWriter[Row] =
+    pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged =
+          if (fmt.currentVersion(table) == 0) Components.connectedComponents(batch)
+          else Components.incremental(fmt.read(table), batch)
+        fmt.overwrite(table, merged)
       }
 }

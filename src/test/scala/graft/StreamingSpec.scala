@@ -190,6 +190,34 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("streaming cluster maintenance through TableFormat equals a from-scratch components run") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val allPairs = graft.text.TextOps.minhashDupPairs(
+        graft.io.Tables.table(spark, sf, "documents"), 3, 16, 8, 0.5)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(allPairs.nonEmpty)
+    val fmt = new graft.etl.CommitLogTable(spark)
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingDedup.clusterMaintenance(
+        in.toDF().toDF("a", "b"), fmt, "clusters")
+      .start()
+    allPairs.grouped(math.max(1, allPairs.size / 3 + 1)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // one committed version per non-empty micro-batch; the final one
+    // is bit-equal to clustering every pair seen from scratch
+    assert(fmt.currentVersion("clusters") >= 3)
+    val live = fmt.read("clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scratch = graft.operators.Components.connectedComponents(
+        allPairs.toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == scratch)
+  }
+
   test("stream-stream interval join: views within the hour attach, older ones age out") {
     implicit val sqlCtx = spark.sqlContext
     val pIn = MemoryStream[Ev]
