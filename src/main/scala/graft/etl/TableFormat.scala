@@ -169,8 +169,12 @@ final class CommitLogTable(spark: SparkSession) extends TableFormat {
     readVersion(table, v)
   }
 
-  override def readVersion(table: String, version: Long): DataFrame =
-    versions(table)(version.toInt - 1)
+  override def readVersion(table: String, version: Long): DataFrame = {
+    val vs = versions(table)
+    require(version >= 1 && version <= vs.size,
+      s"table $table has versions 1..${vs.size}, not $version")
+    vs(version.toInt - 1)
+  }
 
   /** CAS commit: the version check and the log append are one atomic
     * step, so a writer whose base was superseded always fails cleanly.

@@ -1,9 +1,6 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.operators.Components
@@ -33,29 +30,19 @@ import graft.text.TextOps
   */
 object DedupStage {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val stage = new StageCache
 
-  // wall-clock spent building artifacts this session — Bench reports
-  // it (`staged_sec`) so the one-time mining cost stays visible even
-  // though min-of-reps amortizes it out of every consumer's time
-  @volatile private var buildSecs: Double = 0.0
-  def stagedSeconds: Double = buildSecs
-
-  /** Drop all staged artifacts (testing only) — DeterminismSpec uses
-    * this so the MINING stage re-runs under each partitioning, not
-    * just its consumers. */
-  private[graft] def clearForTesting(): Unit = cache.clear()
+  def stagedSeconds: Double = stage.stagedSeconds
+  private[graft] def clearForTesting(): Unit = stage.clear()
 
   /** (node, label) connected-component labeling of the MinHash
     * near-dup graph at the corpus default parameters — only nodes
     * incident to a near-dup pair appear (singletons derive by
     * anti-join or coalesce on the consumer side). */
-  def components(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${spark.sparkContext.applicationId}|$dir|n=${CorpusQueries.ShingleN}" +
-      s"|k=${CorpusQueries.MinhashK}|b=${CorpusQueries.MinhashBands}" +
-      s"|t=${CorpusQueries.JaccardThreshold}"
-    cache.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
+  def components(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir,
+      s"components|n=${CorpusQueries.ShingleN}|k=${CorpusQueries.MinhashK}" +
+        s"|b=${CorpusQueries.MinhashBands}|t=${CorpusQueries.JaccardThreshold}") {
       val pairs = TextOps.minhashDupPairs(
         Tables.table(spark, dir, "documents"),
         CorpusQueries.ShingleN, CorpusQueries.MinhashK,
@@ -65,9 +52,6 @@ object DedupStage {
       // localCheckpoint; the returned frame is a light projection over
       // those materialized blocks. Checkpointing again here would
       // duplicate the block set and strand the inner one.
-      val built = Components.connectedComponents(pairs)
-      buildSecs += (System.nanoTime() - t0) / 1e9
-      built
-    })
-  }
+      Components.connectedComponents(pairs)
+    }
 }

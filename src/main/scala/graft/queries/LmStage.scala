@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,14 +28,13 @@ import graft.text.TextOps
   */
 object LmStage {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val stage = new StageCache
 
-  @volatile private var buildSecs: Double = 0.0
-  def stagedSeconds: Double = buildSecs
+  def stagedSeconds: Double = stage.stagedSeconds
 
   /** Drop staged artifacts (testing only) — DeterminismSpec clears
     * between partitionings so SCORING re-runs under each layout. */
-  private[graft] def clearForTesting(): Unit = cache.clear()
+  private[graft] def clearForTesting(): Unit = stage.clear()
 
   /** The corpus-sized (doc_id, w1, w2) bigram stream over documents
     * with ≥2 tokens — deliberately NOT cached: it is map-side
@@ -58,28 +55,21 @@ object LmStage {
   /** (w1, w2, c12) corpus bigram counts — the vocab²-bounded
     * statistic both the LM scoring join and `q_collocations`' PMI
     * mining read; one corpus aggregation pass per snapshot. */
-  def bigramCounts(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${spark.sparkContext.applicationId}|$dir|bigrams"
-    cache.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
-      val built = bigramStream(spark, dir)
+  def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "bigrams") {
+      bigramStream(spark, dir)
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .localCheckpoint(true)
-      buildSecs += (System.nanoTime() - t0) / 1e9
-      built
-    })
-  }
+    }
 
   /** (doc_id, n_bigrams, avg_logp) for every document with ≥2
     * tokens: mean add-1-smoothed bigram log-probability under the
     * corpus LM (the log domain of perplexity). */
   def docScores(spark: SparkSession, dir: String): DataFrame = {
-    // resolve the dependency BEFORE computeIfAbsent — a nested
-    // computeIfAbsent on the same map is a recursive update
+    // resolve the dependency BEFORE the stage call — the cache's
+    // computeIfAbsent is not reentrant (StageCache contract)
     val cb = bigramCounts(spark, dir)
-    val key = s"${spark.sparkContext.applicationId}|$dir"
-    cache.computeIfAbsent(key, _ => {
-      val t0 = System.nanoTime()
+    stage(spark, dir, "docScores") {
       val docs = Tables.table(spark, dir, "documents")
       val bg = bigramStream(spark, dir)
       val cu = cb.groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -89,7 +79,7 @@ object LmStage {
       val logp = round(
         log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 9)
         .cast("decimal(20,9)")
-      val built = bg.join(cb, Seq("w1", "w2"))
+      bg.join(cb, Seq("w1", "w2"))
         .join(broadcast(cu), Seq("w1"))
         .crossJoin(broadcast(vocab))
         .withColumn("logp", logp)
@@ -99,8 +89,6 @@ object LmStage {
           col("doc_id"), col("n_bigrams"),
           round(col("s").cast("double") / col("n_bigrams"), 6).as("avg_logp"))
         .localCheckpoint(true)
-      buildSecs += (System.nanoTime() - t0) / 1e9
-      built
-    })
+    }
   }
 }

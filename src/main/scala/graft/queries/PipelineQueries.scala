@@ -460,6 +460,12 @@ object PipelineQueries {
     * + first-survivor selection, the `q_neg_sample` discipline: no RNG
     * state, identical triplets on any run and in the oracle.
     *
+    * ASSUMES dense 0-based doc_ids (draws land in [0, n_docs), like
+    * `q_neg_sample`'s 1-based item assumption): on a sparse id space,
+    * draws hitting holes are silently dropped by the cluster-lookup
+    * join and a pair can emit no triplet — densify ids first (e.g.
+    * ExactRank) before reusing this on a real corpus.
+    *
     * Scale: positives are Σ|cluster|² rows (clusters are near-dup
     * groups — tiny by construction after [[q_cluster_canonical]]-style
     * curation); draws explode ×8 map-side; the cluster lookup for

@@ -237,7 +237,8 @@ object StructureQueries {
       .crossJoin(deg0.agg(count(lit(1)).as("n")))
       .where(col("cum") >= expr(s"(n + ${KCorePctDenom - 1}) DIV $KCorePctDenom"))
       .agg(min(col("d")).as("k"))
-    val kB = broadcast(kDf.localCheckpoint(true))
+    val kCp = kDf.localCheckpoint(true)
+    val kB = broadcast(kCp)
     // delta peel: the removed sets of successive rounds are DISJOINT,
     // so a static edge decrements an endpoint exactly once — in the
     // round its other endpoint dies. Each round therefore joins the
@@ -246,6 +247,7 @@ object StructureQueries {
     // and updates the tiny (node, deg) state — no per-round degree
     // recompute over E, no shuffle of the edge list.
     var state = deg0.crossJoin(kB).localCheckpoint(true) // node, deg, k
+    var spent = List.empty[DataFrame] // superseded round checkpoints
     var round = 0
     var done = false
     while (!done && round < KCoreRounds) {
@@ -254,14 +256,24 @@ object StructureQueries {
       else {
         val dec = directed.join(removed, "node")
           .groupBy(col("nbr").as("node")).agg(count(lit(1)).as("dec"))
-        state = state.where(col("deg") >= col("k"))
+        val next = state.where(col("deg") >= col("k"))
           .join(dec, Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"), col("k"))
           .localCheckpoint(true)
+        spent ::= state
+        state = next
         round += 1
       }
     }
+    // the final state is a self-contained eager checkpoint (k is a
+    // column baked in at round 0), so every superseded round AND the
+    // kDf scalar are dead block sets — free them (Dataset.unpersist
+    // is a no-op on checkpoint RDDs; CheckpointBlocks is the hygiene
+    // PageRank/Components enforce). deg0 is the staged artifact:
+    // NEVER freed here.
+    graft.operators.CheckpointBlocks.free(spent)
+    graft.operators.CheckpointBlocks.free(kCp)
     state.select(col("node"), col("deg").as("core_deg"), col("k"))
       .orderBy(col("node").asc)
   }
@@ -289,11 +301,7 @@ object StructureQueries {
     * unchanged). Walk count scales with the start slice, never the
     * graph. */
   private def walks(spark: SparkSession, dir: String): DataFrame = {
-    val edges = GraphStage.copurchaseEdges(spark, dir)
-    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .groupBy("node").agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
-      .localCheckpoint(true)
+    val adj = GraphStage.copurchaseAdjacency(spark, dir)
     var walk = adj
       .where(pmod(col("node"), lit(WalkStartMod)) === 0)
       .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))

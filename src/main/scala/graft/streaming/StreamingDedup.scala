@@ -64,9 +64,15 @@ object StreamingDedup {
     pairs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val merged =
-          if (fmt.currentVersion(table) == 0) Components.connectedComponents(batch)
-          else Components.incremental(fmt.read(table), batch)
-        fmt.overwrite(table, merged)
+        // empty triggers commit nothing — the trait's "a no-op merge
+        // must not mint a version" discipline applies to this sink
+        // too (an idle stream would otherwise rewrite an identical
+        // labeling every trigger)
+        if (!batch.isEmpty) {
+          val merged =
+            if (fmt.currentVersion(table) == 0) Components.connectedComponents(batch)
+            else Components.incremental(fmt.read(table), batch)
+          fmt.overwrite(table, merged)
+        }
       }
 }

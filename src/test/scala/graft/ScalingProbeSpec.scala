@@ -36,19 +36,28 @@ class ScalingProbeSpec extends SparkSpec {
     // cost — time the staged build itself at each scale (consumers
     // q_triangles/q_kcore then probe their own iteration/intersection
     // scaling over the materialized artifact)
-    val stageFailure = {
-      def build(dir: String): Double = {
+    // the staged builds are corpus passes whose cost left the query
+    // set when their consumers became cheap — probe each build
+    // directly (pair mining for the graph family, the corpus bigram
+    // aggregation that q_collocations' PMI mining moved into)
+    def buildProbe(label: String)(build: String => Unit): Option[String] = {
+      def timed(dir: String): Double = {
         val t0 = System.nanoTime()
-        graft.queries.GraphStage.copurchasePairCounts(spark, dir).count()
+        build(dir)
         (System.nanoTime() - t0) / 1e9
       }
-      val gs = build(small)
-      val gb = build(big)
-      val ratio = gb / math.max(gs, 0.1)
-      info(f"graph-stage build      sf0.01=$gs%6.2f s  sf0.1=$gb%6.2f s  ratio=$ratio%4.1f")
-      if (ratio > 5.0) Some(f"graph-stage build scales $ratio%.1fx for 10x rows") else None
+      val ts = timed(small)
+      val tb = timed(big)
+      val ratio = tb / math.max(ts, 0.1)
+      info(f"$label%-22s sf0.01=$ts%6.2f s  sf0.1=$tb%6.2f s  ratio=$ratio%4.1f")
+      if (ratio > 5.0) Some(f"$label scales $ratio%.1fx for 10x rows") else None
     }
-    val failures = stageFailure.toSeq ++ heavyweights.flatMap { name =>
+    val stageFailures = Seq(
+      buildProbe("graph-stage build")(dir =>
+        graft.queries.GraphStage.copurchasePairCounts(spark, dir).count()),
+      buildProbe("lm-stage build")(dir =>
+        graft.queries.LmStage.bigramCounts(spark, dir).count())).flatten
+    val failures = stageFailures ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
