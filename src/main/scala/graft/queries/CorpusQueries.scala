@@ -63,6 +63,32 @@ object CorpusQueries {
     TextOps.fingerprint(Tables.table(spark, dir, "documents"))
       .orderBy(col("doc_id").asc)
 
+  /** Per-language tokenizer statistics: whitespace vs BPE-ish
+    * pre-tokenization counts, fertility (subword tokens per word),
+    * and characters per subword token — the diagnostic a multilingual
+    * pipeline reads before committing a tokenizer budget (high
+    * fertility on a language means its documents cost more context
+    * window per word; the token-budget and mixture ops consume
+    * exactly these ratios). Map-side counting + one per-language
+    * aggregation; ratios are single double divisions of exact counts. */
+  def q_tokenizer_stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(TextOps.bpeishPattern), lit(0)))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        col("n_chars"),
+        round(col("bpe_tokens") / col("ws_tokens"), 6).as("fertility"),
+        round(col("n_chars") / col("bpe_tokens"), 6).as("chars_per_token"))
+      .orderBy(col("lang").asc)
+
   def q_dedup_exact(spark: SparkSession, dir: String): DataFrame =
     TextOps.exactDupGroups(Tables.table(spark, dir, "documents"))
       .orderBy(col("content_md5").asc)
@@ -259,6 +285,7 @@ object CorpusQueries {
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_cc_incremental" -> (q_cc_incremental _),
+    "q_tokenizer_stats" -> (q_tokenizer_stats _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_embed_nn" -> (q_embed_nn _),
     "q_embed_near_dup" -> (q_embed_near_dup _),
@@ -314,6 +341,20 @@ object CorpusQueries {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val tokenizerStatsSql: String =
+    s"""WITH d AS (SELECT lang,
+       |  CAST(len($toks) AS BIGINT) AS ws,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe,
+       |  CAST(length(text) AS BIGINT) AS chars
+       |FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+       |  round(SUM(bpe) / SUM(ws), 6) AS fertility,
+       |  round(SUM(chars) / SUM(bpe), 6) AS chars_per_token
+       |FROM d GROUP BY lang ORDER BY lang ASC""".stripMargin
 
   private val docStatsSql: String =
     s"""SELECT doc_id,
@@ -861,6 +902,7 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_cc_incremental" -> ccIncrementalSql,
+    "q_tokenizer_stats" -> tokenizerStatsSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_embed_nn" -> embedNnSql,
     "q_embed_near_dup" -> embedNearDupSql,
