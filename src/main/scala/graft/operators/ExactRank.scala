@@ -79,6 +79,81 @@ object ExactRank {
     (spark.createDataFrame(ranked, schema), n)
   }
 
+  /** Appends `rankCol` = exact 1-based rank RESTARTING per value of
+    * `groupCol`, under the total order of (`groupCol`, `sortKeys`) —
+    * the scale-safe replacement for `row_number() OVER (PARTITION BY g
+    * ORDER BY …)` when there are FEW, HUGE groups (the hash-window
+    * form funnels each group through one task; with 2 groups that is
+    * 2 tasks no matter the cluster size). One range shuffle on
+    * (group, keys), one counting job, one map-side rank pass — half
+    * the jobs of ranking each group separately.
+    *
+    * The counting job run-length-encodes per-partition (group, count)
+    * runs (rows arrive group-contiguous because the group leads the
+    * sort); the driver's per-group exclusive prefix sum over the P
+    * partitions yields each partition's per-group starting rank, and
+    * the map-side pass resumes that counter. Driver state is
+    * O(P + distinct groups) — use only when the group count is small
+    * (a source tag, a split label), not a high-cardinality key. */
+  def withGroupedRank(
+      df: DataFrame,
+      groupCol: String,
+      sortKeys: Seq[Column],
+      rankCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keys = col(groupCol) +: sortKeys
+    val sorted = df
+      .repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val rdd = sorted.rdd
+    val partRuns: Array[Seq[(Any, Long)]] = spark.sparkContext.runJob(
+      rdd,
+      (it: Iterator[Row]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+        var cur: Any = null
+        var c = 0L
+        var any = false
+        while (it.hasNext) {
+          val g = it.next().get(gIdx)
+          if (any && g == cur) c += 1
+          else {
+            if (any) out += ((cur, c))
+            cur = g; c = 1L; any = true
+          }
+        }
+        if (any) out += ((cur, c))
+        out.toSeq
+      })
+    val seeds: Array[Map[Any, Long]] = {
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      partRuns.map { runs =>
+        val snap = runs.map { case (g, _) => g -> running.getOrElse(g, 0L) }.toMap
+        runs.foreach { case (g, c) => running(g) = running.getOrElse(g, 0L) + c }
+        snap
+      }
+    }
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      val seed = seeds(i)
+      var cur: Any = null
+      var r = 0L
+      var any = false
+      it.map { row =>
+        val g = row.get(gIdx)
+        if (!any || g != cur) { cur = g; r = seed.getOrElse(g, 0L); any = true }
+        r += 1
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
   /** Appends `outCol` = the EXCLUSIVE running maximum of `valueCol`
     * (a non-null LongType) over the total order of `sortKeys` — i.e.
     * for each row, the max value among all strictly-earlier rows, or

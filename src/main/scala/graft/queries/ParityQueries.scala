@@ -149,23 +149,26 @@ object ParityQueries {
       .limit(10)
 
   /** U1: order-preserving tagged union — position is an explicit
-    * column (row_number per source), never implicit row order. The
-    * per-branch position comes from [[graft.operators.ExactRank]]
-    * (the naive `PARTITION BY source` window constant-folds the
-    * literal tag away and funnels the whole branch through one task);
+    * column (row_number per source), never implicit row order. Both
+    * branches rank in ONE fused
+    * [[graft.operators.ExactRank.withGroupedRank]] pass over
+    * (source, name, c_custkey): a single range shuffle + counting job
+    * instead of one rank pass per branch (and instead of the naive
+    * `PARTITION BY source` window, which constant-folds the literal
+    * tag away and funnels the whole branch through one task);
     * c_custkey tiebreaks make the rank a total order. */
   def q_union_tagged(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
-    def half(segment: String, source: String) = {
-      val (ranked, _) = graft.operators.ExactRank.withGlobalRank(
-        c.where(col("c_mktsegment") === segment)
-          .select(col("c_name").as("name"), col("c_custkey")),
+    def branch(segment: String, source: String) =
+      c.where(col("c_mktsegment") === segment)
+        .select(lit(source).as("source"), col("c_name").as("name"),
+          col("c_custkey"))
+    val tagged = branch("BUILDING", "Spotify")
+      .unionByName(branch("MACHINERY", "Apple Music"))
+    graft.operators.ExactRank
+      .withGroupedRank(tagged, "source",
         Seq(col("name").asc, col("c_custkey").asc), "_gr")
-      ranked.select(lit(source).as("source"), col("name"),
-        col("_gr").cast("int").as("position"))
-    }
-    half("BUILDING", "Spotify")
-      .unionByName(half("MACHINERY", "Apple Music"))
+      .select(col("source"), col("name"), col("_gr").cast("int").as("position"))
       .orderBy(col("source").asc, col("position").asc)
   }
 

@@ -155,6 +155,36 @@ class ExactRankSpec extends SparkSpec {
     assert(derived == expected)
   }
 
+  test("grouped rank matches row_number() PARTITION BY for every partition count") {
+    // few huge groups — exactly the shape the hash window serializes;
+    // group sizes deliberately unequal and one group NULL
+    val df = sample(103).withColumn("g",
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id") % 3))
+    val expected = df.withColumn("_gr",
+        row_number().over(
+          Window.partitionBy("g").orderBy(col("v").asc, col("id").asc))
+          .cast("long"))
+      .orderBy("id").collect().toSeq
+    for (p <- Seq(1, 3, 4, 7, 32)) {
+      val ranked = ExactRank.withGroupedRank(
+        df, "g", Seq(col("v").asc, col("id").asc), "_gr", numPartitions = p)
+      assert(ranked.orderBy("id").collect().toSeq == expected, s"p=$p")
+    }
+  }
+
+  test("grouped rank stays range-distributed when one group spans partitions") {
+    // a single dominant group (90% of rows) must still spread across
+    // partitions — the property PARTITION BY fundamentally cannot have
+    val df = sample(1000).withColumn("g",
+      when(col("id") % 10 === 0, lit("rare")).otherwise(lit("dominant")))
+    val ranked = ExactRank.withGroupedRank(
+      df, "g", Seq(col("v").asc, col("id").asc), "_gr", numPartitions = 8)
+    val counts = ranked.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(counts.max < 900, counts.mkString(","))
+    assert(counts.count(_ > 0) >= 4, counts.mkString(","))
+  }
+
   test("empty input ranks to an empty frame with n = 0") {
     val df = sample(10).where(col("id") < -1)
     val (ranked, n) = ExactRank.withGlobalRank(
