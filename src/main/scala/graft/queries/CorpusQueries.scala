@@ -19,10 +19,10 @@ import graft.vector.VectorOps
   */
 object CorpusQueries {
 
-  private[queries] val ShingleN = 3
-  private[queries] val MinhashK = 16
-  private[queries] val MinhashBands = 8
-  private[queries] val JaccardThreshold = 0.5
+  private[graft] val ShingleN = 3
+  private[graft] val MinhashK = 16
+  private[graft] val MinhashBands = 8
+  private[graft] val JaccardThreshold = 0.5
   private val SimhashMaxHamming = 3
   private val CosineDupThreshold = 0.45
   private val AnnK = 10
@@ -135,12 +135,18 @@ object CorpusQueries {
     * (the other 1/4) mines its pairs against the band index + within
     * itself, and the labeling folds the delta in by contracting old
     * components to representatives — components never re-runs over
-    * the historical pair set. Output = the merged labeling plus a
-    * `changed` flag (new node or relabeled), i.e. exactly what a
-    * daily pipeline writes back to the cluster table. The oracle
-    * recomputes BOTH labelings from scratch (full + corpus-only
-    * recursive CTEs), so the hash gate proves incremental ==
-    * full-recompute. */
+    * the historical pair set. The labeling lives as a VERSIONED
+    * [[graft.etl.TableFormat]] table: yesterday's labeling is
+    * committed as v1, the delta folds in through
+    * [[graft.operators.Components.foldInto]] — the same maintenance
+    * primitive [[graft.streaming.StreamingDedup.clusterMaintenance]]
+    * drives per micro-batch — and the output READS the committed v2,
+    * so the oracle hash gates the persisted-artifact path end-to-end.
+    * Output = the merged labeling plus a `changed` flag (new node or
+    * relabeled), i.e. exactly what a daily pipeline writes back to
+    * the cluster table. The oracle recomputes BOTH labelings from
+    * scratch (full + corpus-only recursive CTEs), so the hash gate
+    * proves incremental == full-recompute. */
   def q_cc_incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val corpus = docs.where(col("doc_id") % 4 =!= 0)
@@ -153,8 +159,11 @@ object CorpusQueries {
       index, batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
     val intra = TextOps.minhashDupPairs(
       batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
-    val merged = graft.operators.Components.incremental(
-      oldLabels, cross.unionByName(intra))
+    val clusters = new graft.etl.CommitLogTable(spark)
+    clusters.overwrite("clusters", oldLabels)
+    graft.operators.Components.foldInto(
+      clusters, "clusters", cross.unionByName(intra))
+    val merged = clusters.read("clusters")
     merged
       .join(oldLabels.withColumnRenamed("label", "old_label"), Seq("node"), "left")
       .select(col("node").as("doc_id"), col("label").as("component"),

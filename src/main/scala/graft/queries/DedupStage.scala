@@ -18,15 +18,17 @@ import graft.text.TextOps
   * pair/cluster tables once per corpus snapshot and every downstream
   * stage reads the artifact — this object is that seam: the labeling
   * is computed on first request per (session, snapshot dir,
-  * parameters), eagerly materialized via `localCheckpoint` (the
-  * in-process stand-in for the snapshot's parquet artifact — on a
-  * real cluster this writes to the warehouse, like
-  * [[graft.text.TextOps.minhashDupAgainstIndex]]'s persisted band
-  * index), and handed out as a cheap scan thereafter.
-  *
-  * The artifact is deliberately session-lifetime: a corpus snapshot
-  * is immutable, so there is no invalidation story beyond the
-  * session ending with its blocks.
+  * parameters) and, when a [[StageStore]] warehouse root is
+  * configured, committed as a versioned
+  * [[graft.etl.TableFormat]] table that COLD sessions read instead
+  * of rebuilding (StageStoreSpec proves read-not-rebuild and
+  * bit-equality); without a root it is an eager `localCheckpoint`,
+  * session-lifetime — a corpus snapshot is immutable, so in-process
+  * there is no invalidation story beyond the session ending with its
+  * blocks. Daily maintenance of the persisted labeling goes through
+  * [[graft.operators.Components.foldInto]] (see `q_cc_incremental`
+  * for the batch cadence, [[graft.streaming.StreamingDedup
+  * .clusterMaintenance]] for the streaming one).
   */
 object DedupStage {
 
@@ -34,6 +36,7 @@ object DedupStage {
 
   def stagedSeconds: Double = stage.stagedSeconds
   private[graft] def clearForTesting(): Unit = stage.clear()
+  private[graft] def buildCount: Long = stage.buildCount
 
   /** (node, label) connected-component labeling of the MinHash
     * near-dup graph at the corpus default parameters — only nodes

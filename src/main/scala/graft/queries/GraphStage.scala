@@ -19,8 +19,9 @@ import graft.io.Tables
   * full fact-table passes at 100 TB. A production pipeline
   * materializes the co-occurrence tables once per snapshot as
   * warehouse tables; this object is that seam (the [[StageCache]]
-  * contract: eager `localCheckpoint`, session-lifetime, build time in
-  * `staged_sec`).
+  * contract: versioned [[graft.etl.TableFormat]] tables when a
+  * [[StageStore]] root is configured, eager session-lifetime
+  * `localCheckpoint` otherwise, build time in `staged_sec`).
   *
   * The root artifact keeps the pair COUNT (n_co = co-occurring
   * orders), not just the pair: the unweighted edge list is a free
@@ -34,6 +35,7 @@ object GraphStage {
 
   def stagedSeconds: Double = stage.stagedSeconds
   private[graft] def clearForTesting(): Unit = stage.clear()
+  private[graft] def buildCount: Long = stage.buildCount
 
   /** Distinct (o, p) order–part incidence — the bipartite relation
     * the pair table and per-item supports derive from. */

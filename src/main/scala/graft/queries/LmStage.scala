@@ -15,10 +15,12 @@ import graft.text.TextOps
   * scoring every document is a full-corpus pass (tokenize → bigram
   * counts → margins → per-doc join); a production pipeline
   * materializes the scored table once per snapshot and every quality
-  * gate reads the artifact. Memoized per (session, snapshot dir),
-  * eagerly materialized via `localCheckpoint` (the in-process
-  * stand-in for the snapshot's parquet artifact), session-lifetime —
-  * a snapshot is immutable, so there is no invalidation story.
+  * gate reads the artifact. Memoized per (session, snapshot dir);
+  * with a [[StageStore]] warehouse root the tables commit through
+  * the [[graft.etl.TableFormat]] seam and cold sessions read them
+  * back, otherwise an eager session-lifetime `localCheckpoint` —
+  * a snapshot is immutable, so in-process there is no invalidation
+  * story.
   *
   * Determinism: per-bigram log-probs are rounded to 9 dp and summed
   * as DECIMAL(20,9) — a double sum is partition-order-dependent and
@@ -35,6 +37,7 @@ object LmStage {
   /** Drop staged artifacts (testing only) — DeterminismSpec clears
     * between partitionings so SCORING re-runs under each layout. */
   private[graft] def clearForTesting(): Unit = stage.clear()
+  private[graft] def buildCount: Long = stage.buildCount
 
   /** The corpus-sized (doc_id, w1, w2) bigram stream over documents
     * with ≥2 tokens — deliberately NOT cached: it is map-side

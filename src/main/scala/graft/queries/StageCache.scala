@@ -1,9 +1,49 @@
 package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.DoubleAdder
+import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.VersionedParquet
+import graft.operators.CheckpointBlocks
+
+/** Where staged corpus artifacts persist BETWEEN sessions: a
+  * [[graft.etl.TableFormat]] warehouse root, so "materialize once per
+  * corpus snapshot" survives the driver JVM instead of dying with its
+  * localCheckpoint blocks.
+  *
+  * Resolution order per snapshot dir: a test-scoped override (keyed
+  * by dir so a suite exercising the store can never leak into a
+  * concurrently-running suite that expects in-session rebuilds), then
+  * the `SPARK_GRAFT_WAREHOUSE` environment variable, else None —
+  * session-lifetime localCheckpoint, the in-process default.
+  *
+  * Table names embed the snapshot dir, the artifact id WITH its build
+  * parameters, and [[FormatVersion]]: a parameter change or a
+  * semantic change to a builder mints a NEW table rather than
+  * silently reading a stale artifact (the invalidation story —
+  * snapshots are immutable, so content only changes when code or
+  * parameters do; bump [[FormatVersion]] on semantic change). */
+private[graft] object StageStore {
+
+  /** Bump when any staged builder's SEMANTICS change, so persisted
+    * artifacts from older code can never satisfy a newer read. */
+  val FormatVersion = 1
+
+  private val testOverrides = new ConcurrentHashMap[String, String]()
+
+  private[graft] def setForTesting(dir: String, root: String): Unit =
+    testOverrides.put(dir, root)
+  private[graft] def clearForTesting(dir: String): Unit =
+    testOverrides.remove(dir)
+
+  def rootFor(dir: String): Option[String] =
+    Option(testOverrides.get(dir)).orElse(sys.env.get("SPARK_GRAFT_WAREHOUSE"))
+
+  def tableName(dir: String, what: String): String =
+    s"stage_v$FormatVersion|$dir|$what".replaceAll("[^A-Za-z0-9._-]", "_")
+}
 
 /** Shared scaffolding for corpus-snapshot staged artifacts
   * ([[DedupStage]], [[LmStage]], [[GraphStage]]): memoize a built,
@@ -11,9 +51,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and account the one-time build wall-clock so Bench can report it
   * (`staged_sec`) instead of min-of-reps hiding it.
   *
-  * Artifacts are deliberately session-lifetime: a corpus snapshot is
-  * immutable, so there is no invalidation story beyond the session
-  * ending with its blocks.
+  * When [[StageStore]] resolves a warehouse root for the snapshot
+  * dir, the artifact is a VERSIONED TABLE: first build writes v=1
+  * through [[graft.etl.VersionedParquet]] and frees the build's
+  * checkpoint blocks (the parquet artifact supersedes them); every
+  * later request — including a COLD SESSION — reads the committed
+  * version instead of rebuilding (StageStoreSpec proves read-not-
+  * rebuild and bit-equality with the in-process path). Without a
+  * root, artifacts are session-lifetime localCheckpoints: a corpus
+  * snapshot is immutable, so in-process there is no invalidation
+  * story beyond the session ending with its blocks.
   *
   * CONTRACT for builders that depend on other artifacts: resolve the
   * dependency BEFORE calling [[apply]] — `computeIfAbsent` is not
@@ -24,12 +71,20 @@ private[graft] final class StageCache {
 
   private val cache = new ConcurrentHashMap[String, DataFrame]()
   private val secs = new DoubleAdder()
+  private val builds = new LongAdder()
 
   def stagedSeconds: Double = secs.sum()
 
+  /** How many times a build closure actually ran (vs store reads /
+    * memo hits) — the observable StageStoreSpec's cold-session
+    * reuse assertion counts. */
+  private[graft] def buildCount: Long = builds.sum()
+
   /** Drop all staged artifacts (testing only) — DeterminismSpec uses
     * this so the BUILD stage re-runs under each partitioning, not
-    * just its consumers. */
+    * just its consumers; StageStoreSpec uses it as the cold-session
+    * stand-in (the memo is exactly the state a new driver JVM
+    * starts without). */
   def clear(): Unit = cache.clear()
 
   /** Build-once per (session, dir, artifact id — include any build
@@ -39,9 +94,28 @@ private[graft] final class StageCache {
     val key = s"${spark.sparkContext.applicationId}|$dir|$what"
     cache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
-      val built = build
+      val resolved = StageStore.rootFor(dir) match {
+        case None =>
+          builds.increment()
+          build
+        case Some(root) =>
+          val fmt = new VersionedParquet(spark, root)
+          val tbl = StageStore.tableName(dir, what)
+          if (fmt.currentVersion(tbl) > 0) fmt.read(tbl)
+          else {
+            builds.increment()
+            val built = build
+            fmt.overwrite(tbl, built)
+            // the committed parquet version supersedes the build's
+            // eager checkpoint blocks — free them (lineage is
+            // truncated at the checkpoint, so this never reaches
+            // into an upstream artifact's blocks)
+            CheckpointBlocks.free(built)
+            fmt.read(tbl)
+          }
+      }
       secs.add((System.nanoTime() - t0) / 1e9)
-      built
+      resolved
     })
   }
 }

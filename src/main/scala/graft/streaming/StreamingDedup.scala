@@ -64,15 +64,11 @@ object StreamingDedup {
     pairs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // empty triggers commit nothing — the trait's "a no-op merge
-        // must not mint a version" discipline applies to this sink
-        // too (an idle stream would otherwise rewrite an identical
-        // labeling every trigger)
-        if (!batch.isEmpty) {
-          val merged =
-            if (fmt.currentVersion(table) == 0) Components.connectedComponents(batch)
-            else Components.incremental(fmt.read(table), batch)
-          fmt.overwrite(table, merged)
-        }
+        // one maintenance primitive for both cadences: the same
+        // Components.foldInto the daily batch job (q_cc_incremental)
+        // drives — empty triggers mint no version, first batch
+        // bootstraps, later batches fold the delta graph only
+        Components.foldInto(fmt, table, batch)
+        ()
       }
 }

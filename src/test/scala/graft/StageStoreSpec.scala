@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{CommitLogTable, VersionedParquet}
+import graft.operators.Components
+import graft.queries.{DedupStage, GraphStage, LmStage, StageStore}
+
+/** The persisted-staged-artifact contract: with a warehouse root
+  * configured, [[graft.queries.StageCache]] commits each artifact as
+  * a versioned TableFormat table on first build and every later
+  * request — including a COLD session — reads the committed version
+  * instead of rebuilding, bit-equal to the in-process path. The
+  * suite uses its own snapshot dir (symlinked at the source tables),
+  * because [[StageStore]] overrides are dir-scoped — concurrent
+  * suites on the shared testdata dirs keep the default in-process
+  * behavior. */
+class StageStoreSpec extends SparkSpec {
+
+  private val src = "/root/testdata/sf0.001"
+
+  /** A snapshot dir distinct from the shared testdata paths, holding
+    * symlinks to the same parquet — same data, different StageStore
+    * scope. */
+  private def snapshotDir(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft_snap_$tag")
+    for (t <- Seq("documents", "lineitem")) {
+      Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"), Paths.get(s"$src/$t.parquet"))
+    }
+    dir.toString
+  }
+
+  private def warehouse(tag: String): String =
+    Files.createTempDirectory(s"graft_wh_$tag").toString
+
+  test("cold session reads the committed artifact instead of rebuilding") {
+    val dir = snapshotDir("cold")
+    val wh = warehouse("cold")
+    StageStore.setForTesting(dir, wh)
+    try {
+      val before = DedupStage.buildCount
+      val first = DedupStage.components(spark, dir)
+        .orderBy("node").collect().toSeq
+      assert(DedupStage.buildCount == before + 1)
+      // the artifact is now a committed v=1 table in the warehouse
+      val fmt = new VersionedParquet(spark, wh)
+      val tbl = StageStore.tableName(dir,
+        s"components|n=${graft.queries.CorpusQueries.ShingleN}" +
+          s"|k=${graft.queries.CorpusQueries.MinhashK}" +
+          s"|b=${graft.queries.CorpusQueries.MinhashBands}" +
+          s"|t=${graft.queries.CorpusQueries.JaccardThreshold}")
+      assert(fmt.currentVersion(tbl) == 1L)
+      // drop the session memo — exactly the state a new driver JVM
+      // starts without — and re-request: the store must serve it
+      // with NO second build, bit-equal
+      DedupStage.clearForTesting()
+      val again = DedupStage.components(spark, dir)
+        .orderBy("node").collect().toSeq
+      assert(DedupStage.buildCount == before + 1, "artifact was rebuilt")
+      assert(again == first)
+    } finally {
+      StageStore.clearForTesting(dir)
+      DedupStage.clearForTesting()
+    }
+  }
+
+  test("store-backed artifacts are bit-equal to the in-process path, arrays included") {
+    val stored = snapshotDir("ab")
+    StageStore.setForTesting(stored, warehouse("ab"))
+    try {
+      // same underlying parquet through two snapshot dirs: one
+      // store-backed, one default in-process
+      def rows(dir: String) = Seq(
+        LmStage.bigramCounts(spark, dir).orderBy("w1", "w2"),
+        GraphStage.copurchasePairCounts(spark, dir).orderBy("u", "v"),
+        GraphStage.copurchaseAdjacency(spark, dir).orderBy("node"),
+        LmStage.docScores(spark, dir).orderBy("doc_id")
+      ).map(_.collect().toSeq)
+      assert(rows(stored) == rows(src))
+    } finally {
+      StageStore.clearForTesting(stored)
+      LmStage.clearForTesting()
+      GraphStage.clearForTesting()
+    }
+  }
+
+  test("persisted cluster table folds a batch via foldInto, equal to full recompute") {
+    import spark.implicits._
+    // two old components {1,2,3} and {10,11}; the batch bridges them
+    // (3,10) and adds a brand-new pair (20,21)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val batch = Seq((3L, 10L), (20L, 21L)).toDF("a", "b")
+    val fmt = new CommitLogTable(spark)
+    fmt.overwrite("clusters", Components.connectedComponents(oldPairs))
+    val v = Components.foldInto(fmt, "clusters", batch)
+    assert(v == 2L)
+    val maintained = fmt.read("clusters")
+      .orderBy("node").collect().toSeq
+    val fromScratch = Components
+      .connectedComponents(oldPairs.unionByName(batch))
+      .orderBy("node").collect().toSeq
+    assert(maintained == fromScratch)
+    // an empty batch must not mint a version (idle-stream discipline)
+    val v2 = Components.foldInto(fmt, "clusters", batch.where(lit(false)))
+    assert(v2 == 2L && fmt.currentVersion("clusters") == 2L)
+  }
+
+  test("foldInto bootstraps an absent table from scratch") {
+    import spark.implicits._
+    val fmt = new CommitLogTable(spark)
+    val v = Components.foldInto(
+      fmt, "boot", Seq((5L, 6L), (6L, 7L)).toDF("a", "b"))
+    assert(v == 1L)
+    assert(fmt.read("boot").orderBy("node").collect().toSeq ==
+      Components.connectedComponents(
+        Seq((5L, 6L), (6L, 7L)).toDF("a", "b")).orderBy("node").collect().toSeq)
+  }
+}
