@@ -94,4 +94,28 @@ object GraphStage {
         .localCheckpoint(true)
     }
   }
+
+  /** The same adjacency, hash-partitioned on `node` — the
+    * co-partitioned layout per-step walk-frontier joins read WITHOUT
+    * moving the adjacency, so each step shuffles only the
+    * |frontier|-row state (the walk-scale mirror of
+    * [[graft.operators.PageRank.integerPageRank]]'s
+    * `broadcastState = false` edge layout). Held as an EAGER CACHE,
+    * not a checkpoint: a cached plan keeps its declared
+    * HashPartitioning visible to Catalyst
+    * (`canChangeCachedPlanOutputPartitioning` is off by default, and
+    * under AQE a checkpoint's LogicalRDD reports Unknown
+    * partitioning — StructureQueriesSpec's exchange-count assert
+    * catches the difference). Session-scoped
+    * (`persistable = false`): its value IS the in-memory
+    * partitioning, which a parquet round-trip would discard; the one
+    * positioning shuffle is paid once per snapshot per session. */
+  def copurchaseAdjacencyPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val adj = copurchaseAdjacency(spark, dir)
+    stage(spark, dir, "adjacencyPartitioned", persistable = false) {
+      val positioned = adj.repartition(col("node")).persist()
+      positioned.count()
+      positioned
+    }
+  }
 }

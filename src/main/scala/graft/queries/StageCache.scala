@@ -88,13 +88,23 @@ private[graft] final class StageCache {
   def clear(): Unit = cache.clear()
 
   /** Build-once per (session, dir, artifact id — include any build
-    * parameters in `what`). */
-  def apply(spark: SparkSession, dir: String, what: String)(
+    * parameters in `what`).
+    *
+    * `persistable = false` marks a session-scoped LAYOUT rather than
+    * a table: artifacts whose value is their in-memory partitioning
+    * (e.g. the co-partitioned walk adjacency) stay eager
+    * localCheckpoints even in warehouse mode — a parquet round-trip
+    * would discard exactly the partitioning they exist to hold (a
+    * real warehouse writes such tables BUCKETED on the key —
+    * BucketingSpec proves that layout's zero-exchange join — but a
+    * plain versioned parquet dir cannot carry it). */
+  def apply(spark: SparkSession, dir: String, what: String,
+      persistable: Boolean = true)(
       build: => DataFrame): DataFrame = {
     val key = s"${spark.sparkContext.applicationId}|$dir|$what"
     cache.computeIfAbsent(key, _ => {
       val t0 = System.nanoTime()
-      val resolved = StageStore.rootFor(dir) match {
+      val resolved = StageStore.rootFor(dir).filter(_ => persistable) match {
         case None =>
           builds.increment()
           build

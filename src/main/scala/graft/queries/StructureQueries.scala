@@ -293,15 +293,30 @@ object StructureQueries {
     * list — no RNG state, so any run and the oracle generate the
     * identical corpus (same discipline as `q_neg_sample`).
     *
-    * Scale: the adjacency (node → sorted neighbor array) builds once
-    * from the staged edge artifact and is walked by every step; each
-    * step is one broadcast equi-join of the tiny walk frontier
-    * against it (at a billion walks the frontier outgrows broadcast
-    * and the same join shuffles on node id — the plan shape is
-    * unchanged). Walk count scales with the start slice, never the
-    * graph. */
-  private def walks(spark: SparkSession, dir: String): DataFrame = {
-    val adj = GraphStage.copurchaseAdjacency(spark, dir)
+    * Scale — two layouts, bit-identical corpora (the step choice is
+    * pure integer hash math; StructureQueriesSpec asserts the
+    * equality):
+    *
+    *  - `broadcastFrontier = true` (default): each step is one
+    *    broadcast equi-join of the tiny walk frontier against the
+    *    staged adjacency — right while the frontier fits a broadcast.
+    *  - `broadcastFrontier = false`: the co-partitioned layout for
+    *    when it doesn't (a billion concurrent walks). The adjacency
+    *    pre-positions ONCE, hash-partitioned and sorted on `node`
+    *    ([[GraphStage.copurchaseAdjacencyPartitioned]]); each step
+    *    then shuffles only the |frontier|-row state onto it and no
+    *    BroadcastExchange appears anywhere in the loop — the same
+    *    state-vs-structure split as
+    *    [[graft.operators.PageRank.integerPageRank]]'s
+    *    `broadcastState = false`.
+    *
+    * Walk count scales with the start slice, never the graph. */
+  private[graft] def walksLayout(
+      spark: SparkSession, dir: String,
+      broadcastFrontier: Boolean): DataFrame = {
+    val adj =
+      if (broadcastFrontier) GraphStage.copurchaseAdjacency(spark, dir)
+      else GraphStage.copurchaseAdjacencyPartitioned(spark, dir)
     var walk = adj
       .where(pmod(col("node"), lit(WalkStartMod)) === 0)
       .select(col("node").as("walk_id"), lit(0).as("step"), col("node"))
@@ -309,8 +324,10 @@ object StructureQueries {
     for (s <- 1 to WalkSteps) {
       // every neighbor has ≥1 edge by symmetry, so the frontier never
       // dead-ends and each walk emits exactly WalkSteps+1 rows
+      val frontier = walk.select(col("walk_id"), col("node"))
       walk = adj
-        .join(broadcast(walk.select(col("walk_id"), col("node"))), Seq("node"))
+        .join(if (broadcastFrontier) broadcast(frontier) else frontier,
+          Seq("node"))
         .select(col("walk_id"), lit(s).as("step"),
           element_at(col("nbrs"),
             pmod(
@@ -321,6 +338,9 @@ object StructureQueries {
     }
     out
   }
+
+  private def walks(spark: SparkSession, dir: String): DataFrame =
+    walksLayout(spark, dir, broadcastFrontier = true)
 
   def q_random_walks(spark: SparkSession, dir: String): DataFrame =
     walks(spark, dir).orderBy(col("walk_id").asc, col("step").asc)

@@ -145,6 +145,48 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got == expectedRows && got.nonEmpty)
   }
 
+  test("random walks: co-partitioned frontier layout is bit-equal and broadcast-free") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so only an explicit broadcast() hint
+      // could put a BroadcastExchange in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaBroadcast = StructureQueries
+        .walksLayout(spark, dir, broadcastFrontier = true)
+        .orderBy("walk_id", "step").collect().toSeq
+      val coPart = StructureQueries
+        .walksLayout(spark, dir, broadcastFrontier = false)
+        .orderBy("walk_id", "step")
+      assert(coPart.collect().toSeq == viaBroadcast)
+      // the adjacency pre-positions once; every step's frontier join
+      // runs without a BroadcastExchange anywhere in the loop
+      val plan = coPart.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastExchange"), plan)
+      // and the positioned adjacency side never re-exchanges: count
+      // real shuffle nodes in the executed tree (the plan STRING
+      // reprints the cached relation's internal exchange under every
+      // InMemoryTableScan) — only the per-step frontier moves and the
+      // final ordering may shuffle, well below the
+      // every-step-shuffles-both-sides count
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def countShuffles(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self + kids.map(countShuffles).sum
+      }
+      val exchanges = countShuffles(coPart.queryExecution.executedPlan)
+      assert(exchanges <= 2 * 4 + 2, s"$exchanges shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("walk pairs: symmetric counts and exactly 14 window pairs per walk") {
     val rows = StructureQueries.q_walk_pairs(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
