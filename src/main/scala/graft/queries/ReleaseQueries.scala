@@ -284,7 +284,7 @@ object ReleaseQueries {
        |      FROM t GROUP BY 1, 2, 3)
        |SELECT g, n_all AS n_orders,
        |       round(CAST(s_all AS DOUBLE) / n_all / 100.0, 6) AS mean_price,
-       |       round(sqrt((CAST(st2 AS DOUBLE)
+       |       round(sqrt((CAST(CAST(st2 AS VARCHAR) AS DOUBLE)
        |           - CAST(st AS DOUBLE) * st / CAST(g AS DOUBLE))
        |         * (CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)) / 1e8, 6)
        |         AS jk_se

@@ -121,7 +121,23 @@ object SelectionQueries {
       .limit(DsirTopK)
   }
 
-  private val PsiBuckets = 64
+  private[graft] val PsiBuckets = 64
+
+  /** The PSI front half — tokenize → md5 doc-id half-split → md5
+    * token bucket — as one shared map-side expression pipeline.
+    * [[q_psi]] and [[graft.streaming.StreamingDrift.tokenRows]] BOTH
+    * consume this, so the claimed batch/stream bit-equality can't be
+    * broken by editing one copy: a parameter change here changes both
+    * engines together (and the oracle SQL's `$PsiBuckets`
+    * interpolation tracks the same constant). */
+  private[graft] def psiTokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        (substring(md5(concat(lit("psi:"), col("doc_id").cast("string"))), 1, 1)
+          <= "7").as("is_ref"),
+        explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), col("is_ref"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          % PsiBuckets).cast("int").as("bucket"))
 
   /** Population Stability Index per source — the drift monitor a
     * production corpus pipeline runs between snapshots ("has this
@@ -144,14 +160,7 @@ object SelectionQueries {
     * that tiny table. The fact never sorts, nothing broadcasts except
     * scalars. */
   def q_psi(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.table(spark, dir, "documents")
-      .select(col("source"),
-        (substring(md5(concat(lit("psi:"), col("doc_id").cast("string"))), 1, 1)
-          <= "7").as("is_ref"),
-        explode(split(col("text"), " ")).as("t"))
-      .select(col("source"), col("is_ref"),
-        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
-          % PsiBuckets).as("bucket"))
+    val toks = psiTokenRows(Tables.table(spark, dir, "documents"))
     val cell = toks.groupBy("source", "bucket")
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),

@@ -266,6 +266,13 @@ object StructureQueries {
         round += 1
       }
     }
+    // the oracle unrolls exactly KCoreRounds peels and then drops
+    // isolated nodes via a final degree recompute; a non-converged
+    // Spark state would keep survivors at maintained degree 0 and
+    // diverge silently — refuse to return one.
+    require(done,
+      s"q_kcore: peel did not reach fixpoint within $KCoreRounds rounds; " +
+        "raise KCoreRounds (the oracle unrolls the same bound)")
     // the final state is a self-contained eager checkpoint (k is a
     // column baked in at round 0), so every superseded round AND the
     // kDf scalar are dead block sets — free them (Dataset.unpersist

@@ -33,22 +33,18 @@ object StreamingDrift {
       source: String, n_ref_tokens: Long, n_cur_tokens: Long,
       psi: Double, version: Long)
 
-  private val Buckets = 64
+  // the single source of truth for the bucket space AND the
+  // tokenize/half-split/bucket expressions lives with the batch
+  // query — a parameter change there changes both cadences together
+  private def Buckets = graft.queries.SelectionQueries.PsiBuckets
 
-  /** The batch query's tokenize → half-split → bucket pipeline as
-    * map-side expressions over a (streaming or batch) documents
-    * frame — bit-identical input rows for both engines. */
+  /** The batch query's tokenize → half-split → bucket pipeline —
+    * literally [[graft.queries.SelectionQueries.psiTokenRows]], the
+    * same Catalyst expressions — over a (streaming or batch)
+    * documents frame: bit-identical input rows for both cadences. */
   def tokenRows(docs: DataFrame): Dataset[TokenRow] = {
     import docs.sparkSession.implicits._
-    docs.select(
-        col("source"),
-        (substring(md5(concat(lit("psi:"), col("doc_id").cast("string"))), 1, 1)
-          <= "7").as("is_ref"),
-        explode(split(col("text"), " ")).as("t"))
-      .select(col("source"), col("is_ref"),
-        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % Buckets)
-          .cast("int").as("bucket"))
-      .as[TokenRow]
+    graft.queries.SelectionQueries.psiTokenRows(docs).as[TokenRow]
   }
 
   private def quantize(x: Double, scale: Int): BigDecimal =
