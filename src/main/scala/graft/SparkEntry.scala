@@ -50,6 +50,13 @@ object SparkEntry {
     "q_date_funcs" -> (ParityQueries.q_date_funcs _),
     "q_delta_glyph" -> (ParityQueries.q_delta_glyph _),
     "q_rolling_window" -> (ParityQueries.q_rolling_window _),
+    // §2.5 W2 / §2.8 F13 / §2.2 P1 — the normalization operators,
+    // oracle-gated over testdata-derived docs (round 6)
+    "q_positional_rank" -> (ParityQueries.q_positional_rank _),
+    "q_explode_normalize" -> (ParityQueries.q_explode_normalize _),
+    "q_nested_projection" -> (ParityQueries.q_nested_projection _),
+    "q_count_guard" -> (ParityQueries.q_count_guard _),
+    "q_scalar_lookup" -> (ParityQueries.q_scalar_lookup _),
   ) ++ CorpusQueries.queries ++ ScaleQueries.queries ++ AdvancedQueries.queries ++ PipelineQueries.queries ++ BehaviorQueries.queries ++ SelectionQueries.queries ++ StructureQueries.queries ++ InsightQueries.queries ++ ReleaseQueries.queries
   // ^ training-data pipeline ops (dedup family, text analysis,
   //   similarity search) + scale techniques (skew salting, exact
@@ -257,5 +264,48 @@ object SparkEntry {
         |    AS by_balance_desc
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation ASC""".stripMargin,
+    "q_positional_rank" ->
+      """SELECT o_orderkey AS isrc, DATE '2024-06-01' AS ranking_date,
+        |       CAST(ROW_NUMBER() OVER (
+        |         PARTITION BY o_orderpriority
+        |         ORDER BY o_orderkey ASC) AS INTEGER) AS rank,
+        |       o_orderpriority AS ranking_source
+        |FROM orders
+        |ORDER BY ranking_source ASC, rank ASC""".stripMargin,
+    "q_explode_normalize" ->
+      """SELECT DISTINCT l_partkey AS artist_id,
+        |       'part_' || l_partkey AS artist_name
+        |FROM lineitem
+        |ORDER BY artist_id ASC""".stripMargin,
+    "q_nested_projection" ->
+      """SELECT event_id,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |       event_type
+        |FROM events WHERE event_id % 97 = 0
+        |ORDER BY event_id ASC""".stripMargin,
+    "q_count_guard" ->
+      """WITH scores AS (
+        |  SELECT CAST(ts AS DATE) AS date, event_type AS platform,
+        |         user_id AS entity_id,
+        |         SUM(CAST(value AS DECIMAL(14,2))) AS score
+        |  FROM events GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT date, platform,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY date, platform
+        |           ORDER BY score DESC, entity_id ASC) AS INTEGER) AS rank
+        |  FROM scores
+        |), top AS (SELECT * FROM ranked WHERE rank <= 10)
+        |SELECT date, platform, COUNT(*) AS n, COUNT(*) = 10 AS ok
+        |FROM top GROUP BY 1, 2
+        |ORDER BY date ASC, platform ASC""".stripMargin,
+    "q_scalar_lookup" ->
+      """WITH c AS (SELECT c_custkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |           FROM customer),
+        |g AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s, COUNT(*) AS n FROM c)
+        |SELECT c_custkey, bal_c, bal_c * n > s AS above_avg
+        |FROM c, g
+        |ORDER BY c_custkey ASC""".stripMargin,
   ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++ AdvancedQueries.oracles ++ PipelineQueries.oracles ++ BehaviorQueries.oracles ++ SelectionQueries.oracles ++ StructureQueries.oracles ++ InsightQueries.oracles ++ ReleaseQueries.oracles
 }

@@ -30,4 +30,21 @@ private[graft] object CheckpointBlocks {
   }
 
   def free(dfs: Iterable[DataFrame]): Unit = dfs.foreach(free)
+
+  private val lastPerSite =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** For checkpoints embedded in a RETURNED lazy plan: the blocks must
+    * outlive the query function (the caller hasn't executed yet), so
+    * they can't be freed in-line like a loop's superseded rounds.
+    * Registering under a stable `site` key frees the PREVIOUS
+    * registrant's blocks instead — a long-lived session (Bench's reps,
+    * a notebook) holds at most one live set per call site rather than
+    * accumulating one per invocation. Contract: by the time a site is
+    * invoked again, its prior result has been consumed (re-executing a
+    * stale handle after that hits the truncated-lineage warning). */
+  def retire(site: String, df: DataFrame): DataFrame = {
+    lastPerSite.put(site, df).foreach(free)
+    df
+  }
 }

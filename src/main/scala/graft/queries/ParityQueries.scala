@@ -298,4 +298,99 @@ object ParityQueries {
           ", ").as("by_balance_desc"))
       .orderBy(col("nation").asc)
   }
+
+  /** W2 positional ranking, oracle-gated: [[graft.etl.Normalize.rankings]]
+    * (rank = 1-based position within each source partition, stamped
+    * with the injected load date — reference `etl_pipeline.py:839-850`)
+    * driven by an orders-derived doc set. position := o_orderkey
+    * (globally unique, so the window's total order is deterministic),
+    * source := o_orderpriority.
+    *
+    * Scale: ONE partitioned window (partition count = the source set,
+    * exactly the reference's two-platform shape) — no global window,
+    * no extra exchange beyond the partition hash. */
+  def q_positional_rank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "orders").select(
+      col("o_orderkey").as("isrc"),
+      col("o_orderkey").as("position"),
+      col("o_orderpriority").as("source"))
+    graft.etl.Normalize.rankings(docs, java.sql.Date.valueOf("2024-06-01"))
+      .orderBy(col("ranking_source").asc, col("rank").asc)
+  }
+
+  /** F13 explode-normalize, oracle-gated: [[graft.etl.Normalize.artists]]
+    * (explode the nested artist array, dedup across docs sharing an
+    * artist — reference `etl_pipeline.py` nested-artists handling)
+    * over a lineitem-derived nest. artist_name is a pure function of
+    * artist_id, so the dedup's keep-any choice is value-deterministic.
+    *
+    * Scale: the nest build is one partial-agg'd groupBy; explode is
+    * map-side; the dedup is a hash aggregate on the exploded key. */
+  def q_explode_normalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("isrc"))
+      .agg(collect_list(struct(
+        col("l_partkey").as("artist_id"),
+        concat(lit("part_"), col("l_partkey")).as("artist_name"))).as("artists"))
+    graft.etl.Normalize.artists(docs)
+      .orderBy(col("artist_id").asc)
+  }
+
+  /** P3 + A4 exactly-k guard, oracle-gated: the reference refuses to
+    * load a chart that doesn't carry exactly 10 entries
+    * (`etl_pipeline.py` pre-load assertion). In-engine: count the
+    * ranked top-k rows per (date, platform) and emit the guard
+    * verdict per group — a loader keeps the `ok` groups and routes
+    * the rest to quarantine.
+    *
+    * Scale: rides the shared (date, platform) exchange of the
+    * ranking pipeline; the guard itself is one partial-agg'd count
+    * over already-tiny top-k groups. */
+  def q_count_guard(spark: SparkSession, dir: String): DataFrame =
+    ChartQueries.rankings(t(spark, dir, "events"))
+      .groupBy("date", "platform")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ok", col("n") === 10)
+      .orderBy(col("date").asc, col("platform").asc)
+
+  /** A2 scalar lookup aggregate, oracle-gated: attach a
+    * whole-table scalar (the global mean balance) to every row and
+    * compare — the reference's scalar-subquery lookup shape. The
+    * comparison is EXACT integer math (`bal_c · n > Σ bal_c` instead
+    * of a float division), so both engines agree bit-for-bit.
+    *
+    * Scale: one partial-agg'd scalar aggregation, broadcast back via
+    * the attach-a-scalar crossJoin(broadcast(·)) pattern — the fact
+    * never shuffles. */
+  def q_scalar_lookup(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val g = c.agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(g))
+      .select(col("c_custkey"), col("bal_c"),
+        (col("bal_c") * col("n") > col("s")).as("above_avg"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  /** P1 nested-JSON projection, oracle-gated: parse the `props` JSON
+    * payload carried by the events fact and project a typed field out
+    * (the reference's API-response → columns step,
+    * `etl_pipeline.py` JSON handling). The 1/97 key slice keeps the
+    * dump bounded without losing the parse-then-project shape.
+    *
+    * Scale: from_json is a codegen'd map-side expression; the slice
+    * predicate prunes before the parse; no shuffle at all until the
+    * output sort. */
+  def q_nested_projection(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(pmod(col("event_id"), lit(97)) === 0)
+      .select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"),
+        col("event_type"))
+      .orderBy(col("event_id").asc)
 }

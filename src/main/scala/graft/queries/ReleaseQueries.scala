@@ -284,6 +284,13 @@ object ReleaseQueries {
        |      FROM t GROUP BY 1, 2, 3)
        |SELECT g, n_all AS n_orders,
        |       round(CAST(s_all AS DOUBLE) / n_all / 100.0, 6) AS mean_price,
+       |       /* the VARCHAR round-trip on st2 is LOAD-BEARING, do not
+       |          simplify to a direct cast: DuckDB's HUGEINT->DOUBLE is
+       |          upper*2^64+lower (two roundings, can land 1 ulp off),
+       |          while Spark casts decimal(38,0) via
+       |          BigDecimal.doubleValue (correctly rounded — same as
+       |          parsing the decimal string), and st2 - st^2/g cancels
+       |          catastrophically, so 1 ulp here moves the 6-dp jk_se */
        |       round(sqrt((CAST(CAST(st2 AS VARCHAR) AS DOUBLE)
        |           - CAST(st AS DOUBLE) * st / CAST(g AS DOUBLE))
        |         * (CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)) / 1e8, 6)

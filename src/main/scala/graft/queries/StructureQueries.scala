@@ -38,37 +38,26 @@ object StructureQueries {
     * wedge fan-out happens inside a codegen'd array intersection, not
     * through an exchange); the top-k is TakeOrderedAndProject. */
   def q_triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = GraphStage.copurchaseEdges(spark, dir)
-    val deg = GraphStage.copurchaseDegrees(spark, dir)
-    val withDeg = edges
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "udeg"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "vdeg"), "v")
-    // orient from the (deg, id)-smaller endpoint; carry the head's key
-    // so wedge generation can order the two heads without a re-join
-    val ukey = struct(col("udeg").as("d"), col("u").as("n"))
-    val vkey = struct(col("vdeg").as("d"), col("v").as("n"))
-    // the oriented edge list feeds two consumers (adjacency build +
-    // the edge stream) whose differing shapes block ReuseExchange —
-    // checkpoint so the scan→distinct→degree-join pipeline runs once
-    // (the a1b16a3 materialization rule)
-    val oriented = withDeg.select(
-      when(ukey < vkey, col("u")).otherwise(col("v")).as("src"),
-      when(ukey < vkey, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint(true)
-    // edge-iterator with packed adjacency (Chiba–Nishizeki shape):
-    // per-node SORTED out-neighbor arrays, then each edge (a,b)
-    // yields its triangles as adj⁺(a) ∩ adj⁺(b) — under the (deg,id)
-    // orientation each triangle x<y<z surfaces exactly once, at base
-    // edge (x,y) with z the common out-neighbor. Materializing wedges
-    // (Σ C(outdeg,2) rows ≈ m^{3/2}) through an exchange is the naive
-    // alternative — 16M wedge rows at sf0.1; here the same pair space
-    // collapses into per-row sorted-array intersections over arrays
-    // that travel packed (one row per EDGE through the joins), which
-    // benched 2× faster end-to-end (8.4s → 4.0s sf0.1) and shrinks
-    // shuffle bytes by the wedge/edge ratio at any scale. Degree-ordering still bounds every array at
-    // O(√m), so no hub explodes a row.
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // the degree-ordered orientation + packed adjacency are staged
+    // snapshot artifacts ([[GraphStage.copurchaseOriented]] /
+    // [[GraphStage.copurchaseOrientedAdjacency]]) — built once per
+    // corpus snapshot, shared across invocations, like every other
+    // graph-family input.
+    //
+    // Edge-iterator with packed adjacency (Chiba–Nishizeki shape):
+    // each edge (a,b) yields its triangles as adj⁺(a) ∩ adj⁺(b) —
+    // under the (deg,id) orientation each triangle x<y<z surfaces
+    // exactly once, at base edge (x,y) with z the common
+    // out-neighbor. Materializing wedges (Σ C(outdeg,2) rows ≈
+    // m^{3/2}) through an exchange is the naive alternative — 16M
+    // wedge rows at sf0.1; here the same pair space collapses into
+    // per-row sorted-array intersections over arrays that travel
+    // packed (one row per EDGE through the joins), which benched 2×
+    // faster end-to-end (8.4s → 4.0s sf0.1) and shrinks shuffle
+    // bytes by the wedge/edge ratio at any scale. Degree-ordering
+    // still bounds every array at O(√m), so no hub explodes a row.
+    val oriented = GraphStage.copurchaseOriented(spark, dir)
+    val adj = GraphStage.copurchaseOrientedAdjacency(spark, dir)
     val tri = oriented.as("e")
       .join(adj.as("au"), col("e.src") === col("au.src"))
       .join(adj.withColumnRenamed("src", "w").as("av"), col("e.dst") === col("av.w"))
@@ -95,23 +84,23 @@ object StructureQueries {
     * by max degree, ~1e13 after two rounds at sf0.1, far inside
     * Long).
     *
-    * Scale: each half-round is one equi-join of the |E| edge list
-    * with |V|-row state plus a partial-agg'd sum — state stays
-    * cluster-side, the edge list is checkpointed once and never
-    * recomputed, and the two top-k's are TakeOrderedAndProject. */
+    * Scale: the bipartite incidence is a staged snapshot artifact
+    * ([[GraphStage.purchaseBipartite]]), pre-positioned once per
+    * session on EACH of its two keys
+    * ([[GraphStage.purchaseBipartitePartitioned]]); every half-round
+    * then joins the co-partitioned |E| layout against state that
+    * arrives already hash-partitioned on the same key (it is the
+    * output of a grouped aggregation on it), so NO half-round
+    * re-exchanges the edge list — the only per-round shuffles are the
+    * partial-aggregated state rows, and the two top-k's are
+    * TakeOrderedAndProject. */
   def q_hits(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.table(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.table(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val e = li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint(true) // 4 consumers below — materialize once
-    val a1 = e.groupBy("p").agg((count(lit(1)) * HitsStartMass).as("s"))
-    val h1 = e.join(a1, "p").groupBy("c").agg(sum(col("s")).as("s"))
-    val a2 = e.join(h1, "c").groupBy("p").agg(sum(col("s")).as("s"))
-    val h2 = e.join(a2, "p").groupBy("c").agg(sum(col("s")).as("s"))
+    val eByP = GraphStage.purchaseBipartitePartitioned(spark, dir, "p")
+    val eByC = GraphStage.purchaseBipartitePartitioned(spark, dir, "c")
+    val a1 = eByP.groupBy("p").agg((count(lit(1)) * HitsStartMass).as("s"))
+    val h1 = eByP.join(a1, "p").groupBy("c").agg(sum(col("s")).as("s"))
+    val a2 = eByC.join(h1, "c").groupBy("p").agg(sum(col("s")).as("s"))
+    val h2 = eByP.join(a2, "p").groupBy("c").agg(sum(col("s")).as("s"))
     def top(df: DataFrame, side: String, idCol: String): DataFrame =
       df.orderBy(col("s").desc, col(idCol).asc).limit(HitsTopK)
         .select(lit(side).as("side"), col(idCol).as("id"), col("s").as("score"))
@@ -266,22 +255,30 @@ object StructureQueries {
         round += 1
       }
     }
-    // the oracle unrolls exactly KCoreRounds peels and then drops
-    // isolated nodes via a final degree recompute; a non-converged
-    // Spark state would keep survivors at maintained degree 0 and
-    // diverge silently — refuse to return one.
-    require(done,
-      s"q_kcore: peel did not reach fixpoint within $KCoreRounds rounds; " +
-        "raise KCoreRounds (the oracle unrolls the same bound)")
     // the final state is a self-contained eager checkpoint (k is a
     // column baked in at round 0), so every superseded round AND the
-    // kDf scalar are dead block sets — free them (Dataset.unpersist
+    // kDf scalar are dead block sets on EVERY path, including the
+    // non-convergence throw below — free them first (Dataset.unpersist
     // is a no-op on checkpoint RDDs; CheckpointBlocks is the hygiene
     // PageRank/Components enforce). deg0 is the staged artifact:
     // NEVER freed here.
     graft.operators.CheckpointBlocks.free(spent)
     graft.operators.CheckpointBlocks.free(kCp)
-    state.select(col("node"), col("deg").as("core_deg"), col("k"))
+    // the oracle unrolls exactly KCoreRounds peels and then drops
+    // isolated nodes via a final degree recompute; a non-converged
+    // Spark state would keep survivors at maintained degree 0 and
+    // diverge silently — refuse to return one. Convergence is either
+    // observed (`done`: a round removed nothing) or verified on the
+    // final state (the peel may remove its last sub-k nodes in round
+    // KCoreRounds exactly — a converged state the loop exits on
+    // without observing a no-op round).
+    require(done || state.where(col("deg") < col("k")).isEmpty,
+      s"q_kcore: peel did not reach fixpoint within $KCoreRounds rounds; " +
+        "raise KCoreRounds (the oracle unrolls the same bound)")
+    // the final state itself is freed on the NEXT invocation (it is
+    // part of the returned lazy plan, so it must outlive this call)
+    graft.operators.CheckpointBlocks.retire("q_kcore.state", state)
+      .select(col("node"), col("deg").as("core_deg"), col("k"))
       .orderBy(col("node").asc)
   }
 

@@ -337,13 +337,14 @@ object TextOps {
     // Three consumers (prefix explode + both verify sides) — the
     // a1b16a3 materialization rule says checkpoint, or the
     // shingle+df pipeline runs three times.
-    val keyed = rows.join(freq, "shingle")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
-      .select(col("doc_id"),
-        transform(col("ordered"), x => x("shingle")).as("toks"),
-        size(col("ordered")).as("n_sh"))
-      .localCheckpoint(true)
+    val keyed = graft.operators.CheckpointBlocks.retire("prefixJaccardPairs.keyed",
+      rows.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+        .select(col("doc_id"),
+          transform(col("ordered"), x => x("shingle")).as("toks"),
+          size(col("ordered")).as("n_sh"))
+        .localCheckpoint(true))
     // L = |s| − ⌈(p/q)·|s|⌉ + 1, in integer math
     val prefixLen = expr(s"n_sh - (($p * n_sh + ${q - 1}) DIV $q) + 1")
     val pref = keyed.select(col("doc_id"), col("n_sh"),
