@@ -41,7 +41,13 @@ object Bench {
         GraphStage.copurchasePairCounts(spark, sfDir).count()
         GraphStage.copurchaseDegrees(spark, sfDir).count()
         GraphStage.copurchaseAdjacency(spark, sfDir).count()
+        GraphStage.copurchaseOriented(spark, sfDir).count()
+        GraphStage.copurchaseOrientedAdjacency(spark, sfDir).count()
+        GraphStage.purchaseBipartite(spark, sfDir).count()
+        GraphStage.partSupplierPairs(spark, sfDir).count()
         DedupStage.components(spark, sfDir).count()
+        DedupStage.corpusSliceLabels(spark, sfDir).count()
+        DedupStage.corpusSliceBandIndex(spark, sfDir).count()
         LmStage.bigramCounts(spark, sfDir).count()
         LmStage.docScores(spark, sfDir).count()
       }

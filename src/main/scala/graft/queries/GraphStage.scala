@@ -10,13 +10,15 @@ import graft.io.Tables
   * order contains both), computed ONCE per corpus snapshot and shared
   * by every graph consumer.
   *
-  * Seven registered queries walk this structure (`q_triangles`,
+  * Nine registered queries walk these structures (`q_triangles`,
   * `q_link_pred`, `q_kcore`, `q_random_walks`, `q_walk_pairs`,
-  * `q_degree_dist` over edges/degrees/adjacency; `q_assoc_rules` over
-  * the pair counts); deriving it independently in each — scan →
-  * distinct → per-order self-join → wide aggregation — was the
-  * dominant cost of each (~1–1.5 s at sf0.1) and would be that many
-  * full fact-table passes at 100 TB. A production pipeline
+  * `q_degree_dist` over edges/degrees/adjacency/orientation;
+  * `q_assoc_rules` over the pair counts; `q_hits` over the
+  * customer–part bipartite incidence; `q_pagerank` over the
+  * part–supplier incidence); deriving the structure independently in
+  * each — scan → distinct → per-order self-join → wide aggregation —
+  * was the dominant cost of each (~1–1.5 s at sf0.1) and would be
+  * that many full fact-table passes at 100 TB. A production pipeline
   * materializes the co-occurrence tables once per snapshot as
   * warehouse tables; this object is that seam (the [[StageCache]]
   * contract: versioned [[graft.etl.TableFormat]] tables when a
@@ -155,6 +157,19 @@ object GraphStage {
         .localCheckpoint(true)
     }
   }
+
+  /** Distinct (part, supplier) lineitem incidence — the bipartite
+    * link-scoring graph PageRank walks (one fact pass + distinct,
+    * shared across invocations; consumers encode node ids however
+    * their iteration wants — a narrow map over the artifact's
+    * blocks). */
+  def partSupplierPairs(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "partSupplier") {
+      Tables.table(spark, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint(true)
+    }
 
   /** Distinct (c, p) customer–part purchase incidence — the bipartite
     * graph HITS mutual reinforcement walks (one orders⋈lineitem pass

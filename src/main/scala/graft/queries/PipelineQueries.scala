@@ -97,10 +97,12 @@ object PipelineQueries {
     // 2k+1): every distinct/join/shuffle hashes 8-byte keys instead
     // of "p:<k>"/"s:<k>" strings; the display label re-attaches as a
     // map-side format over the |V|-row result. Same graph, same
-    // integer masses, 3.6 s → 2.7 s at sf0.1 (min of 5).
-    val pairs = Tables.table(spark, dir, "lineitem")
-      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    // integer masses, 3.6 s → 2.7 s at sf0.1 (min of 5). The
+    // incidence itself is the staged snapshot artifact
+    // ([[GraphStage.partSupplierPairs]]); the id encoding is a
+    // narrow map over its materialized blocks.
+    val pairs = GraphStage.partSupplierPairs(spark, dir)
+      .select((col("p") * 2).as("p"), (col("s") * 2 + 1).as("s"))
     val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("p").as("dst")))
     PageRank.integerPageRank(edges, PrIters, PrStartMass)

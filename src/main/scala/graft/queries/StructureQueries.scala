@@ -84,29 +84,51 @@ object StructureQueries {
     * by max degree, ~1e13 after two rounds at sf0.1, far inside
     * Long).
     *
-    * Scale: the bipartite incidence is a staged snapshot artifact
-    * ([[GraphStage.purchaseBipartite]]), pre-positioned once per
-    * session on EACH of its two keys
-    * ([[GraphStage.purchaseBipartitePartitioned]]); every half-round
-    * then joins the co-partitioned |E| layout against state that
-    * arrives already hash-partitioned on the same key (it is the
-    * output of a grouped aggregation on it), so NO half-round
-    * re-exchanges the edge list — the only per-round shuffles are the
-    * partial-aggregated state rows, and the two top-k's are
-    * TakeOrderedAndProject. */
-  def q_hits(spark: SparkSession, dir: String): DataFrame = {
-    val eByP = GraphStage.purchaseBipartitePartitioned(spark, dir, "p")
-    val eByC = GraphStage.purchaseBipartitePartitioned(spark, dir, "c")
+    * Scale — two layouts, bit-identical scores (integer-mass
+    * associativity; StructureQueriesSpec asserts the equality), the
+    * same state-vs-structure split as
+    * [[graft.operators.PageRank.integerPageRank]] and the walk
+    * frontier:
+    *
+    *  - `broadcastState = true` (default): the bipartite incidence is
+    *    the staged snapshot artifact
+    *    ([[GraphStage.purchaseBipartite]]); each half-round is a
+    *    broadcast equi-join of the tiny |V|-row state against it, so
+    *    the |E| edge list NEVER shuffles — right while the state fits
+    *    a broadcast.
+    *  - `broadcastState = false`: the co-partitioned layout for when
+    *    it doesn't (billions of nodes). The incidence pre-positions
+    *    ONCE per key side ([[GraphStage.purchaseBipartitePartitioned]]);
+    *    each half-round's state arrives already hash-partitioned on
+    *    its own grouping key, so the joins are exchange-free and only
+    *    partial-aggregated state rows ever move — no
+    *    BroadcastExchange anywhere in the loop.
+    *
+    * The two top-k's are TakeOrderedAndProject in either layout. */
+  private[graft] def hitsLayout(
+      spark: SparkSession, dir: String,
+      broadcastState: Boolean): DataFrame = {
+    val eByP =
+      if (broadcastState) GraphStage.purchaseBipartite(spark, dir)
+      else GraphStage.purchaseBipartitePartitioned(spark, dir, "p")
+    val eByC =
+      if (broadcastState) GraphStage.purchaseBipartite(spark, dir)
+      else GraphStage.purchaseBipartitePartitioned(spark, dir, "c")
+    def st(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
     val a1 = eByP.groupBy("p").agg((count(lit(1)) * HitsStartMass).as("s"))
-    val h1 = eByP.join(a1, "p").groupBy("c").agg(sum(col("s")).as("s"))
-    val a2 = eByC.join(h1, "c").groupBy("p").agg(sum(col("s")).as("s"))
-    val h2 = eByP.join(a2, "p").groupBy("c").agg(sum(col("s")).as("s"))
+    val h1 = eByP.join(st(a1), "p").groupBy("c").agg(sum(col("s")).as("s"))
+    val a2 = eByC.join(st(h1), "c").groupBy("p").agg(sum(col("s")).as("s"))
+    val h2 = eByP.join(st(a2), "p").groupBy("c").agg(sum(col("s")).as("s"))
     def top(df: DataFrame, side: String, idCol: String): DataFrame =
       df.orderBy(col("s").desc, col(idCol).asc).limit(HitsTopK)
         .select(lit(side).as("side"), col(idCol).as("id"), col("s").as("score"))
     top(a2, "authority", "p").unionByName(top(h2, "hub", "c"))
       .orderBy(col("side").asc, col("score").desc, col("id").asc)
   }
+
+  def q_hits(spark: SparkSession, dir: String): DataFrame =
+    hitsLayout(spark, dir, broadcastState = true)
 
   /** 2D skyline (Pareto frontier) of parts: minimize retail price,
     * maximize size — no other part is both no-more-expensive and

@@ -145,30 +145,42 @@ class StructureQueriesSpec extends SparkSpec {
     assert(got == expectedRows && got.nonEmpty)
   }
 
-  test("hits: co-partitioned edge layouts — no per-round re-exchange of the edge list") {
-    val df = StructureQueries.q_hits(spark, dir)
-    df.collect()
-    // the bipartite incidence pre-positions once per key inside the
-    // cached layouts; each half-round's join is then exchange-free
-    // (state arrives partitioned by its own grouping key), so the
-    // executed tree holds only the state partial-agg exchanges plus
-    // the final 50-row ordering — far below the four-full-edge-
-    // shuffles shape the naive plan pays
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def countShuffles(p: SparkPlan): Int = {
-      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
+  test("hits: co-partitioned state layout is bit-equal and broadcast-free") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so only an explicit broadcast() hint
+      // could put a BroadcastExchange in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaBroadcast = StructureQueries
+        .hitsLayout(spark, dir, broadcastState = true).collect().toSeq
+      val coPart = StructureQueries
+        .hitsLayout(spark, dir, broadcastState = false)
+      assert(coPart.collect().toSeq == viaBroadcast)
+      // the incidence pre-positions once per key side; every
+      // half-round join then runs without a BroadcastExchange, and
+      // only partial-aggregated state rows ever shuffle
+      val plan = coPart.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastExchange"), plan)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def countShuffles(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self + kids.map(countShuffles).sum
       }
-      self + kids.map(countShuffles).sum
+      val exchanges = countShuffles(coPart.queryExecution.executedPlan)
+      // 4 state partial-agg exchanges + the final 50-row ordering —
+      // never a re-exchange of the |E| incidence per half-round
+      assert(exchanges <= 6,
+        s"$exchanges shuffles:\n${coPart.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
-    val exchanges = countShuffles(df.queryExecution.executedPlan)
-    assert(exchanges <= 6,
-      s"$exchanges shuffles:\n${df.queryExecution.executedPlan}")
   }
 
   test("random walks: co-partitioned frontier layout is bit-equal and broadcast-free") {
