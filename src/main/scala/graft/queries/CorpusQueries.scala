@@ -164,8 +164,14 @@ object CorpusQueries {
       batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
     val clusters = new graft.etl.CommitLogTable(spark)
     clusters.overwrite("clusters", oldLabels)
-    graft.operators.Components.foldInto(
-      clusters, "clusters", cross.unionByName(intra))
+    // materialize the mined delta ONCE before the fold: foldInto walks
+    // its pairs plan several times (empty-batch guard, contraction,
+    // new-node derivation) and would re-run the minhash mining each
+    // time; the fold is eager (it commits the merged table), so the
+    // checkpoint blocks are dead — and freed — as soon as it returns
+    val delta = cross.unionByName(intra).localCheckpoint(true)
+    graft.operators.Components.foldInto(clusters, "clusters", delta)
+    graft.operators.CheckpointBlocks.free(delta)
     val merged = clusters.read("clusters")
     merged
       .join(oldLabels.withColumnRenamed("label", "old_label"), Seq("node"), "left")

@@ -287,15 +287,13 @@ object PipelineQueries {
     * the sequential retry loop: over-draw a fixed factor, keep the
     * first k survivors (the distributed-friendly formulation). */
   def q_neg_sample(spark: SparkSession, dir: String): DataFrame = {
-    // the positives set anchors BOTH the candidate user list and the
-    // anti-join; without a checkpoint the orders⋈lineitem shuffle join
-    // + distinct would execute twice
-    val pos = Tables.table(spark, dir, "orders")
-      .join(Tables.table(spark, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
-      .distinct()
-      .localCheckpoint(true)
+    // the positives set — distinct (customer, part) purchase incidence
+    // — IS the staged bipartite artifact HITS walks
+    // ([[GraphStage.purchaseBipartite]]): one build per snapshot
+    // anchors BOTH the candidate user list and the anti-join here,
+    // with no per-invocation join+distinct+checkpoint
+    val pos = GraphStage.purchaseBipartite(spark, dir)
+      .select(col("c").as("user_id"), col("p").as("item_id"))
     val nItems = Tables.table(spark, dir, "part").agg(count(lit(1)).as("n_items"))
     val cand = pos.select("user_id").distinct()
       .crossJoin(broadcast(nItems))

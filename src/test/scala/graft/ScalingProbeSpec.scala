@@ -19,6 +19,7 @@ class ScalingProbeSpec extends SparkSpec {
     "q_triangles", // packed-adjacency intersections over the staged edges
     "q_kcore", // histogram threshold + delta-peel rounds
     "q_pagerank", // iterative integer mass
+    "q_cc_incremental", // daily fold: index probe + batch mining + delta CC
     "q_split_dedup_aware") // components consumer over the staged artifact
 
   private val small = "/root/testdata/sf0.01"
@@ -55,6 +56,10 @@ class ScalingProbeSpec extends SparkSpec {
     val stageFailures = Seq(
       buildProbe("graph-stage build")(dir =>
         graft.queries.GraphStage.copurchasePairCounts(spark, dir).count()),
+      buildProbe("bipartite build")(dir =>
+        graft.queries.GraphStage.purchaseBipartite(spark, dir).count()),
+      buildProbe("cc-prior build")(dir =>
+        graft.queries.DedupStage.corpusSliceLabels(spark, dir).count()),
       buildProbe("lm-stage build")(dir =>
         graft.queries.LmStage.bigramCounts(spark, dir).count())).flatten
     val failures = stageFailures ++ heavyweights.flatMap { name =>

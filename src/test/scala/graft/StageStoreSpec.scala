@@ -26,7 +26,7 @@ class StageStoreSpec extends SparkSpec {
     * scope. */
   private def snapshotDir(tag: String): String = {
     val dir = Files.createTempDirectory(s"graft_snap_$tag")
-    for (t <- Seq("documents", "lineitem")) {
+    for (t <- Seq("documents", "lineitem", "orders")) {
       Files.createSymbolicLink(
         dir.resolve(s"$t.parquet"), Paths.get(s"$src/$t.parquet"))
     }
@@ -77,6 +77,12 @@ class StageStoreSpec extends SparkSpec {
         LmStage.bigramCounts(spark, dir).orderBy("w1", "w2"),
         GraphStage.copurchasePairCounts(spark, dir).orderBy("u", "v"),
         GraphStage.copurchaseAdjacency(spark, dir).orderBy("node"),
+        GraphStage.copurchaseOriented(spark, dir).orderBy("src", "dst"),
+        GraphStage.copurchaseOrientedAdjacency(spark, dir).orderBy("src"),
+        GraphStage.purchaseBipartite(spark, dir).orderBy("c", "p"),
+        GraphStage.partSupplierPairs(spark, dir).orderBy("p", "s"),
+        DedupStage.corpusSliceLabels(spark, dir).orderBy("node"),
+        DedupStage.corpusSliceBandIndex(spark, dir).orderBy("doc_id", "band_idx"),
         LmStage.docScores(spark, dir).orderBy("doc_id")
       ).map(_.collect().toSeq)
       assert(rows(stored) == rows(src))
@@ -84,6 +90,7 @@ class StageStoreSpec extends SparkSpec {
       StageStore.clearForTesting(stored)
       LmStage.clearForTesting()
       GraphStage.clearForTesting()
+      DedupStage.clearForTesting()
     }
   }
 
