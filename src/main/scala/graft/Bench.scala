@@ -34,45 +34,48 @@ object Bench {
     // unchanged. The driver never sets the env, so driver benches
     // keep the session-lifetime checkpoint default.
     val stagedColdWarm = sys.env.get("SPARK_GRAFT_BENCH_WAREHOUSE").map { root =>
-      import graft.queries.{DedupStage, GraphStage, LmStage, StageStore}
+      import graft.queries.{StageStore, Stages}
       StageStore.setForTesting(sfDir, root)
-      def resolveAll(): Unit = {
-        GraphStage.basketItems(spark, sfDir).count()
-        GraphStage.copurchasePairCounts(spark, sfDir).count()
-        GraphStage.copurchaseDegrees(spark, sfDir).count()
-        GraphStage.copurchaseAdjacency(spark, sfDir).count()
-        GraphStage.copurchaseOriented(spark, sfDir).count()
-        GraphStage.copurchaseOrientedAdjacency(spark, sfDir).count()
-        GraphStage.purchaseBipartite(spark, sfDir).count()
-        GraphStage.partSupplierPairs(spark, sfDir).count()
-        DedupStage.components(spark, sfDir).count()
-        DedupStage.corpusSliceLabels(spark, sfDir).count()
-        DedupStage.corpusSliceBandIndex(spark, sfDir).count()
-        LmStage.bigramCounts(spark, sfDir).count()
-        LmStage.docScores(spark, sfDir).count()
-      }
+      // the single registry each stage object contributes to — a new
+      // persistable artifact is covered here (and in StageStoreSpec)
+      // without touching Bench
+      def resolveAll(): Unit =
+        Stages.persistableArtifacts.foreach { case (_, build) =>
+          build(spark, sfDir).count()
+        }
       def timed(f: => Unit): Double =
         { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
       val cold = timed(resolveAll())
+      val afterCold = Stages.stagedSecondsTotal
       // drop the memos — exactly the state a new driver JVM starts
       // without — so the second resolve measures the store read path
-      GraphStage.clearForTesting()
-      DedupStage.clearForTesting()
-      LmStage.clearForTesting()
+      Stages.clearAllForTesting()
       val warm = timed(resolveAll())
-      (cold, warm)
+      // the warm resolve accrues into the stage adders too; subtract
+      // it from the reported staged_sec so that field keeps meaning
+      // "one-time cost paid this session" in both bench modes
+      val warmAccrued = Stages.stagedSecondsTotal - afterCold
+      (cold, warm, warmAccrued)
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated name filter for per-query iteration
     // (the driver never sets it, so driver benches stay full-suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a failed query must be LOUD, not a short time-to-exception that
+    // SHRINKS the total (a regression would read as a speedup — the
+    // round-5 failure mode in the other entry point): failures are
+    // collected, emitted in the JSON tail, and fail the run
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val median =
@@ -96,13 +99,20 @@ object Bench {
     // staged-artifact build time (DedupStage mining + LmStage
     // scoring): paid once per session, so min-of-reps drops it from
     // every query — report it separately instead of hiding it
-    val staged = graft.queries.DedupStage.stagedSeconds +
-      graft.queries.LmStage.stagedSeconds +
-      graft.queries.GraphStage.stagedSeconds
+    val staged = graft.queries.Stages.stagedSecondsTotal -
+      stagedColdWarm.map(_._3).getOrElse(0.0)
     val warehouseFields = stagedColdWarm
-      .map { case (c, w) => s""""staged_cold_sec":${r3(c)},"staged_warm_sec":${r3(w)},""" }
+      .map { case (c, w, _) => s""""staged_cold_sec":${r3(c)},"staged_warm_sec":${r3(w)},""" }
       .getOrElse("")
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min",$warehouseFields"staged_sec":${r3(staged)},"median_total":${r3(medianTotal)},"value":${r3(total)}}""")
+    // errors sit in the guaranteed-archived tail, right before value
+    val errField =
+      if (failed.isEmpty) ""
+      else s""""errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min",$warehouseFields"staged_sec":${r3(staged)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -43,9 +43,7 @@ object DedupStage {
     * incident to a near-dup pair appear (singletons derive by
     * anti-join or coalesce on the consumer side). */
   def components(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir,
-      s"components|n=${CorpusQueries.ShingleN}|k=${CorpusQueries.MinhashK}" +
-        s"|b=${CorpusQueries.MinhashBands}|t=${CorpusQueries.JaccardThreshold}") {
+    stage(spark, dir, s"components|$ccParams") {
       val pairs = TextOps.minhashDupPairs(
         Tables.table(spark, dir, "documents"),
         CorpusQueries.ShingleN, CorpusQueries.MinhashK,
@@ -96,4 +94,11 @@ object DedupStage {
         CorpusQueries.MinhashBands)
         .localCheckpoint(true)
     }
+
+  /** This stage's rows in [[Stages.persistableArtifacts]]. */
+  private[graft] def persistableArtifacts
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup.components" -> (components _),
+    "dedup.ccPriorLabels" -> (corpusSliceLabels _),
+    "dedup.ccPriorIndex" -> (corpusSliceBandIndex _))
 }

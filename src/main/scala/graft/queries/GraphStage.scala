@@ -206,4 +206,18 @@ object GraphStage {
       positioned
     }
   }
+
+  /** This stage's rows in [[Stages.persistableArtifacts]] — keep in
+    * sync with every `stage(..)` call above that omits
+    * `persistable = false`. */
+  private[graft] def persistableArtifacts
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "graph.basketItems" -> (basketItems _),
+    "graph.pairCounts" -> (copurchasePairCounts _),
+    "graph.degrees" -> (copurchaseDegrees _),
+    "graph.adjacency" -> (copurchaseAdjacency _),
+    "graph.oriented" -> (copurchaseOriented _),
+    "graph.orientedAdjacency" -> (copurchaseOrientedAdjacency _),
+    "graph.purchaseBipartite" -> (purchaseBipartite _),
+    "graph.partSupplierPairs" -> (partSupplierPairs _))
 }

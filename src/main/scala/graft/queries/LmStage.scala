@@ -94,4 +94,10 @@ object LmStage {
         .localCheckpoint(true)
     }
   }
+
+  /** This stage's rows in [[Stages.persistableArtifacts]]. */
+  private[graft] def persistableArtifacts
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "lm.bigramCounts" -> (bigramCounts _),
+    "lm.docScores" -> (docScores _))
 }

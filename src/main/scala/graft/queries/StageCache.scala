@@ -45,6 +45,30 @@ private[graft] object StageStore {
     s"stage_v$FormatVersion|$dir|$what".replaceAll("[^A-Za-z0-9._-]", "_")
 }
 
+/** The single enumeration of every PERSISTABLE staged artifact across
+  * the three stage objects — Bench's warehouse resolve and
+  * StageStoreSpec's store-vs-inprocess bit-equality sweep both
+  * iterate THIS list, so an artifact added to a stage object cannot
+  * be silently uncovered by either (each stage object contributes its
+  * own (name, builder) rows; session-scoped layouts with
+  * `persistable = false` stay out by construction). */
+private[graft] object Stages {
+  def persistableArtifacts
+      : Seq[(String, (SparkSession, String) => DataFrame)] =
+    GraphStage.persistableArtifacts ++
+      DedupStage.persistableArtifacts ++
+      LmStage.persistableArtifacts
+
+  def stagedSecondsTotal: Double =
+    GraphStage.stagedSeconds + DedupStage.stagedSeconds + LmStage.stagedSeconds
+
+  def clearAllForTesting(): Unit = {
+    GraphStage.clearForTesting()
+    DedupStage.clearForTesting()
+    LmStage.clearForTesting()
+  }
+}
+
 /** Shared scaffolding for corpus-snapshot staged artifacts
   * ([[DedupStage]], [[LmStage]], [[GraphStage]]): memoize a built,
   * eagerly-materialized frame per (session, snapshot dir, artifact),

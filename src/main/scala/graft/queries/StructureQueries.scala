@@ -286,6 +286,11 @@ object StructureQueries {
     // NEVER freed here.
     graft.operators.CheckpointBlocks.free(spent)
     graft.operators.CheckpointBlocks.free(kCp)
+    // the final state itself is freed on the NEXT invocation (it is
+    // part of the returned lazy plan, so it must outlive this call);
+    // registering BEFORE the convergence check below means a failure
+    // path strands at most this one set — the next call reclaims it
+    val finalState = graft.operators.CheckpointBlocks.retire("q_kcore.state", state)
     // the oracle unrolls exactly KCoreRounds peels and then drops
     // isolated nodes via a final degree recompute; a non-converged
     // Spark state would keep survivors at maintained degree 0 and
@@ -294,12 +299,10 @@ object StructureQueries {
     // final state (the peel may remove its last sub-k nodes in round
     // KCoreRounds exactly — a converged state the loop exits on
     // without observing a no-op round).
-    require(done || state.where(col("deg") < col("k")).isEmpty,
+    require(done || finalState.where(col("deg") < col("k")).isEmpty,
       s"q_kcore: peel did not reach fixpoint within $KCoreRounds rounds; " +
         "raise KCoreRounds (the oracle unrolls the same bound)")
-    // the final state itself is freed on the NEXT invocation (it is
-    // part of the returned lazy plan, so it must outlive this call)
-    graft.operators.CheckpointBlocks.retire("q_kcore.state", state)
+    finalState
       .select(col("node"), col("deg").as("core_deg"), col("k"))
       .orderBy(col("node").asc)
   }

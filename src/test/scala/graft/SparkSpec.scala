@@ -30,4 +30,30 @@ abstract class SparkSpec extends AnyFunSuite {
     val g = rowsOf(got)
     assert(g == expected, s"\ngot:      $g\nexpected: $expected")
   }
+
+  /** Count REAL shuffle nodes in an executed tree, unwrapping the AQE
+    * wrappers (a cached relation's internal exchange is reprinted in
+    * the plan STRING under every InMemoryTableScan, but is not in the
+    * executed tree this walks). */
+  def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self + kids.map(countShuffles).sum
+  }
+
+  /** Run `f` with auto-broadcast disabled, so only an explicit
+    * broadcast() hint can put a BroadcastExchange in a plan. */
+  def withoutAutoBroadcast[T](f: => T): T = {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      f
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

@@ -72,25 +72,21 @@ class StageStoreSpec extends SparkSpec {
     StageStore.setForTesting(stored, warehouse("ab"))
     try {
       // same underlying parquet through two snapshot dirs: one
-      // store-backed, one default in-process
-      def rows(dir: String) = Seq(
-        LmStage.bigramCounts(spark, dir).orderBy("w1", "w2"),
-        GraphStage.copurchasePairCounts(spark, dir).orderBy("u", "v"),
-        GraphStage.copurchaseAdjacency(spark, dir).orderBy("node"),
-        GraphStage.copurchaseOriented(spark, dir).orderBy("src", "dst"),
-        GraphStage.copurchaseOrientedAdjacency(spark, dir).orderBy("src"),
-        GraphStage.purchaseBipartite(spark, dir).orderBy("c", "p"),
-        GraphStage.partSupplierPairs(spark, dir).orderBy("p", "s"),
-        DedupStage.corpusSliceLabels(spark, dir).orderBy("node"),
-        DedupStage.corpusSliceBandIndex(spark, dir).orderBy("doc_id", "band_idx"),
-        LmStage.docScores(spark, dir).orderBy("doc_id")
-      ).map(_.collect().toSeq)
+      // store-backed, one default in-process. EVERY persistable
+      // artifact from the shared registry is swept — a new stage
+      // artifact is covered here (and by Bench's warehouse resolve)
+      // without touching this test. Rows are totally ordered by all
+      // columns (artifact tables are distinct-by-construction).
+      def rows(dir: String) = graft.queries.Stages.persistableArtifacts
+        .map { case (name, build) =>
+          val df = build(spark, dir)
+          name -> df.orderBy(df.columns.sorted.map(col).toIndexedSeq: _*)
+            .collect().toSeq
+        }
       assert(rows(stored) == rows(src))
     } finally {
       StageStore.clearForTesting(stored)
-      LmStage.clearForTesting()
-      GraphStage.clearForTesting()
-      DedupStage.clearForTesting()
+      graft.queries.Stages.clearAllForTesting()
     }
   }
 

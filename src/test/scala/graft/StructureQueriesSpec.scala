@@ -146,11 +146,7 @@ class StructureQueriesSpec extends SparkSpec {
   }
 
   test("hits: co-partitioned state layout is bit-equal and broadcast-free") {
-    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // disable auto-broadcast so only an explicit broadcast() hint
-      // could put a BroadcastExchange in the plan
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withoutAutoBroadcast {
       val viaBroadcast = StructureQueries
         .hitsLayout(spark, dir, broadcastState = true).collect().toSeq
       val coPart = StructureQueries
@@ -161,34 +157,16 @@ class StructureQueriesSpec extends SparkSpec {
       // only partial-aggregated state rows ever shuffle
       val plan = coPart.queryExecution.executedPlan.toString()
       assert(!plan.contains("BroadcastExchange"), plan)
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      def countShuffles(p: SparkPlan): Int = {
-        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        self + kids.map(countShuffles).sum
-      }
       val exchanges = countShuffles(coPart.queryExecution.executedPlan)
       // 4 state partial-agg exchanges + the final 50-row ordering —
       // never a re-exchange of the |E| incidence per half-round
       assert(exchanges <= 6,
         s"$exchanges shuffles:\n${coPart.queryExecution.executedPlan}")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
   }
 
   test("random walks: co-partitioned frontier layout is bit-equal and broadcast-free") {
-    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // disable auto-broadcast so only an explicit broadcast() hint
-      // could put a BroadcastExchange in the plan
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    withoutAutoBroadcast {
       val viaBroadcast = StructureQueries
         .walksLayout(spark, dir, broadcastFrontier = true)
         .orderBy("walk_id", "step").collect().toSeq
@@ -200,28 +178,11 @@ class StructureQueriesSpec extends SparkSpec {
       // runs without a BroadcastExchange anywhere in the loop
       val plan = coPart.queryExecution.executedPlan.toString()
       assert(!plan.contains("BroadcastExchange"), plan)
-      // and the positioned adjacency side never re-exchanges: count
-      // real shuffle nodes in the executed tree (the plan STRING
-      // reprints the cached relation's internal exchange under every
-      // InMemoryTableScan) — only the per-step frontier moves and the
-      // final ordering may shuffle, well below the
-      // every-step-shuffles-both-sides count
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      def countShuffles(p: SparkPlan): Int = {
-        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        self + kids.map(countShuffles).sum
-      }
+      // and the positioned adjacency side never re-exchanges — only
+      // the per-step frontier moves and the final ordering may
+      // shuffle, well below the every-step-shuffles-both-sides count
       val exchanges = countShuffles(coPart.queryExecution.executedPlan)
       assert(exchanges <= 2 * 4 + 2, s"$exchanges shuffles:\n$plan")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }
   }
 
