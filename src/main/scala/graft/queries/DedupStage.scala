@@ -95,10 +95,24 @@ object DedupStage {
         .localCheckpoint(true)
     }
 
+  /** The prefix-join index table over the FULL corpus
+    * ([[TextOps.prefixOrderedShingles]]): per doc, shingles ordered
+    * by global (df, shingle) plus the set size. Threshold-independent
+    * (only the shingle width parameterizes it), so any p/q similarity
+    * join reads the same snapshot artifact
+    * ([[TextOps.prefixJaccardPairsFromKeyed]]). */
+  def prefixIndex(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, s"prefixIndex|n=${CorpusQueries.ShingleN}") {
+      TextOps.prefixOrderedShingles(
+        Tables.table(spark, dir, "documents"), CorpusQueries.ShingleN)
+        .localCheckpoint(true)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup.components" -> (components _),
     "dedup.ccPriorLabels" -> (corpusSliceLabels _),
-    "dedup.ccPriorIndex" -> (corpusSliceBandIndex _))
+    "dedup.ccPriorIndex" -> (corpusSliceBandIndex _),
+    "dedup.prefixIndex" -> (prefixIndex _))
 }

@@ -331,20 +331,35 @@ object TextOps {
     * candidate set. Output = exactly the pairs the brute-force form
     * returns. */
   def prefixJaccardPairs(docs: DataFrame, n: Int, p: Int, q: Int): DataFrame = {
-    val rows = shingleRows(docs, n)
-    val freq = rows.groupBy("shingle").agg(count(lit(1)).as("df"))
     // one row per doc: shingles ordered by (df, shingle), set size.
     // Three consumers (prefix explode + both verify sides) — the
     // a1b16a3 materialization rule says checkpoint, or the
     // shingle+df pipeline runs three times.
     val keyed = graft.operators.CheckpointBlocks.retire("prefixJaccardPairs.keyed",
-      rows.join(freq, "shingle")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
-        .select(col("doc_id"),
-          transform(col("ordered"), x => x("shingle")).as("toks"),
-          size(col("ordered")).as("n_sh"))
-        .localCheckpoint(true))
+      prefixOrderedShingles(docs, n).localCheckpoint(true))
+    prefixJaccardPairsFromKeyed(keyed, p, q)
+  }
+
+  /** The prefix-join's per-snapshot INDEX TABLE: one row per doc with
+    * its shingles ordered by global ascending (df, shingle) and the
+    * set size — threshold-independent (only `n` parameterizes it), so
+    * a pipeline stages it once per corpus snapshot and runs
+    * [[prefixJaccardPairsFromKeyed]] at any p/q over the same table
+    * (the staged form is [[graft.queries.DedupStage.prefixIndex]]). */
+  def prefixOrderedShingles(docs: DataFrame, n: Int): DataFrame = {
+    val rows = shingleRows(docs, n)
+    val freq = rows.groupBy("shingle").agg(count(lit(1)).as("df"))
+    rows.join(freq, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+      .select(col("doc_id"),
+        transform(col("ordered"), x => x("shingle")).as("toks"),
+        size(col("ordered")).as("n_sh"))
+  }
+
+  /** The candidate+verify half of [[prefixJaccardPairs]], over an
+    * already-materialized [[prefixOrderedShingles]] table. */
+  def prefixJaccardPairsFromKeyed(keyed: DataFrame, p: Int, q: Int): DataFrame = {
     // L = |s| − ⌈(p/q)·|s|⌉ + 1, in integer math
     val prefixLen = expr(s"n_sh - (($p * n_sh + ${q - 1}) DIV $q) + 1")
     val pref = keyed.select(col("doc_id"), col("n_sh"),
