@@ -96,8 +96,9 @@ object AdvancedQueries {
     // (doc, term) counts feed both the document frequencies and the
     // scoring join — checkpoint so the explode+count runs once (the
     // materialize-the-TF-table call every TF-IDF pipeline makes)
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = graft.operators.CheckpointBlocks.retire("q_tfidf.tf",
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")

@@ -170,12 +170,14 @@ object PipelineQueries {
     val toks = split(col("text"), " ")
     // per-doc (dl, tf*) feeds the corpus stats AND the scoring join —
     // checkpoint it so the tokenize pass over the corpus runs once
-    val base = Tables.table(spark, dir, "documents").select(
-      col("doc_id") +: size(toks).as("dl") +:
-        Bm25Terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).as(s"tf$i")
-        }: _*)
-      .localCheckpoint(true)
+    // (retire-managed: the previous invocation's blocks free here)
+    val base = graft.operators.CheckpointBlocks.retire("q_bm25.base",
+      Tables.table(spark, dir, "documents").select(
+        col("doc_id") +: size(toks).as("dl") +:
+          Bm25Terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, x => x === lit(t))).as(s"tf$i")
+          }: _*)
+        .localCheckpoint(true))
     val statCols = sum(col("dl")).as("sum_dl") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
@@ -511,10 +513,11 @@ object PipelineQueries {
     // (source, term) counts feed both the totals and the entropy sum —
     // checkpoint the vocabulary-bounded aggregate so the corpus
     // explode+count runs once, not twice
-    val cnt = Tables.table(spark, dir, "documents")
-      .select(col("source"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("source", "t").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    val cnt = graft.operators.CheckpointBlocks.retire("q_entropy.cnt",
+      Tables.table(spark, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true))
     val tot = cnt.groupBy("source")
       .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_types"))
     cnt.join(broadcast(tot), "source")

@@ -231,6 +231,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(persisted - base <= 1, s"components leaked: $base -> $persisted")
   }
 
+  test("retire-managed query checkpoints reach a steady state across invocations") {
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    // q_tfidf embeds one CheckpointBlocks.retire site: the first call
+    // registers a live block set, every later call frees the previous
+    // one. Without retire this grows +1 per invocation; the loose +2
+    // bound only absorbs other suites' concurrent persists (the
+    // SparkContext is shared), never a real per-invocation leak.
+    graft.queries.AdvancedQueries.q_tfidf(spark, sf).collect()
+    val after1 = persisted
+    (1 to 3).foreach(_ =>
+      graft.queries.AdvancedQueries.q_tfidf(spark, sf).collect())
+    val after4 = persisted
+    assert(after4 - after1 <= 2, s"retire site leaked: $after1 -> $after4")
+  }
+
   // ---- weighted sampling / rank fusion -----------------------------
 
   test("weighted sample: k per source, deterministic, ES key favors long docs") {

@@ -65,6 +65,23 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(filterIdx > joinIdx, s"bloom filter not under the join:\n$p")
   }
 
+  test("custom text/vector expressions run inside whole-stage codegen") {
+    // the engine's extension rule: a native Expression with doGenCode
+    // beats a UDF precisely because it fuses into the surrounding
+    // WholeStageCodegen stage — executed-plan lines carry the `*(n)`
+    // codegen marker on the operator that embeds the expression, so a
+    // graft_ function appearing ONLY on unstarred lines means the hot
+    // path fell out of codegen (e.g. a CodegenFallback regression)
+    Seq("q_dedup_minhash" -> "graft_", "q_ann_topk" -> "graft_dot",
+        "q_decontaminate_bloom" -> "graft_bloom_might_contain")
+      .foreach { case (name, fn) =>
+        val p = planOf(name)
+        val starred = p.linesIterator
+          .exists(l => l.contains("*(") && l.contains(fn))
+        assert(starred, s"$name: no codegen'd $fn stage:\n$p")
+      }
+  }
+
   test("no query plan contains a cartesian product") {
     // BroadcastNestedLoopJoin is expected (range/inequality joins);
     // an unconstrained CartesianProduct is never intended
