@@ -164,18 +164,23 @@ object CorpusQueries {
     // a from-scratch recompute of the prior corpus.
     val oldLabels = DedupStage.corpusSliceLabels(spark, dir)
     val index = DedupStage.corpusSliceBandIndex(spark, dir)
-    val cross = TextOps.minhashDupAgainstIndex(
-      index, batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
-    val intra = TextOps.minhashDupPairs(
-      batch, ShingleN, MinhashK, MinhashBands, JaccardThreshold).select("a", "b")
+    // the batch's shingle+minhash band rows feed BOTH the index probe
+    // and the batch-intra self-join — compute them once
+    val batchBands = TextOps.lshBandRows(
+      batch, ShingleN, MinhashK, MinhashBands).localCheckpoint(true)
+    val cross = TextOps.minhashDupAgainstIndexFromBands(
+      index, batchBands, JaccardThreshold).select("a", "b")
+    val intra = TextOps.minhashDupPairsFromBands(
+      batchBands, JaccardThreshold).select("a", "b")
     val clusters = new graft.etl.CommitLogTable(spark)
     clusters.overwrite("clusters", oldLabels)
     // materialize the mined delta ONCE before the fold: foldInto walks
     // its pairs plan several times (empty-batch guard, contraction,
-    // new-node derivation) and would re-run the minhash mining each
-    // time; the fold is eager (it commits the merged table), so the
-    // checkpoint blocks are dead — and freed — as soon as it returns
+    // new-node derivation) and would re-run the pair mining each
+    // time; the fold is eager (it commits the merged table), so both
+    // in-query checkpoints are dead — and freed — once it returns
     val delta = cross.unionByName(intra).localCheckpoint(true)
+    graft.operators.CheckpointBlocks.free(batchBands)
     graft.operators.Components.foldInto(clusters, "clusters", delta)
     graft.operators.CheckpointBlocks.free(delta)
     val merged = clusters.read("clusters")

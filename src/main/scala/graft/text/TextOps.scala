@@ -430,8 +430,14 @@ object TextOps {
     * Jaccard on the shingle arrays. With k=16, bands=8 (2 rows/band),
     * P[candidate | J=0.5] ≈ 0.90 — tune bands to the threshold.
     * Only candidate pairs ever meet, never the n² cross product. */
-  def minhashDupPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val br = lshBandRows(docs, n, k, bands)
+  def minhashDupPairs(docs: DataFrame, n: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    minhashDupPairsFromBands(lshBandRows(docs, n, k, bands), threshold)
+
+  /** As [[minhashDupPairs]], over an already-computed [[lshBandRows]]
+    * table — lets a caller that needs BOTH the self-join and an
+    * index probe over the same batch (the incremental daily fold)
+    * compute the band rows once. */
+  def minhashDupPairsFromBands(br: DataFrame, threshold: Double): DataFrame = {
     val cand = br.as("x")
       .join(br.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -472,8 +478,13 @@ object TextOps {
     */
   def minhashDupAgainstIndex(
       index: DataFrame, batch: DataFrame,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val br = lshBandRows(batch, n, k, bands)
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    minhashDupAgainstIndexFromBands(index, lshBandRows(batch, n, k, bands), threshold)
+
+  /** As [[minhashDupAgainstIndex]], over already-computed batch band
+    * rows (see [[minhashDupPairsFromBands]]). */
+  def minhashDupAgainstIndexFromBands(
+      index: DataFrame, br: DataFrame, threshold: Double): DataFrame = {
     val cand = br.as("x")
       .join(index.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
