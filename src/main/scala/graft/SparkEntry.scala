@@ -57,6 +57,8 @@ object SparkEntry {
     "q_nested_projection" -> (ParityQueries.q_nested_projection _),
     "q_count_guard" -> (ParityQueries.q_count_guard _),
     "q_scalar_lookup" -> (ParityQueries.q_scalar_lookup _),
+    "q_view_projection" -> (ParityQueries.q_view_projection _),
+    "q_positional_split" -> (ParityQueries.q_positional_split _),
   ) ++ CorpusQueries.queries ++ ScaleQueries.queries ++ AdvancedQueries.queries ++ PipelineQueries.queries ++ BehaviorQueries.queries ++ SelectionQueries.queries ++ StructureQueries.queries ++ InsightQueries.queries ++ ReleaseQueries.queries
   // ^ training-data pipeline ops (dedup family, text analysis,
   //   similarity search) + scale techniques (skew salting, exact
@@ -306,6 +308,32 @@ object SparkEntry {
         |g AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s, COUNT(*) AS n FROM c)
         |SELECT c_custkey, bal_c, bal_c * n > s AS above_avg
         |FROM c, g
+        |ORDER BY c_custkey ASC""".stripMargin,
+    "q_view_projection" ->
+      """WITH scores AS (
+        |  SELECT CAST(ts AS DATE) AS date, event_type AS platform,
+        |         user_id AS entity_id,
+        |         SUM(CAST(value AS DECIMAL(14,2))) AS score
+        |  FROM events GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT date, platform, entity_id,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY date, platform
+        |           ORDER BY score DESC, entity_id ASC) AS INTEGER) AS rank
+        |  FROM scores
+        |)
+        |SELECT date AS ranking_date, platform AS ranking_source,
+        |       entity_id AS isrc, rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY ranking_date DESC, ranking_source ASC, rank ASC""".stripMargin,
+    "q_positional_split" ->
+      """SELECT c_custkey,
+        |       string_split(c_name, '#')[1] AS prefix,
+        |       string_split(c_name, '#')[2] AS id_digits,
+        |       string_split(c_name, '#')[-1] AS last_part
+        |FROM customer
+        |WHERE c_mktsegment IN ('FURNITURE', 'AUTOMOBILE')
+        |  AND c_name IS NOT NULL
         |ORDER BY c_custkey ASC""".stripMargin,
   ) ++ CorpusQueries.oracles ++ ScaleQueries.oracles ++ AdvancedQueries.oracles ++ PipelineQueries.oracles ++ BehaviorQueries.oracles ++ SelectionQueries.oracles ++ StructureQueries.oracles ++ InsightQueries.oracles ++ ReleaseQueries.oracles
 }

@@ -372,6 +372,37 @@ object ParityQueries {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** P5 view projection/rename, oracle-gated: the reference's view
+    * layer is projection + rename + a fixed ordering over the ranking
+    * fact (`all_rankings_view`, `create_schema_behavior.sql:96-108`) —
+    * here over the testdata ranking pipeline with the reference's
+    * column names. Scale: a view adds NO physical operators (Catalyst
+    * collapses the projection into the child plan); the one shuffle
+    * is the ranking pipeline's own. */
+  def q_view_projection(spark: SparkSession, dir: String): DataFrame =
+    ChartQueries.rankings(t(spark, dir, "events"))
+      .select(col("date").as("ranking_date"),
+        col("platform").as("ranking_source"),
+        col("entity_id").as("isrc"), col("rank"))
+      .orderBy(col("ranking_date").desc, col("ranking_source").asc,
+        col("rank").asc)
+
+  /** P7 positional split + P4 membership predicate, oracle-gated: the
+    * reference splits formatted strings positionally (renderer's
+    * "artist - song" split) and gates loads on IN-list membership.
+    * Here: split c_name on '#' into head/tail/last, membership on the
+    * segment dimension. Scale: all map-side; the predicate prunes at
+    * the scan. */
+  def q_positional_split(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_mktsegment").isin("FURNITURE", "AUTOMOBILE")
+        && col("c_name").isNotNull)
+      .select(col("c_custkey"),
+        split(col("c_name"), "#").getItem(0).as("prefix"),
+        split(col("c_name"), "#").getItem(1).as("id_digits"),
+        element_at(split(col("c_name"), "#"), -1).as("last_part"))
+      .orderBy(col("c_custkey").asc)
+
   /** P1 nested-JSON projection, oracle-gated: parse the `props` JSON
     * payload carried by the events fact and project a typed field out
     * (the reference's API-response → columns step,
