@@ -26,7 +26,12 @@ object Compaction {
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      // skip metadata AND hidden files: local/Checksum filesystems
+      // put a .part-*.crc beside every part file — counting them
+      // inflates the estimate and makes compaction emit smaller
+      // files than targetBytes promises
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
     }
     total
   }

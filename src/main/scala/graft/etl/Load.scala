@@ -78,11 +78,26 @@ object Load {
   /** General fill-if-NULL column update (the set-based S10): rows of
     * `base` whose `valueCol` is NULL take the update's value; non-NULL
     * rows are never overwritten (the reference selects candidates with
-    * `… IS NULL`, P2). Returns (RETURNING set, new state). */
+    * `… IS NULL`, P2). Returns (RETURNING set, new state).
+    *
+    * UNIQUE(valueCol) safety (the reference declares the filled
+    * column UNIQUE, `create_schema_structure.sql`): a fill value that
+    * already exists on ANY base row, or that more than one key would
+    * take, would corrupt the uniqueness the reference's UPDATE
+    * enforces by raising — a distributed batch can't abort halfway,
+    * so such updates are SKIPPED instead (the engine-wide
+    * conflict-skip discipline `upsert` applies to inserts; documented
+    * deviation: skip-and-continue where the reference would error). */
   def updateColumn(base: DataFrame, updates: DataFrame, key: String, valueCol: String): (DataFrame, DataFrame) = {
     val u = updates.select(col(key), col(valueCol).as("__new_val"))
       .where(col("__new_val").isNotNull)
       .transform(keepBestRow(_, Seq(key), Seq(col("__new_val").asc)))
+      // value already present anywhere in base → skip (anti-join on
+      // the value column); two keys drawing the same value → lowest
+      // key wins, the other skips
+      .join(base.select(col(valueCol).as("__new_val"))
+        .where(col("__new_val").isNotNull), Seq("__new_val"), "left_anti")
+      .transform(keepBestRow(_, Seq("__new_val"), Seq(col(key).asc)))
     val joined = base.join(u, Seq(key), "left")
     val applied = joined
       .withColumn("__hit", col(valueCol).isNull && col("__new_val").isNotNull)

@@ -71,7 +71,11 @@ object Maintenance {
     Seq(
       ("artist_pk", dupCount(db.artist, Seq("artist_id"))),
       ("song_pk", dupCount(db.song, Seq("isrc"))),
-      ("song_unique_spotify_url", dupCount(db.song, Seq("spotify_url"))),
+      // NULL keys never conflict under SQL UNIQUE (same rule Load.upsert
+      // applies), so NULL-url rows are excluded before counting — a
+      // table with several legally-NULL urls is clean, not a violation
+      ("song_unique_spotify_url",
+        dupCount(db.song.where(col("spotify_url").isNotNull), Seq("spotify_url"))),
       ("song_unique_apple_music_url",
         dupCount(db.song.where(col("apple_music_url").isNotNull), Seq("apple_music_url"))),
       ("map_pk", dupCount(db.artistSongMap, Seq("artist_id", "isrc"))),

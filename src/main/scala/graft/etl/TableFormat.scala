@@ -61,9 +61,16 @@ trait TableFormat {
     val base = currentVersion(table)
     require(base > 0, s"table $table does not exist")
     val existing = readVersion(table, base)
-    val (inserted, merged) = Load.upsert(existing, batch, constraints, priority)
+    val (inserted0, _) = Load.upsert(existing, batch, constraints, priority)
+    // materialize the RETURNING set ONCE: without it the anti-join
+    // chain over the full table runs three times (empty guard, the
+    // commit's recompute of existing∪inserted, the caller's action on
+    // the returned frame). Generation-freed per table — by the next
+    // merge the previous RETURNING has been consumed.
+    val inserted = graft.operators.CheckpointBlocks.retire(
+      s"mergeInsert.$table", inserted0.localCheckpoint(true))
     if (inserted.isEmpty) inserted
-    else { tryCommit(table, merged, base); inserted }
+    else { tryCommit(table, existing.unionByName(inserted), base); inserted }
   }
 
   /** `MERGE WHEN MATCHED AND target.valueCol IS NULL THEN UPDATE` —
@@ -76,8 +83,12 @@ trait TableFormat {
       valueCol: String): DataFrame = {
     val base = currentVersion(table)
     require(base > 0, s"table $table does not exist")
-    val (returning, newState) =
+    val (returning0, newState) =
       Load.updateColumn(readVersion(table, base), updates, key, valueCol)
+    // same one-execution discipline as mergeInsert: the fill join
+    // otherwise runs for the guard, the commit, and the caller's read
+    val returning = graft.operators.CheckpointBlocks.retire(
+      s"mergeUpdateIfNull.$table", returning0.localCheckpoint(true))
     if (returning.isEmpty) returning
     else { tryCommit(table, newState, base); returning }
   }

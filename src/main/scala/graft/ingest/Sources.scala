@@ -151,15 +151,31 @@ object Sources {
       StructField("name", StringType)))))))
 
   /** S7 + P1: nested API JSON → flat song docs (one row per track,
-    * artists still nested; `position` = order in the batched response,
-    * which the API guarantees — carried explicitly). Output matches
+    * artists still nested; position carried explicitly, which the API
+    * guarantees per response). Output matches
     * [[graft.model.Music.SongDoc]] minus apple_music_url (added NULL
     * here, enriched later by the Apple Music path J6/S10).
-    */
-  def songDocsFromTracksJson(responses: DataFrame, source: String = "Spotify"): DataFrame =
-    responses
-      .select(from_json(col("body"), tracksResponseSchema).as("r"))
-      .select(posexplode(col("r.tracks")).as(Seq("pos0", "t")))
+    *
+    * Multi-response identity (SURVEY §7.4 risk 3 — order is always an
+    * explicit column, like the HTML path's `page_id`): when
+    * `responses` carries more than one row, it MUST carry a
+    * `batch_id` ordinal (the request sequence) — Spark frames have no
+    * row order, and without it positions would restart per response
+    * and collide, making the downstream W2 rank window
+    * nondeterministic. `position = batch_id·batchSize + in-batch pos`
+    * is an ORDER key, not a dense index: short batches leave gaps,
+    * which the rank window collapses. A single-response frame may
+    * omit `batch_id` (treated as 0). */
+  def songDocsFromTracksJson(
+      responses: DataFrame, source: String = "Spotify",
+      batchSize: Int = 50): DataFrame = {
+    val keyed =
+      if (responses.columns.contains("batch_id")) responses
+      else responses.withColumn("batch_id", lit(0L))
+    keyed
+      .select(col("batch_id"),
+        from_json(col("body"), tracksResponseSchema).as("r"))
+      .select(col("batch_id"), posexplode(col("r.tracks")).as(Seq("pos0", "t")))
       .select(
         col("t.external_ids.isrc").as("isrc"),
         col("t.name").as("song_name"),
@@ -172,7 +188,8 @@ object Sources {
             a.getField("id").as("artist_id"),
             a.getField("name").as("artist_name"))).as("artists"),
         lit(source).as("source"),
-        (col("pos0") + 1).as("position"))
+        (col("batch_id") * batchSize + col("pos0") + 1).cast("int").as("position"))
+  }
 
   /** S6 (reference `etl_pipeline.py:448-484`): Apple Music song-page
     * JSON-LD — extract the `<script id=schema:song>` body, parse with

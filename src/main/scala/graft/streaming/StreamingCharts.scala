@@ -107,6 +107,39 @@ object StreamingCharts {
   final case class StreakState(lastDate: Date, length: Int)
   final case class Streak(platform: String, entity_id: Long, date: Date, streak: Int)
 
+  /** The ONE streak fold both state APIs share (parity between
+    * [[trackStreaks]] and [[trackStreaksV2]] is spec-enforced, so the
+    * logic must not fork): sort the micro-batch's rows by event time,
+    * extend on consecutive days, re-emit on the same day, reset on a
+    * gap — and DROP any appearance strictly before the stored
+    * lastDate. Without that guard a LATE row arriving in a later
+    * micro-batch (nothing upstream is required to watermark this
+    * stream) would regress the state and permanently corrupt every
+    * following streak; dropping it keeps the documented
+    * "event-time order per key" contract enforced, not assumed. */
+  private def foldStreak(
+      platform: String, entity: Long,
+      prior: Option[StreakState],
+      rows: Seq[Appearance]): (Option[StreakState], Seq[Streak]) = {
+    val sorted = rows.sortBy(_.date.toLocalDate.toEpochDay)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Streak]
+    var cur = prior
+    sorted.foreach { a =>
+      val late = cur.exists(s => a.date.toLocalDate.isBefore(s.lastDate.toLocalDate))
+      if (!late) {
+        val len = cur match {
+          case Some(StreakState(last, n))
+              if last.toLocalDate.plusDays(1) == a.date.toLocalDate => n + 1
+          case Some(StreakState(last, n)) if last == a.date => n
+          case _ => 1
+        }
+        cur = Some(StreakState(a.date, len))
+        out += Streak(platform, entity, a.date, len)
+      }
+    }
+    (cur, out.toSeq)
+  }
+
   def trackStreaks(appearances: Dataset[Appearance]): Dataset[Streak] = {
     import appearances.sparkSession.implicits._
     appearances
@@ -114,22 +147,7 @@ object StreamingCharts {
       .flatMapGroupsWithState[StreakState, Streak](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((platform, entity), rows, state: GroupState[StreakState]) =>
-          // rows within a key arrive unordered inside a batch — sort
-          // by event time before folding the streak state
-          val sorted = rows.toSeq.sortBy(_.date.toLocalDate.toEpochDay)
-          val init = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Streak]
-          var cur = init
-          sorted.foreach { a =>
-            val len = cur match {
-              case Some(StreakState(last, n))
-                  if last.toLocalDate.plusDays(1) == a.date.toLocalDate => n + 1
-              case Some(StreakState(last, n)) if last == a.date => n
-              case _ => 1
-            }
-            cur = Some(StreakState(a.date, len))
-            out += Streak(platform, entity, a.date, len)
-          }
+          val (cur, out) = foldStreak(platform, entity, state.getOption, rows.toSeq)
           cur.foreach(state.update)
           out.iterator
       }
@@ -160,19 +178,7 @@ object StreamingCharts {
         key: (String, Long),
         rows: Iterator[Appearance],
         timerValues: TimerValues): Iterator[Streak] = {
-      val sorted = rows.toSeq.sortBy(_.date.toLocalDate.toEpochDay)
-      var cur = Option(state.get())
-      val out = scala.collection.mutable.ArrayBuffer.empty[Streak]
-      sorted.foreach { a =>
-        val len = cur match {
-          case Some(StreakState(last, n))
-              if last.toLocalDate.plusDays(1) == a.date.toLocalDate => n + 1
-          case Some(StreakState(last, n)) if last == a.date => n
-          case _ => 1
-        }
-        cur = Some(StreakState(a.date, len))
-        out += Streak(key._1, key._2, a.date, len)
-      }
+      val (cur, out) = foldStreak(key._1, key._2, Option(state.get()), rows.toSeq)
       cur.foreach(state.update)
       out.iterator
     }
@@ -194,8 +200,13 @@ object StreamingCharts {
   def rankingSink(scores: DataFrame, store: RankingStore): org.apache.spark.sql.streaming.StreamingQuery =
     scores.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.append(rankBatch(batch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-ONCE: a crash between the sink
+        // write and the checkpoint commit replays the batch on
+        // restart. Idempotence keys on batchId — the standard
+        // transactional-sink recipe — so a replay is a no-op instead
+        // of a duplicate day of rankings.
+        store.appendOnce(batchId, rankBatch(batch))
         ()
       }
       .queryName("graft_ranking_sink")
@@ -225,8 +236,15 @@ object StreamingCharts {
       StructField("date", DateType), StructField("platform", StringType),
       StructField("entity_id", LongType), StructField("rank", IntegerType)))
     @volatile private var rows: Seq[Row] = Seq.empty
+    private val committed = scala.collection.mutable.Set.empty[Long]
     def append(df: DataFrame): Unit = synchronized {
       rows = rows ++ df.collect().toSeq
+    }
+    /** Batch-id-keyed append: a replayed micro-batch (at-least-once
+      * foreachBatch) commits nothing — models the txn-ish sink a
+      * deployment implements with a (batchId → committed) ledger. */
+    def appendOnce(batchId: Long, df: DataFrame): Unit = synchronized {
+      if (committed.add(batchId)) rows = rows ++ df.collect().toSeq
     }
     def snapshot(): DataFrame =
       spark.createDataFrame(

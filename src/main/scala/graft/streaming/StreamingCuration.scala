@@ -26,19 +26,22 @@ object StreamingCuration {
       maxTokens: Int = 1000,
       minQuality: Double = 0.5): DataFrame = {
     val toks = split(col("text"), " ")
-    val stopHits = size(filter(toks, t => t.isInCollection(TextOps.allStopwords)))
-    val quality = round(
-      (size(array_distinct(toks)) / size(toks)) * 0.6
-        + (lit(1.0) - stopHits / size(toks)) * 0.4, 6)
     docs
       .withWatermark("ts", watermark)
       .withColumn("content_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_md5")
       .withColumn("n_tokens", size(toks))
-      .withColumn("quality", quality)
+      // the SHARED batch formulas, not inline copies — a tuning of
+      // qualityExpr/langIdExpr applies to both funnels by construction
+      .withColumn("quality", TextOps.qualityExpr(toks))
+      .withColumn("predicted_lang", TextOps.langIdExpr(toks))
       .where(
         col("n_tokens").between(minTokens, maxTokens) &&
-          col("quality") >= minQuality)
+          col("quality") >= minQuality &&
+          // the language gate the batch funnel applies (Curation
+          // drops predicted == "und"): no stopword set recognizes
+          // the text ⇒ out, in BOTH cadences
+          col("predicted_lang") =!= "und")
       .select("doc_id", "ts", "content_md5", "n_tokens", "quality")
   }
 }

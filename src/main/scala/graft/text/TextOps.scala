@@ -191,6 +191,20 @@ object TextOps {
       .select("doc_id", "actual", "predicted", "is_match")
   }
 
+  /** The language vote over a token-array column — the prediction
+    * half of [[langId]] as one inline expression (same per-set hit
+    * counts, same declaration-order tie-break, "und" on zero hits),
+    * for streams and gates that carry no `lang` ground-truth column. */
+  def langIdExpr(tokens: Column): Column = {
+    def hitsIn(set: Seq[String]): Column =
+      size(filter(tokens, t => t.isInCollection(set)))
+    val scores = stopwordSets.map { case (l, s) => l -> hitsIn(s) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, sc), alt) =>
+      when(sc === best && best > 0, lit(l)).otherwise(alt)
+    }
+  }
+
   /** All-language stopword union, for quality scoring. */
   val allStopwords: Seq[String] = stopwordSets.flatMap(_._2).distinct
 

@@ -105,6 +105,30 @@ class LoadSpec extends SparkSpec {
     assert(urls.toSeq == Seq(Some("new1"), Some("existing"), None))
   }
 
+  test("updateColumn honors UNIQUE(valueCol): pre-existing and doubly-drawn values skip (S10)") {
+    val song = Seq(
+      ("I1", "A", 1, false, "su1", Option.empty[String]),
+      ("I2", "B", 2, false, "su2", Some("taken")),
+      ("I3", "C", 3, false, "su3", Option.empty[String]),
+      ("I4", "D", 4, false, "su4", Option.empty[String]))
+      .toDF(emptySong.columns.toSeq: _*)
+    val updates = Seq(
+      ("I1", "taken"), // value already on I2 → skip (ref UPDATE would raise)
+      ("I3", "dup"), ("I4", "dup"), // two keys drawing one value → lowest key wins
+      ("I4", "ok4")) // I4 lost "dup" but keepBestRow picked its min value first
+      .toDF("isrc", "apple_music_url")
+    val (returning, newSong) = Load.updateAppleMusicUrls(song, updates)
+    // I1 skipped (conflict with existing), I3 wins "dup", I4's
+    // candidate after per-key dedup is "dup" (min value) which I3 took
+    assert(returning.select("isrc").as[String].collect().toSeq == Seq("I3"))
+    val urls = newSong.orderBy("isrc").select("apple_music_url").as[Option[String]].collect()
+    assert(urls.toSeq == Seq(None, Some("taken"), Some("dup"), None))
+    // the invariant the guard exists for: no duplicated non-NULL value
+    val dupVals = newSong.where($"apple_music_url".isNotNull)
+      .groupBy("apple_music_url").count().where($"count" > 1).count()
+    assert(dupVals == 0)
+  }
+
   test("W2 rank assignment: 1-based position within each source half") {
     val docs = Seq(
       ("I1", "Spotify", 1), ("I2", "Spotify", 2),

@@ -47,6 +47,23 @@ class SourcesSpec extends SparkSpec {
     assert(artists == ("Ann", "a2"))
   }
 
+  test("S7: multi-response batches carry explicit identity — positions never collide") {
+    def body(isrc: String) =
+      s"""{"tracks":[{"external_ids":{"isrc":"$isrc"},"artists":[],
+         | "duration_ms":1,"explicit":false,"external_urls":{"spotify":"s-$isrc"},"name":"$isrc"}]}"""
+        .stripMargin
+    // two batched responses in ONE frame: batch_id is the request
+    // ordinal (frames have no row order) — positions order globally
+    val responses = Seq((0L, body("A1")), (1L, body("B1")))
+      .toDF("batch_id", "body")
+    val got = Sources.songDocsFromTracksJson(responses)
+      .select("isrc", "position").as[(String, Int)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._1) == Seq("A1", "B1"))
+    // order keys are strictly increasing across batches, never equal
+    assert(got.map(_._2).distinct.size == got.size)
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
   test("S6: JSON-LD extraction from song page") {
     val html =
       """<html><script id="schema:song" type="application/ld+json">

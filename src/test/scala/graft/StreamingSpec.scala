@@ -69,6 +69,63 @@ class StreamingSpec extends SparkSpec {
       ("Apple Music", 1L, "2024-01-05", 1)))
   }
 
+  test("streak state ignores a late cross-batch appearance instead of regressing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Appearance]
+    val q = StreamingCharts.trackStreaks(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("streaks_late_t").start()
+    in.addData(
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-08")),
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-09")),
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-10")))
+    q.processAllAvailable()
+    // a LATE Jan 5 row in the next micro-batch: nothing upstream
+    // watermarks this stream, so the fold itself must drop it — a
+    // reset here would make Jan 11 restart at 1 instead of reaching 4
+    in.addData(
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-05")),
+      Appearance("Spotify", 1L, Date.valueOf("2024-01-11")))
+    q.processAllAvailable()
+    val got = spark.table("streaks_late_t").as[Streak].collect()
+      .map(s => (s.date.toString, s.streak)).toSet
+    q.stop()
+    assert(got === Set(
+      ("2024-01-08", 1), ("2024-01-09", 2), ("2024-01-10", 3),
+      ("2024-01-11", 4))) // late Jan 5 emitted nothing, state intact
+  }
+
+  test("ranking sink is idempotent under micro-batch replay (at-least-once foreachBatch)") {
+    val store = new StreamingCharts.RankingStore(spark)
+    val day = Seq((Date.valueOf("2024-01-01"), "click", 7L, "9.5"))
+      .toDF("date", "platform", "entity_id", "score")
+      .select($"date", $"platform", $"entity_id", $"score".cast("decimal(14,2)"))
+    // simulate the crash-replay: the same batch id commits twice
+    store.appendOnce(0L, StreamingCharts.rankBatch(day))
+    store.appendOnce(0L, StreamingCharts.rankBatch(day))
+    store.appendOnce(1L, StreamingCharts.rankBatch(day)) // a real new batch
+    assert(store.snapshot().count() == 2)
+  }
+
+  test("streaming curation applies the batch language gate (und dropped)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingCuration.curateStream(docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curated_lang_t").start()
+    in.addData(
+      // recognizable English, high quality → kept
+      (1L, "the quick brown fox jumps over a lazy dog in the field", ts("2024-01-01 10:00:00")),
+      // no stopword set recognizes digit text → predicted "und", out
+      // in BOTH cadences (token count and quality alone would pass it)
+      (2L, "111 222 333 444 555 666 777 888 999 000", ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    val got = spark.table("curated_lang_t").select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(got == Set(1L))
+  }
+
   test("streaming session windows merge within the gap and agree with the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
