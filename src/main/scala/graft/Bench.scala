@@ -15,14 +15,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup (codegen, parquet footer reads) so the first
-    // timed query isn't charged ~5s of JVM bring-up
+    // timed query isn't charged ~5s of JVM bring-up. The per-table
+    // counts double as the regeneration tripwire (round-5 postmortem):
+    // they and the observed events.ts encoding go into the JSON tail,
+    // so a driver-side testdata regeneration is visible in the round
+    // artifact instead of silently shifting 28 query results.
     spark.range(1000).selectExpr("sum(id)").collect()
-    graft.io.Tables.names.foreach(n =>
-      graft.io.Tables.table(spark, sfDir, n).limit(1).count())
-    // min over `reps` runs per query: the box this runs on shows heavy
-    // cross-tenant contention (identical runs swing 1.5×, spikes land
-    // on random queries), and min-of-warm-runs is the standard way to
-    // report the code's own cost rather than the neighbours'
+    val tableCounts = graft.io.Tables.names.map(n =>
+      n -> graft.io.Tables.table(spark, sfDir, n).count())
+    val eventsTsKind = graft.io.Tables.eventsTsKind(spark, sfDir)
+    // Staged-artifact prewarm: resolve every persistable artifact
+    // BEFORE the query loop, fanned out over a thread pool — the
+    // builds are independent Spark jobs, so the wall cost is
+    // max-of-builds, not sum-of-builds. staged_sec reports the wall
+    // seconds this session actually paid (prewarm wall + any lazy
+    // session-layout builds during the reps), with per-stage adder
+    // sums alongside for attribution.
+    //
     // Opt-in warehouse bench (SPARK_GRAFT_BENCH_WAREHOUSE=<root>):
     // staged artifacts persist as versioned TableFormat tables under
     // the given root. Measures COLD resolution (build + parquet
@@ -33,30 +42,21 @@ object Bench {
     // path by construction (StageStoreSpec), so query hashes are
     // unchanged. The driver never sets the env, so driver benches
     // keep the session-lifetime checkpoint default.
-    val stagedColdWarm = sys.env.get("SPARK_GRAFT_BENCH_WAREHOUSE").map { root =>
-      import graft.queries.{StageStore, Stages}
-      StageStore.setForTesting(sfDir, root)
-      // the single registry each stage object contributes to — a new
-      // persistable artifact is covered here (and in StageStoreSpec)
-      // without touching Bench
-      def resolveAll(): Unit =
-        Stages.persistableArtifacts.foreach { case (_, build) =>
-          build(spark, sfDir).count()
-        }
-      def timed(f: => Unit): Double =
-        { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-      val cold = timed(resolveAll())
-      val afterCold = Stages.stagedSecondsTotal
-      // drop the memos — exactly the state a new driver JVM starts
-      // without — so the second resolve measures the store read path
-      Stages.clearAllForTesting()
-      val warm = timed(resolveAll())
-      // the warm resolve accrues into the stage adders too; subtract
-      // it from the reported staged_sec so that field keeps meaning
-      // "one-time cost paid this session" in both bench modes
-      val warmAccrued = Stages.stagedSecondsTotal - afterCold
-      (cold, warm, warmAccrued)
+    import graft.queries.{StageStore, Stages}
+    val prewarmWall = sys.env.get("SPARK_GRAFT_BENCH_WAREHOUSE") match {
+      case Some(root) =>
+        StageStore.setForTesting(sfDir, root)
+        val cold = Stages.resolveAllConcurrently(spark, sfDir)
+        // drop the memos — exactly the state a new driver JVM starts
+        // without — so the second resolve measures the store read path
+        Stages.clearAllForTesting()
+        val warm = Stages.resolveAllConcurrently(spark, sfDir)
+        println(f"""[bench] warehouse staged: cold=$cold%.3fs warm=$warm%.3fs""")
+        cold
+      case None =>
+        Stages.resolveAllConcurrently(spark, sfDir)
     }
+    val adderAfterPrewarm = Stages.stagedSecondsTotal
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated name filter for per-query iteration
     // (the driver never sets it, so driver benches stay full-suite)
@@ -65,23 +65,46 @@ object Bench {
     // a failed query must be LOUD, not a short time-to-exception that
     // SHRINKS the total (a regression would read as a speedup — the
     // round-5 failure mode in the other entry point): failures are
-    // collected, emitted in the JSON tail, and fail the run
+    // collected, emitted in the JSON tail, and fail the run. A failed
+    // rep's time never enters the stats (it would fake a tiny min).
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Reps are INTERLEAVED round-robin across queries (rep-1 sweep of
+    // everything, then rep-2, then rep-3), NOT back-to-back per query:
+    // min-of-3 then samples three time windows a full sweep apart, so
+    // one sustained cross-tenant contention spike (this box's
+    // documented failure mode) can inflate at most one rep of any
+    // query instead of poisoning all three reps of a contiguous
+    // alphabetical block — the BENCH_r06 artifact failure (four
+    // adjacent queries recorded 3–16× their re-measured cost).
+    val times = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.ArrayBuffer[Double]]
+    for (rep <- 1 to reps; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
           failed += name
+          false
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val median =
-        if (times.size % 2 == 1) times(times.size / 2)
-        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      (name, times.head, median)
+      if (ok) times.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) += (System.nanoTime() - t0) / 1e9
+    }
+    // per-query (min, median, spread=max/min) over SUCCESSFUL reps;
+    // a query with zero successful reps reports the -1 sentinel (and
+    // the run exits 1 via `failed` regardless)
+    val results = names.map { case (name, _) =>
+      val ts = times.getOrElse(name,
+        scala.collection.mutable.ArrayBuffer.empty[Double]).sorted.toIndexedSeq
+      if (ts.isEmpty) (name, -1.0, -1.0, -1.0)
+      else {
+        val median =
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        (name, ts.head, median, ts.last / math.max(ts.head, 1e-9))
+      }
     }
     def r3(x: Double): String =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -89,26 +112,38 @@ object Bench {
     // LAST 2000 chars of this line (BENCH_r03 lost the min total to
     // front-truncation), so the map is kept compact and every headline
     // scalar sits AFTER it — `value` dead last, guaranteed in-tail
-    val qs = results.map { case (k, mn, _) => s"\"" + k + "\":" + r3(mn) }
+    val qs = results.map { case (k, mn, _, _) => s"\"" + k + "\":" + r3(mn) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
     // median alongside min: run-to-run variance on this box exceeds
     // any plausible regression, so regressions are judged on min and
     // sanity-checked against median
-    val medianTotal = results.map(_._3).sum
-    // staged-artifact build time (DedupStage mining + LmStage
-    // scoring): paid once per session, so min-of-reps drops it from
-    // every query — report it separately instead of hiding it
-    val staged = graft.queries.Stages.stagedSecondsTotal -
-      stagedColdWarm.map(_._3).getOrElse(0.0)
-    val warehouseFields = stagedColdWarm
-      .map { case (c, w, _) => s""""staged_cold_sec":${r3(c)},"staged_warm_sec":${r3(w)},""" }
-      .getOrElse("")
+    val medianTotal = ok.map(_._3).sum
+    // spread diagnostics: a clean run has near-empty outliers; a
+    // contention-poisoned run names its own victims (spread ≥ 2 means
+    // the min and max rep disagree 2×+ — noise, not code). Capped to
+    // the worst 12 so the guaranteed-archived tail stays compact.
+    val spreadMax = if (ok.isEmpty) 0.0 else ok.map(_._4).max
+    val outliers = ok.filter(_._4 >= 2.0).sortBy(-_._4).take(12)
+    val spreadField =
+      if (outliers.isEmpty) ""
+      else outliers.map { case (k, _, _, sp) => s"\"" + k + "\":" + r3(sp) }
+        .mkString("\"spread_outliers\":{", ",", "},")
+    // staged-artifact cost: wall seconds this session paid (concurrent
+    // prewarm wall + lazy session-layout builds during the reps), with
+    // per-stage adder attribution so a regression names its stage
+    val residual = Stages.stagedSecondsTotal - adderAfterPrewarm
+    val staged = prewarmWall + residual
+    val perStage = Stages.stagedSecondsByStage
+      .map { case (n, s) => s""""staged_${n}_sec":${r3(s)}""" }.mkString(",")
     // errors sit in the guaranteed-archived tail, right before value
     val errField =
       if (failed.isEmpty) ""
       else s""""errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min",$warehouseFields"staged_sec":${r3(staged)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
+    val tablesField = tableCounts
+      .map { case (n, c) => s"\"" + n + "\":" + c }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","interleaved":true,"events_ts":"$eventsTsKind","tables":$tablesField,$perStage,"staged_sec":${r3(staged)},$spreadField"spread_max":${r3(spreadMax)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

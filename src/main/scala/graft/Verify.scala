@@ -51,6 +51,19 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // Regeneration tripwire (round-5 postmortem): stamp the observed
+    // events.ts parquet encoding + per-table row counts beside the
+    // dump, and print them, so a driver-side testdata regeneration is
+    // visible in the round artifacts (tools/round_start_check.py
+    // compares the CORRECTNESS key set round-over-round).
+    val meta = {
+      val counts = graft.io.Tables.names
+        .map(n => s"${q(n)}: ${graft.io.Tables.table(spark, sfDir, n).count()}")
+        .mkString("{", ",", "}")
+      s"""{"events_ts": ${q(graft.io.Tables.eventsTsKind(spark, sfDir))}, "tables": $counts}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/_meta.json"), meta)
+    System.err.println(s"[verify] snapshot meta: $meta")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(

@@ -188,7 +188,16 @@ object Sources {
             a.getField("id").as("artist_id"),
             a.getField("name").as("artist_name"))).as("artists"),
         lit(source).as("source"),
-        (col("batch_id") * batchSize + col("pos0") + 1).cast("int").as("position"))
+        // order-key guard: the formula assumes ≤ batchSize tracks per
+        // response — an over-full response would silently collide its
+        // tail with the next batch's positions (re-introducing the W2
+        // rank nondeterminism this key exists to prevent), so fail
+        // loudly instead
+        when(col("pos0") >= lit(batchSize), raise_error(concat(
+            lit(s"response batch carries more than $batchSize tracks (pos0="),
+            col("pos0"), lit(")"))))
+          .otherwise(col("batch_id") * batchSize + col("pos0") + 1)
+          .cast("int").as("position"))
   }
 
   /** S6 (reference `etl_pipeline.py:448-484`): Apple Music song-page

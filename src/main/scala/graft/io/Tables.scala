@@ -34,6 +34,16 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Regeneration tripwire (round-5 postmortem): the observed on-disk
+    * encoding of `events.ts` for this snapshot, as a stable label.
+    * Bench and Verify stamp it into their JSON tails so a driver-side
+    * testdata regeneration that flips the encoding is visible in the
+    * round artifacts instead of silently changing 28 queries. */
+  def eventsTsKind(spark: SparkSession, sfDir: String): String = {
+    val (df, nanos) = rawEvents(spark, sfDir)
+    if (nanos) "int64_nanos" else df.schema("ts").dataType.typeName
+  }
+
   /** events scan + whether `ts` arrived as a raw nanos long.
     *
     * The testdata generator has shipped `events.ts` under two parquet

@@ -109,4 +109,82 @@ object Multimodal {
         }
       }
   }
+
+  /** pHash-style perceptual fingerprint per asset: a fixed-width bit
+    * signature where bit p says "grid cell p is brighter than the
+    * asset overall" — the classic perceptual-hash recipe (resize to a
+    * fixed grid, threshold each cell against the whole image) over
+    * this module's chunk features instead of DCT coefficients (no
+    * codecs in this container; a real pipeline swaps
+    * [[frameFeatures]]' internals for decoded pixels and this
+    * operator is unchanged).
+    *
+    * Composition: [[frameSample]] (stride 1 — every chunk) →
+    * [[frameFeatures]] (per-chunk byte means) → fixed `bits`-cell
+    * grid via `pos = frame_idx·bits div n_chunks` (the "resize": any
+    * media length lands on the same grid width) → one bit per cell.
+    * The threshold compare is EXACT INTEGER arithmetic: per-chunk
+    * byte sums are recovered from the feature means
+    * (`round(mean·len)` — the mean is one integer sum divided once,
+    * so the product round-trips exactly), and
+    * "cell mean > asset mean" is cross-multiplied
+    * (`s_p·C > S·c_p`), never a float division — which is what lets
+    * DuckDB replay the hash bit-for-bit as the oracle.
+    *
+    * Scale: media bytes never shuffle (features are map-side); what
+    * aggregates is (asset_id, pos, two longs). Output:
+    * (asset_id, phash: long). */
+  def perceptualHash(assets: DataFrame, chunkSize: Int = 16, bits: Int = 32): DataFrame = {
+    val feats = frameFeatures(frameSample(assets, chunkSize, 1)).toDF()
+    val lens = assets.select(col("asset_id"), length(col("media")).cast("long").as("blen"))
+    val chunked = feats.join(lens, "asset_id")
+      .withColumn("chunk_len",
+        least(lit(chunkSize), col("blen") - col("frame_idx") * chunkSize).cast("long"))
+      .withColumn("chunk_sum", round(col("mean_byte") * col("chunk_len")).cast("long"))
+      .withColumn("pos",
+        expr(s"cast(frame_idx * $bits div ((blen + ${chunkSize - 1}) div $chunkSize) as int)"))
+    val grid = chunked.groupBy("asset_id", "pos")
+      .agg(sum(col("chunk_sum")).as("s_p"), sum(col("chunk_len")).as("c_p"))
+    val totals = chunked.groupBy("asset_id")
+      .agg(sum(col("chunk_sum")).as("s"), sum(col("chunk_len")).as("c"))
+    grid.join(totals, "asset_id")
+      .withColumn("bit", (col("s_p") * col("c") > col("s") * col("c_p")).cast("long"))
+      .groupBy("asset_id")
+      .agg(sum(expr(s"shiftleft(bit, ${bits - 1} - pos)")).as("phash"))
+  }
+
+  /** Perceptual-hash near-duplicate pairs (image dedup): Hamming
+    * distance ≤ `maxHam` over [[perceptualHash]] signatures, found via
+    * banded LSH exactly like [[graft.text.TextOps.simhashNearPairs]] —
+    * split the signature into `bands` equal bit-bands; pigeonhole
+    * guarantees any pair within Hamming `bands − 1` shares a band, so
+    * candidate generation is EXACT for `maxHam < bands` and the
+    * per-pair `bit_count(xor)` verify touches candidates only, never
+    * n². Ties the multimodal column into the dedup family: the same
+    * banded join that serves MinHash/SimHash text dedup serves image
+    * dedup once a fingerprint exists. */
+  def phashNearPairs(assets: DataFrame, chunkSize: Int = 16, bits: Int = 32,
+      bands: Int = 2, maxHam: Int = 1): DataFrame = {
+    require(maxHam < bands, s"pigeonhole recall needs maxHam < bands ($maxHam >= $bands)")
+    require(bits % bands == 0, s"bits must split evenly into bands ($bits % $bands)")
+    val bandBits = bits / bands
+    val ph = perceptualHash(assets, chunkSize, bits)
+    val banded = ph.select(col("asset_id"), col("phash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(phash, ($bands - 1 - band) * $bandBits) % ${1L << bandBits}"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      // dedup before the verify (the measured FuzzyJoin/minhash
+      // ordering): the shuffle carries near-distinct pairs and the
+      // popcount runs once per pair, not once per shared band
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", expr("cast(bit_count(pa ^ pb) as int)"))
+      .where(col("hamming") <= maxHam)
+      .select("a", "b", "hamming")
+  }
 }

@@ -40,11 +40,22 @@ private[graft] object CheckpointBlocks {
     * Registering under a stable `site` key frees the PREVIOUS
     * registrant's blocks instead — a long-lived session (Bench's reps,
     * a notebook) holds at most one live set per call site rather than
-    * accumulating one per invocation. Contract: by the time a site is
-    * invoked again, its prior result has been consumed (re-executing a
-    * stale handle after that hits the truncated-lineage warning). */
+    * accumulating one per invocation.
+    *
+    * Contract: by the time a site is invoked again, its prior result
+    * has been consumed — SERIAL re-invocation per site. Concurrent
+    * executions of the same site (two threads/sessions racing the same
+    * query) are UNSUPPORTED: the second registration frees the first
+    * caller's still-live blocks, and because a local checkpoint's
+    * lineage is truncated, that caller fails unrecoverably instead of
+    * recomputing. Sites are scoped by applicationId so at least a
+    * different SESSION can never free this one's blocks; within one
+    * session the discipline is the caller's (Bench/Verify run queries
+    * serially; the staged-artifact prewarm fans out across DIFFERENT
+    * artifacts, never the same retire site). */
   def retire(site: String, df: DataFrame): DataFrame = {
-    lastPerSite.put(site, df).foreach(free)
+    val key = s"${df.sparkSession.sparkContext.applicationId}|$site"
+    lastPerSite.put(key, df).foreach(free)
     df
   }
 }

@@ -37,10 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** Pairs (a_id < b_id) with `levenshtein(a_str, b_str) <= 1`.
-    * Input needs columns `idCol` (unique id) and `strCol`. Output:
-    * (a_id, b_id, a_str, b_str, dist). */
-  def selfJoinDist1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  /** The deletion-neighborhood blocking index: one row per (id, str,
+    * variant key). A PER-SNAPSHOT derivation — like the shingle/band
+    * index, production materializes it once per corpus snapshot
+    * ([[graft.queries.DedupStage.customerNameIndex]] stages it) and
+    * every fuzzy join over that snapshot pays only join + verify. */
+  def deletionIndex(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val s = col(strCol)
     // deletion-1 neighborhood, pure column algebra (codegen'd builtin
     // lambdas, no UDF): s plus s-minus-char-i for every i
@@ -49,8 +51,19 @@ object FuzzyJoin {
       transform(sequence(lit(1), length(s)), i =>
         concat(s.substr(lit(1), i - lit(1)),
           s.substr(i + lit(1), length(s)))))
-    val blocked = df.select(col(idCol).as("bid"), s.as("bstr"),
+    df.select(col(idCol).as("bid"), s.as("bstr"),
       explode(variants).as("bkey"))
+  }
+
+  /** Pairs (a_id < b_id) with `levenshtein(a_str, b_str) <= 1`.
+    * Input needs columns `idCol` (unique id) and `strCol`. Output:
+    * (a_id, b_id, a_str, b_str, dist). */
+  def selfJoinDist1(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    selfJoinDist1FromIndex(deletionIndex(df, idCol, strCol))
+
+  /** The join + verify half, over an already-materialized
+    * [[deletionIndex]] frame (columns bid, bstr, bkey). */
+  def selfJoinDist1FromIndex(blocked: DataFrame): DataFrame =
     blocked.as("x")
       .join(blocked.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.bid") < col("y.bid"))
@@ -65,5 +78,4 @@ object FuzzyJoin {
       .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"),
         levenshtein(col("a_str"), col("b_str")).cast("int").as("dist"))
       .where(col("dist") <= 1)
-  }
 }

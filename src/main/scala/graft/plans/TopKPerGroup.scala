@@ -224,7 +224,11 @@ object TopKThroughWindowRule extends Rule[LogicalPlan] {
 object TopK {
   /** Idempotently installs the strategy + rewrite rule on a session
     * built without [[graft.functions.GraftExtensions]]. */
-  def install(spark: SparkSession): Unit = {
+  // synchronized: check-then-append on the experimental lists is a
+  // race under concurrent staged-artifact builds (Bench's prewarm
+  // fan-out) — two threads could both miss `contains` and register
+  // the strategy twice
+  def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(GraftStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ GraftStrategy
     if (!spark.experimental.extraOptimizations.contains(TopKThroughWindowRule))

@@ -153,6 +153,19 @@ object CorpusQueries {
     * the cluster table. The oracle recomputes BOTH labelings from
     * scratch (full + corpus-only recursive CTEs), so the hash gate
     * proves incremental == full-recompute. */
+  /** Opt-in per-step wall attribution (`GRAFT_PROFILE=1`): stderr
+    * lines for the eager steps of composite queries, so "which term
+    * dominates" is measured, not guessed. */
+  private def profiled[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_PROFILE")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[profile] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   def q_cc_incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val batch = docs.where(col("doc_id") % 4 === 0)
@@ -166,22 +179,28 @@ object CorpusQueries {
     val index = DedupStage.corpusSliceBandIndex(spark, dir)
     // the batch's shingle+minhash band rows feed BOTH the index probe
     // and the batch-intra self-join — compute them once
-    val batchBands = TextOps.lshBandRows(
-      batch, ShingleN, MinhashK, MinhashBands).localCheckpoint(true)
+    val batchBands = profiled("batch-bands") {
+      TextOps.lshBandRows(
+        batch, ShingleN, MinhashK, MinhashBands).localCheckpoint(true)
+    }
     val cross = TextOps.minhashDupAgainstIndexFromBands(
       index, batchBands, JaccardThreshold).select("a", "b")
     val intra = TextOps.minhashDupPairsFromBands(
       batchBands, JaccardThreshold).select("a", "b")
     val clusters = new graft.etl.CommitLogTable(spark)
-    clusters.overwrite("clusters", oldLabels)
+    profiled("seed-clusters") { clusters.overwrite("clusters", oldLabels) }
     // materialize the mined delta ONCE before the fold: foldInto walks
     // its pairs plan several times (empty-batch guard, contraction,
     // new-node derivation) and would re-run the pair mining each
     // time; the fold is eager (it commits the merged table), so both
     // in-query checkpoints are dead — and freed — once it returns
-    val delta = cross.unionByName(intra).localCheckpoint(true)
+    val delta = profiled("mine-delta") {
+      cross.unionByName(intra).localCheckpoint(true)
+    }
     graft.operators.CheckpointBlocks.free(batchBands)
-    graft.operators.Components.foldInto(clusters, "clusters", delta)
+    profiled("fold") {
+      graft.operators.Components.foldInto(clusters, "clusters", delta)
+    }
     graft.operators.CheckpointBlocks.free(delta)
     val merged = clusters.read("clusters")
     merged
@@ -258,6 +277,22 @@ object CorpusQueries {
       .orderBy(col("asset_id").asc)
   }
 
+  /** Perceptual-hash image dedup over the multimodal column
+    * ([[graft.multimodal.Multimodal.phashNearPairs]]): fixed-grid
+    * brightness fingerprint per asset, banded-LSH candidate join,
+    * exact Hamming verify. The media bytes are the documents' text
+    * encoded (the corpus fixture pattern of `q_multimodal_meta`); the
+    * oracle replays the integer-exact fingerprint and brute-forces
+    * the Hamming predicate — brute force equals the banded join
+    * because pigeonhole recall is exact for maxHam < bands. */
+  def q_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Tables.table(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("media"))
+    graft.multimodal.Multimodal.phashNearPairs(assets)
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
   private def annQueries(vecs: DataFrame): DataFrame =
     vecs.where(col("vec_id") % 100 === 0)
 
@@ -323,6 +358,7 @@ object CorpusQueries {
     "q_ann_lsh" -> (q_ann_lsh _),
     "q_ann_lsh_multiprobe" -> (q_ann_lsh_multiprobe _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
+    "q_phash_dedup" -> (q_phash_dedup _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_rank_fusion" -> (q_rank_fusion _),
   )
@@ -948,5 +984,30 @@ c AS (SELECT asset_id, byte_len, (byte_len + 63) // 64 AS n_chunks,
 SELECT asset_id, byte_len, n_chunks, header_b64,
   (n_chunks + 3) // 4 AS n_sampled
 FROM c ORDER BY asset_id ASC""",
+    // integer-exact pHash replay: per-byte explode → 32-cell grid by
+    // pos = chunk·32 div n_chunks → cross-multiplied threshold bit →
+    // packed signature; brute-force Hamming ≤ 1 equals the Spark
+    // side's banded join (pigeonhole recall is exact for maxHam <
+    // bands). documents.text is ASCII (checked per snapshot), so
+    // ord(substr(text, i, 1)) IS the media byte the Spark side means.
+    "q_phash_dedup" ->
+      """WITH m AS (SELECT doc_id AS asset_id, text,
+  octet_length(encode(text)) AS blen FROM documents),
+byt AS (SELECT asset_id, blen, (i - 1) // 16 AS frame_idx,
+  ord(substr(text, CAST(i AS INT), 1)) AS bv
+  FROM (SELECT asset_id, blen, text, unnest(range(1, blen + 1)) AS i FROM m)),
+ch AS (SELECT asset_id, frame_idx * 32 // ((blen + 15) // 16) AS pos, bv
+  FROM byt),
+grp AS (SELECT asset_id, pos, sum(bv) AS s_p, count(*) AS c_p
+  FROM ch GROUP BY 1, 2),
+tot AS (SELECT asset_id, sum(bv) AS s, count(*) AS c FROM ch GROUP BY 1),
+ph AS (SELECT g.asset_id,
+  sum((CASE WHEN g.s_p * t.c > t.s * g.c_p THEN 1 ELSE 0 END) << (31 - g.pos)) AS phash
+  FROM grp g JOIN tot t USING (asset_id) GROUP BY 1)
+SELECT x.asset_id AS a, y.asset_id AS b,
+  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+FROM ph x JOIN ph y ON x.asset_id < y.asset_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 1
+ORDER BY a ASC, b ASC""",
   )
 }

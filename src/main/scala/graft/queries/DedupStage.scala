@@ -108,11 +108,24 @@ object DedupStage {
         .localCheckpoint(true)
     }
 
+  /** The deletion-1 blocking index over customer names
+    * ([[graft.operators.FuzzyJoin.deletionIndex]]): per-snapshot, like
+    * the shingle index — the fuzzy self-join (`q_fuzzy_join`) then
+    * pays only candidate join + dedup + levenshtein verify instead of
+    * re-exploding len+1 variant rows per name on every call. */
+  def customerNameIndex(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "fuzzyCustomerIndex|d=1") {
+      graft.operators.FuzzyJoin.deletionIndex(
+        Tables.table(spark, dir, "customer"), "c_custkey", "c_name")
+        .localCheckpoint(true)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "dedup.components" -> (components _),
     "dedup.ccPriorLabels" -> (corpusSliceLabels _),
     "dedup.ccPriorIndex" -> (corpusSliceBandIndex _),
-    "dedup.prefixIndex" -> (prefixIndex _))
+    "dedup.prefixIndex" -> (prefixIndex _),
+    "dedup.fuzzyCustomerIndex" -> (customerNameIndex _))
 }

@@ -27,12 +27,15 @@ object PipelineQueries {
   private[queries] val ProjSeed = 99L
 
   /** Fuzzy self-join on customer names (edit distance ≤ 1) via
-    * deletion-neighborhood blocking ([[FuzzyJoin.selfJoinDist1]] —
-    * exact candidates, no n² product); the oracle brute-forces the
-    * same predicate. */
+    * deletion-neighborhood blocking — exact candidates, no n²
+    * product; the oracle brute-forces the same predicate. The
+    * blocking index is the staged per-snapshot artifact
+    * ([[DedupStage.customerNameIndex]]), so the query pays only the
+    * candidate join + dedup + levenshtein verify
+    * ([[FuzzyJoin.selfJoinDist1FromIndex]]). */
   def q_fuzzy_join(spark: SparkSession, dir: String): DataFrame =
-    FuzzyJoin.selfJoinDist1(
-      Tables.table(spark, dir, "customer"), "c_custkey", "c_name")
+    FuzzyJoin.selfJoinDist1FromIndex(
+      DedupStage.customerNameIndex(spark, dir))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
   /** Deterministic shuffle → 16 hash shards → greedy token-budget

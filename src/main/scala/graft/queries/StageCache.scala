@@ -62,6 +62,37 @@ private[graft] object Stages {
   def stagedSecondsTotal: Double =
     GraphStage.stagedSeconds + DedupStage.stagedSeconds + LmStage.stagedSeconds
 
+  /** Per-stage build-time attribution (adder sums — CPU-ish cost, not
+    * wall): Bench emits these as separate tail fields so a staged_sec
+    * regression names its stage instead of being one opaque scalar. */
+  def stagedSecondsByStage: Seq[(String, Double)] = Seq(
+    "graph" -> GraphStage.stagedSeconds,
+    "dedup" -> DedupStage.stagedSeconds,
+    "lm" -> LmStage.stagedSeconds)
+
+  /** Resolve every persistable artifact, fanning independent builds
+    * out over a bounded thread pool — they are independent Spark jobs,
+    * so on an idle 32-core box the wall cost is max-of-builds, not
+    * sum-of-builds. Same-artifact requests dedupe inside [[StageCache]]
+    * (memo cells), and a builder resolving a dependency just blocks on
+    * that cell. Returns wall seconds; a failed build rethrows (loud,
+    * never a silently-missing artifact). */
+  def resolveAllConcurrently(spark: SparkSession, dir: String): Double = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val t0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, persistableArtifacts.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = persistableArtifacts.map { case (_, build) =>
+        Future { build(spark, dir).count(): Unit }
+      }
+      fs.foreach(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def clearAllForTesting(): Unit = {
     GraphStage.clearForTesting()
     DedupStage.clearForTesting()
@@ -86,14 +117,24 @@ private[graft] object Stages {
   * snapshot is immutable, so in-process there is no invalidation
   * story beyond the session ending with its blocks.
   *
-  * CONTRACT for builders that depend on other artifacts: resolve the
-  * dependency BEFORE calling [[apply]] — `computeIfAbsent` is not
-  * reentrant, and a nested call on the same map throws a recursive-
-  * update error. Build times use a [[DoubleAdder]], so concurrent
-  * builds of different artifacts never lose an increment. */
+  * Concurrency: the map holds lazily-built CELLS, not values —
+  * `computeIfAbsent` only allocates a cell (O(1), no long bin lock),
+  * and the build runs under the cell's own monitor via `lazy val`.
+  * Two requests for the same artifact dedupe to one build; requests
+  * for DIFFERENT artifacts never contend (building inside
+  * `computeIfAbsent` would hold the bin lock for the whole build and
+  * can deadlock a concurrent fan-out — Bench prewarms all persistable
+  * artifacts from a Future pool). This also makes [[apply]] safely
+  * reentrant: a builder that resolves a dependency artifact mid-build
+  * just touches another cell. Build times use a [[DoubleAdder]], so
+  * concurrent builds of different artifacts never lose an
+  * increment. */
 private[graft] final class StageCache {
 
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private final class Cell(build: () => DataFrame) {
+    lazy val value: DataFrame = build()
+  }
+  private val cache = new ConcurrentHashMap[String, Cell]()
   private val secs = new DoubleAdder()
   private val builds = new LongAdder()
 
@@ -126,7 +167,7 @@ private[graft] final class StageCache {
       persistable: Boolean = true)(
       build: => DataFrame): DataFrame = {
     val key = s"${spark.sparkContext.applicationId}|$dir|$what"
-    cache.computeIfAbsent(key, _ => {
+    cache.computeIfAbsent(key, _ => new Cell(() => {
       val t0 = System.nanoTime()
       val resolved = StageStore.rootFor(dir).filter(_ => persistable) match {
         case None =>
@@ -150,6 +191,6 @@ private[graft] final class StageCache {
       }
       secs.add((System.nanoTime() - t0) / 1e9)
       resolved
-    })
+    })).value
   }
 }

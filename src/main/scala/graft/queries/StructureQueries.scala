@@ -245,7 +245,7 @@ object StructureQueries {
     val hist = deg0.groupBy(col("deg").as("d")).agg(count(lit(1)).as("cnt"))
     val kDf = hist.as("a").join(hist.as("b"), col("b.d") <= col("a.d"))
       .groupBy(col("a.d").as("d")).agg(sum(col("b.cnt")).as("cum"))
-      .crossJoin(deg0.agg(count(lit(1)).as("n")))
+      .crossJoin(broadcast(deg0.agg(count(lit(1)).as("n"))))
       .where(col("cum") >= expr(s"(n + ${KCorePctDenom - 1}) DIV $KCorePctDenom"))
       .agg(min(col("d")).as("k"))
     val kCp = kDf.localCheckpoint(true)

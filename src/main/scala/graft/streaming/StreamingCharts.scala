@@ -117,15 +117,34 @@ object StreamingCharts {
     * stream) would regress the state and permanently corrupt every
     * following streak; dropping it keeps the documented
     * "event-time order per key" contract enforced, not assumed. */
+  /** Dropped-late-row observability (the documented no-watermark
+    * tradeoff): dropping a late appearance protects streak state from
+    * corruption, but it means the streaming result can diverge from a
+    * batch recompute that WOULD count a legitimate backfill — so the
+    * drops must be countable, not silent. One Spark accumulator per
+    * application (registered driver-side, captured by the state
+    * closures, so executor increments aggregate cluster-wide). */
+  private val lateAccs = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.LongAccumulator]()
+  private def lateAcc(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    lateAccs.computeIfAbsent(spark.sparkContext.applicationId, _ =>
+      spark.sparkContext.longAccumulator("graft.streaming.droppedLateRows"))
+  /** Total appearances dropped as late by streak tracking in this
+    * application — monitoring reads this to tell "no backfills" from
+    * "backfills being discarded". */
+  def droppedLateRows(spark: SparkSession): Long = lateAcc(spark).value
+
   private def foldStreak(
       platform: String, entity: Long,
       prior: Option[StreakState],
-      rows: Seq[Appearance]): (Option[StreakState], Seq[Streak]) = {
+      rows: Seq[Appearance],
+      dropped: org.apache.spark.util.LongAccumulator): (Option[StreakState], Seq[Streak]) = {
     val sorted = rows.sortBy(_.date.toLocalDate.toEpochDay)
     val out = scala.collection.mutable.ArrayBuffer.empty[Streak]
     var cur = prior
     sorted.foreach { a =>
       val late = cur.exists(s => a.date.toLocalDate.isBefore(s.lastDate.toLocalDate))
+      if (late) dropped.add(1)
       if (!late) {
         val len = cur match {
           case Some(StreakState(last, n))
@@ -142,12 +161,14 @@ object StreamingCharts {
 
   def trackStreaks(appearances: Dataset[Appearance]): Dataset[Streak] = {
     import appearances.sparkSession.implicits._
+    // registered driver-side, captured by the closure below
+    val dropped = lateAcc(appearances.sparkSession)
     appearances
       .groupByKey(a => (a.platform, a.entity_id))
       .flatMapGroupsWithState[StreakState, Streak](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((platform, entity), rows, state: GroupState[StreakState]) =>
-          val (cur, out) = foldStreak(platform, entity, state.getOption, rows.toSeq)
+          val (cur, out) = foldStreak(platform, entity, state.getOption, rows.toSeq, dropped)
           cur.foreach(state.update)
           out.iterator
       }
@@ -161,7 +182,7 @@ object StreamingCharts {
     * checkpointing, bounded memory) — the API new stateful pipelines
     * should target. Parity with the flatMapGroupsWithState form is
     * spec-enforced. */
-  class StreakProcessor
+  class StreakProcessor(dropped: org.apache.spark.util.LongAccumulator)
       extends org.apache.spark.sql.streaming.StatefulProcessor[(String, Long), Appearance, Streak] {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
@@ -178,7 +199,7 @@ object StreamingCharts {
         key: (String, Long),
         rows: Iterator[Appearance],
         timerValues: TimerValues): Iterator[Streak] = {
-      val (cur, out) = foldStreak(key._1, key._2, Option(state.get()), rows.toSeq)
+      val (cur, out) = foldStreak(key._1, key._2, Option(state.get()), rows.toSeq, dropped)
       cur.foreach(state.update)
       out.iterator
     }
@@ -189,7 +210,8 @@ object StreamingCharts {
     import org.apache.spark.sql.streaming.TimeMode
     appearances
       .groupByKey(a => (a.platform, a.entity_id))
-      .transformWithState(new StreakProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new StreakProcessor(lateAcc(appearances.sparkSession)),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** End-to-end micro-batch sink: rank the completed days of each
@@ -242,7 +264,13 @@ object StreamingCharts {
     }
     /** Batch-id-keyed append: a replayed micro-batch (at-least-once
       * foreachBatch) commits nothing — models the txn-ish sink a
-      * deployment implements with a (batchId → committed) ledger. */
+      * deployment implements with a (batchId → committed) ledger.
+      * NB this in-memory Set only deduplicates SAME-JVM replays: a
+      * crash between sink write and checkpoint commit followed by a
+      * driver restart loses the ledger and duplicates anyway. A real
+      * deployment must persist (batchId → committed) transactionally
+      * WITH the data (one parquet commit, one DB txn) — this class is
+      * a test double for the shape, not that guarantee. */
     def appendOnce(batchId: Long, df: DataFrame): Unit = synchronized {
       if (committed.add(batchId)) rows = rows ++ df.collect().toSeq
     }

@@ -58,4 +58,47 @@ class MultimodalSpec extends SparkSpec {
     assert(tail.forall(c => c.entropy === 0.0 && c.mean_byte === 0x42.toDouble))
     assert(f(1L).find(_.frame_idx == 0).get.entropy > 0.0)
   }
+
+  // a deterministic pseudo-image: bright/dark stripes over the byte
+  // range, so grid cells genuinely differ from the asset mean
+  private def striped(seed: Int, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => (((i / 7 + seed) * 37) % 251).toByte)
+
+  test("perceptual hash: identical media hash equal, a flipped region flips bits, grid width is fixed") {
+    val media = Seq(
+      (1L, striped(0, 400)),
+      (2L, striped(0, 400)), // exact duplicate of 1
+      (3L, striped(9, 400)), // different striping
+      (4L, striped(0, 123))) // different length — still a 32-cell grid
+      .toDF("asset_id", "media")
+    val ph = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) === ph(2L))
+    assert(ph(1L) !== ph(3L))
+    // 32-bit signature regardless of media length
+    assert(ph.values.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
+  test("phash near-pairs: banded join finds the duplicate pair, Hamming verify bounds distance") {
+    val media = (Seq(
+      (1L, striped(0, 400)),
+      (2L, striped(0, 400)),
+      (3L, striped(9, 400)),
+      (4L, striped(23, 380)),
+      (5L, striped(40, 390))))
+      .toDF("asset_id", "media")
+    val pairs = Multimodal.phashNearPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 1 })
+    // pigeonhole exactness: the banded candidates + verify equal the
+    // brute-force predicate over the hashes
+    val ph = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- ph.keys.toSeq; b <- ph.keys.toSeq if a < b
+      if java.lang.Long.bitCount(ph(a) ^ ph(b)) <= 1
+    } yield (a, b, java.lang.Long.bitCount(ph(a) ^ ph(b)))
+    assert(pairs.toSet === brute.toSet)
+  }
 }

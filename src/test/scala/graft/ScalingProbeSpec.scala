@@ -20,6 +20,7 @@ class ScalingProbeSpec extends SparkSpec {
     "q_kcore", // histogram threshold + delta-peel rounds
     "q_pagerank", // iterative integer mass
     "q_cc_incremental", // daily fold: index probe + batch mining + delta CC
+    "q_phash_dedup", // perceptual-hash banded join + Hamming verify
     "q_split_dedup_aware") // components consumer over the staged artifact
 
   private val small = "/root/testdata/sf0.01"
@@ -61,7 +62,9 @@ class ScalingProbeSpec extends SparkSpec {
       buildProbe("cc-prior build")(dir =>
         graft.queries.DedupStage.corpusSliceLabels(spark, dir).count()),
       buildProbe("lm-stage build")(dir =>
-        graft.queries.LmStage.bigramCounts(spark, dir).count())).flatten
+        graft.queries.LmStage.bigramCounts(spark, dir).count()),
+      buildProbe("fuzzy-index build")(dir =>
+        graft.queries.DedupStage.customerNameIndex(spark, dir).count())).flatten
     val failures = stageFailures ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
