@@ -70,7 +70,16 @@ object Components {
           labels.select(col("node").as("label"), col("label").as("jump_label")),
           Seq("label"))
         .select(col("node"), col("jump_label"))
-      val updated = labels
+      // the convergence check rides the checkpoint job as an observed
+      // metric (CollectMetrics accumulator, gathered while the round
+      // materializes) instead of a second isEmpty action — one Spark
+      // job per round, not two; for a tiny contracted delta graph
+      // (Components.incremental) the per-job overhead IS the cost.
+      // observedMetrics is read defensively: if the metric didn't
+      // surface (plumbing change in a future Spark), fall back to the
+      // explicit action rather than mis-detecting convergence.
+      val tag = s"cc_changed_$iters"
+      val observed = labels
         .join(nbrMin, Seq("node"), "left")
         .join(jump, Seq("node"), "left")
         .select(
@@ -80,8 +89,11 @@ object Components {
             coalesce(col("nbr_min"), col("label")),
             coalesce(col("jump_label"), col("label"))).as("new_label"),
           col("label"))
-        .localCheckpoint(true)
-      converged = updated.where(col("new_label") < col("label")).isEmpty
+        .observe(tag, count(when(col("new_label") < col("label"), lit(1))).as("n"))
+      val updated = observed.localCheckpoint(true)
+      converged = observed.queryExecution.observedMetrics.get(tag)
+        .map(_.getLong(0) == 0L)
+        .getOrElse(updated.where(col("new_label") < col("label")).isEmpty)
       spent ::= labels
       labels = updated.select(col("node"), col("new_label").as("label"))
       iters += 1

@@ -37,9 +37,13 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** The deletion-neighborhood blocking index: one row per (id, str,
-    * variant key). A PER-SNAPSHOT derivation — like the shingle/band
-    * index, production materializes it once per corpus snapshot
+  /** The deletion-neighborhood blocking index: one (id, variant key)
+    * row per deletion variant — deliberately WITHOUT the string
+    * payload, so the candidate join and the pair-dedup exchange
+    * shuffle two ids and a short key, nothing else; strings re-attach
+    * in [[selfJoinDist1FromIndex]] only for the rows that reach the
+    * verify. A PER-SNAPSHOT derivation — like the shingle/band index,
+    * production materializes it once per corpus snapshot
     * ([[graft.queries.DedupStage.customerNameIndex]] stages it) and
     * every fuzzy join over that snapshot pays only join + verify. */
   def deletionIndex(df: DataFrame, idCol: String, strCol: String): DataFrame = {
@@ -51,31 +55,44 @@ object FuzzyJoin {
       transform(sequence(lit(1), length(s)), i =>
         concat(s.substr(lit(1), i - lit(1)),
           s.substr(i + lit(1), length(s)))))
-    df.select(col(idCol).as("bid"), s.as("bstr"),
-      explode(variants).as("bkey"))
+    df.select(col(idCol).as("bid"), explode(variants).as("bkey"))
   }
 
   /** Pairs (a_id < b_id) with `levenshtein(a_str, b_str) <= 1`.
     * Input needs columns `idCol` (unique id) and `strCol`. Output:
     * (a_id, b_id, a_str, b_str, dist). */
   def selfJoinDist1(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    selfJoinDist1FromIndex(deletionIndex(df, idCol, strCol))
+    selfJoinDist1FromIndex(
+      deletionIndex(df, idCol, strCol),
+      df.select(col(idCol).as("bid"), col(strCol).as("bstr")))
 
   /** The join + verify half, over an already-materialized
-    * [[deletionIndex]] frame (columns bid, bstr, bkey). */
-  def selfJoinDist1FromIndex(blocked: DataFrame): DataFrame =
-    blocked.as("x")
-      .join(blocked.as("y"),
+    * [[deletionIndex]] frame (columns bid, bkey) plus the id→string
+    * side table (columns bid, bstr).
+    *
+    * Stage order is deliberate and MEASURED (sf0.1, structured
+    * "Customer#…" names): (1) candidates as an ids-only equi-join on
+    * the variant key; (2) `dropDuplicates` on the id pair — this
+    * exchange is doing double duty: it removes multi-key duplicates
+    * (few) and, critically, REBALANCES the skewed join output (a hot
+    * variant key emits its pairs in ONE task; running levenshtein
+    * there serializes the whole block — verify-inside-the-join-stage
+    * measured 7.0 s vs 1.5 s for this shape); (3) strings re-attach
+    * by id (AQE broadcasts a small side table; at scale these are
+    * shuffle joins of the pair set, still balanced); (4) the verify
+    * runs once per distinct pair on hash-balanced partitions. */
+  def selfJoinDist1FromIndex(blocked: DataFrame, names: DataFrame): DataFrame = {
+    val keys = blocked.select(col("bid"), col("bkey"))
+    val cand = keys.as("x")
+      .join(keys.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.bid") < col("y.bid"))
-      .select(col("x.bid").as("a_id"), col("y.bid").as("b_id"),
-        col("x.bstr").as("a_str"), col("y.bstr").as("b_str"))
-      // dedup BEFORE the levenshtein verify, not after: dropDuplicates
-      // partial-aggregates map-side (the shuffle carries near-distinct
-      // pairs, not the candidate multiset) and the verify then runs
-      // once per distinct pair instead of once per shared-variant
-      // occurrence — measured 2.1× faster than verify-first at sf0.1
+      .select(col("x.bid").as("a_id"), col("y.bid").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    cand
+      .join(names.select(col("bid").as("a_id"), col("bstr").as("a_str")), "a_id")
+      .join(names.select(col("bid").as("b_id"), col("bstr").as("b_str")), "b_id")
       .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"),
         levenshtein(col("a_str"), col("b_str")).cast("int").as("dist"))
       .where(col("dist") <= 1)
+  }
 }

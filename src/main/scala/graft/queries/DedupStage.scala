@@ -108,11 +108,12 @@ object DedupStage {
         .localCheckpoint(true)
     }
 
-  /** The deletion-1 blocking index over customer names
-    * ([[graft.operators.FuzzyJoin.deletionIndex]]): per-snapshot, like
-    * the shingle index — the fuzzy self-join (`q_fuzzy_join`) then
-    * pays only candidate join + dedup + levenshtein verify instead of
-    * re-exploding len+1 variant rows per name on every call. */
+  /** The deletion-1 blocking KEY index over customer names
+    * ([[graft.operators.FuzzyJoin.deletionIndex]] — (id, variant key)
+    * rows, no string payload): per-snapshot, like the shingle index —
+    * the fuzzy self-join (`q_fuzzy_join`) then pays only candidate
+    * join + dedup + levenshtein verify instead of re-exploding len+1
+    * variant rows per name on every call. */
   def customerNameIndex(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, "fuzzyCustomerIndex|d=1") {
       graft.operators.FuzzyJoin.deletionIndex(

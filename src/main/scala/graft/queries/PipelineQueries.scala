@@ -35,7 +35,9 @@ object PipelineQueries {
     * ([[FuzzyJoin.selfJoinDist1FromIndex]]). */
   def q_fuzzy_join(spark: SparkSession, dir: String): DataFrame =
     FuzzyJoin.selfJoinDist1FromIndex(
-      DedupStage.customerNameIndex(spark, dir))
+      DedupStage.customerNameIndex(spark, dir),
+      Tables.table(spark, dir, "customer")
+        .select(col("c_custkey").as("bid"), col("c_name").as("bstr")))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
   /** Deterministic shuffle → 16 hash shards → greedy token-budget
