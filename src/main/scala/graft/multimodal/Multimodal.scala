@@ -166,25 +166,66 @@ object Multimodal {
   def phashNearPairs(assets: DataFrame, chunkSize: Int = 16, bits: Int = 32,
       bands: Int = 2, maxHam: Int = 1): DataFrame = {
     require(maxHam < bands, s"pigeonhole recall needs maxHam < bands ($maxHam >= $bands)")
+    phashNearPairsFromBands(phashBandRows(assets, chunkSize, bits, bands), maxHam)
+  }
+
+  /** Band rows over [[perceptualHash]] signatures — (asset_id, phash,
+    * band, bkey), one row per band of each signature. This is the
+    * PERSISTABLE index shape the incremental path probes: production
+    * materializes it once per asset-corpus snapshot
+    * ([[graft.queries.DedupStage.phashPriorIndex]]) and a daily batch
+    * joins its own band rows against it — image bytes, features, and
+    * hashes of the prior corpus are never recomputed. */
+  def phashBandRows(assets: DataFrame, chunkSize: Int = 16, bits: Int = 32,
+      bands: Int = 2): DataFrame = {
     require(bits % bands == 0, s"bits must split evenly into bands ($bits % $bands)")
     val bandBits = bits / bands
-    val ph = perceptualHash(assets, chunkSize, bits)
-    val banded = ph.select(col("asset_id"), col("phash"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+    perceptualHash(assets, chunkSize, bits)
+      .select(col("asset_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bkey",
         expr(s"shiftright(phash, ($bands - 1 - band) * $bandBits) % ${1L << bandBits}"))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.asset_id") < col("y.asset_id"))
-      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
-      // dedup before the verify (the measured FuzzyJoin/minhash
-      // ordering): the shuffle carries near-distinct pairs and the
-      // popcount runs once per pair, not once per shared band
+  }
+
+  /** Shared candidate→pair tail: dedup on the id pair BEFORE the
+    * popcount verify (the measured FuzzyJoin/minhash ordering — the
+    * exchange rebalances hot-band join output and the verify runs
+    * once per distinct pair, not once per shared band). */
+  private def verifiedPairs(cand: DataFrame, maxHam: Int): DataFrame =
+    cand
       .dropDuplicates("a", "b")
       .withColumn("hamming", expr("cast(bit_count(pa ^ pb) as int)"))
       .where(col("hamming") <= maxHam)
       .select("a", "b", "hamming")
-  }
+
+  /** Intra-set near-dup pairs over already-built band rows. */
+  def phashNearPairsFromBands(banded: DataFrame, maxHam: Int = 1): DataFrame =
+    verifiedPairs(
+      banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.asset_id") < col("y.asset_id"))
+        .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+          col("x.phash").as("pa"), col("y.phash").as("pb")),
+      maxHam)
+
+  /** Cross near-dup pairs between a persisted band index (the prior
+    * corpus) and a new batch's band rows — the daily incremental
+    * image-dedup probe. Candidates meet only on an equal (band, bkey),
+    * so the prior corpus never re-hashes and the join is bounded by
+    * true band collisions, never |prior|·|batch|. Output pairs are
+    * (least, greatest) id-ordered; `hamming` is symmetric, so side
+    * order doesn't matter to the verify. */
+  def phashNearPairsAgainstIndex(index: DataFrame, batchBands: DataFrame,
+      maxHam: Int = 1): DataFrame =
+    verifiedPairs(
+      index.as("x")
+        .join(batchBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.asset_id") =!= col("y.asset_id"))
+        .select(
+          least(col("x.asset_id"), col("y.asset_id")).as("a"),
+          greatest(col("x.asset_id"), col("y.asset_id")).as("b"),
+          col("x.phash").as("pa"), col("y.phash").as("pb")),
+      maxHam)
 }

@@ -293,6 +293,34 @@ object CorpusQueries {
       .orderBy(col("a").asc, col("b").asc)
   }
 
+  /** Incremental perceptual-hash image dedup — the daily shape of
+    * `q_phash_dedup`, mirroring `q_cc_incremental`'s text cadence:
+    * yesterday's assets carry a PERSISTED band index
+    * ([[DedupStage.phashPriorIndex]]); today's batch (doc_id % 4 = 0)
+    * hashes only itself, probes the index for cross pairs, and mines
+    * intra-batch pairs from the same band rows — prior-corpus media
+    * never re-decodes, re-features, or re-hashes. The oracle
+    * recomputes every hash from scratch and brute-forces Hamming ≤ 1
+    * over all pairs touching the batch, which equals probe+intra by
+    * pigeonhole (maxHam < bands) plus prior/batch disjointness. */
+  def q_phash_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.table(spark, dir, "documents")
+      .where(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("media"))
+    // the batch's band rows feed BOTH the index probe and the
+    // intra-batch join — compute them once; the checkpoint lives in
+    // the returned lazy plan, so it retires per call site
+    val batchBands = graft.operators.CheckpointBlocks.retire(
+      "q_phash_incremental.batchBands",
+      graft.multimodal.Multimodal.phashBandRows(batch).localCheckpoint(true))
+    val index = DedupStage.phashPriorIndex(spark, dir)
+    graft.multimodal.Multimodal.phashNearPairsAgainstIndex(index, batchBands)
+      .unionByName(
+        graft.multimodal.Multimodal.phashNearPairsFromBands(batchBands))
+      .orderBy(col("a").asc, col("b").asc)
+  }
+
   private def annQueries(vecs: DataFrame): DataFrame =
     vecs.where(col("vec_id") % 100 === 0)
 
@@ -359,6 +387,7 @@ object CorpusQueries {
     "q_ann_lsh_multiprobe" -> (q_ann_lsh_multiprobe _),
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_phash_dedup" -> (q_phash_dedup _),
+    "q_phash_incremental" -> (q_phash_incremental _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_rank_fusion" -> (q_rank_fusion _),
   )
@@ -1008,6 +1037,29 @@ SELECT x.asset_id AS a, y.asset_id AS b,
   CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
 FROM ph x JOIN ph y ON x.asset_id < y.asset_id
 WHERE bit_count(xor(x.phash, y.phash)) <= 1
+ORDER BY a ASC, b ASC""",
+    // incremental image dedup: same hash replay, brute force over all
+    // pairs with at least one side in today's batch (doc_id % 4 = 0)
+    // — equals index-probe + intra-batch by pigeonhole + disjointness
+    "q_phash_incremental" ->
+      """WITH m AS (SELECT doc_id AS asset_id, text,
+  octet_length(encode(text)) AS blen FROM documents),
+byt AS (SELECT asset_id, blen, (i - 1) // 16 AS frame_idx,
+  ord(substr(text, CAST(i AS INT), 1)) AS bv
+  FROM (SELECT asset_id, blen, text, unnest(range(1, blen + 1)) AS i FROM m)),
+ch AS (SELECT asset_id, frame_idx * 32 // ((blen + 15) // 16) AS pos, bv
+  FROM byt),
+grp AS (SELECT asset_id, pos, sum(bv) AS s_p, count(*) AS c_p
+  FROM ch GROUP BY 1, 2),
+tot AS (SELECT asset_id, sum(bv) AS s, count(*) AS c FROM ch GROUP BY 1),
+ph AS (SELECT g.asset_id,
+  sum((CASE WHEN g.s_p * t.c > t.s * g.c_p THEN 1 ELSE 0 END) << (31 - g.pos)) AS phash
+  FROM grp g JOIN tot t USING (asset_id) GROUP BY 1)
+SELECT x.asset_id AS a, y.asset_id AS b,
+  CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+FROM ph x JOIN ph y ON x.asset_id < y.asset_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 1
+  AND (x.asset_id % 4 = 0 OR y.asset_id % 4 = 0)
 ORDER BY a ASC, b ASC""",
   )
 }

@@ -121,6 +121,24 @@ object DedupStage {
         .localCheckpoint(true)
     }
 
+  /** Yesterday's perceptual-hash band index over the prior asset
+    * slice (doc_id % 4 ≠ 0, media = encoded text — the corpus fixture
+    * pattern): the persisted prior the daily incremental IMAGE dedup
+    * probes (`q_phash_incremental`), exactly as
+    * [[corpusSliceBandIndex]] is for text MinHash — prior-corpus
+    * bytes, features, and hashes never recompute; only band rows
+    * travel. */
+  def phashPriorIndex(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "phashPriorIndex|c=16|bits=32|bands=2") {
+      import org.apache.spark.sql.functions.encode
+      graft.multimodal.Multimodal.phashBandRows(
+        Tables.table(spark, dir, "documents")
+          .where(col("doc_id") % 4 =!= 0)
+          .select(col("doc_id").as("asset_id"),
+            encode(col("text"), "UTF-8").as("media")))
+        .localCheckpoint(true)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -128,5 +146,6 @@ object DedupStage {
     "dedup.ccPriorLabels" -> (corpusSliceLabels _),
     "dedup.ccPriorIndex" -> (corpusSliceBandIndex _),
     "dedup.prefixIndex" -> (prefixIndex _),
-    "dedup.fuzzyCustomerIndex" -> (customerNameIndex _))
+    "dedup.fuzzyCustomerIndex" -> (customerNameIndex _),
+    "dedup.phashPriorIndex" -> (phashPriorIndex _))
 }

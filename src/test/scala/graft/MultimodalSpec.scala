@@ -101,4 +101,24 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, java.lang.Long.bitCount(ph(a) ^ ph(b)))
     assert(pairs.toSet === brute.toSet)
   }
+
+  test("incremental phash: index probe + intra-batch equals the full join restricted to batch-touching pairs") {
+    // i % 4 selects the stripe pattern, so assets 4 apart are exact
+    // duplicates — e.g. {1,5,9} with 9 in the batch (9 % 3 == 0):
+    // cross pairs (1,9)/(5,9) and prior-only pair (1,5) both exist
+    val all = (1L to 12L).map(i => (i, striped((i % 4).toInt, 320)))
+    val media = all.toDF("asset_id", "media")
+    val prior = media.where($"asset_id" % 3 =!= 0)
+    val batch = media.where($"asset_id" % 3 === 0)
+    val idx = Multimodal.phashBandRows(prior)
+    val bb = Multimodal.phashBandRows(batch)
+    val got = Multimodal.phashNearPairsAgainstIndex(idx, bb)
+      .unionByName(Multimodal.phashNearPairsFromBands(bb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Multimodal.phashNearPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }.toSet
+    assert(got === full)
+    assert(got.nonEmpty) // the fixture plants at least one cross dup
+  }
 }
