@@ -69,8 +69,9 @@ object LmStage {
     * tokens: mean add-1-smoothed bigram log-probability under the
     * corpus LM (the log domain of perplexity). */
   def docScores(spark: SparkSession, dir: String): DataFrame = {
-    // resolve the dependency BEFORE the stage call — the cache's
-    // computeIfAbsent is not reentrant (StageCache contract)
+    // resolve the dependency BEFORE the stage call (historical
+    // contract; the memo-cell cache is reentrant now, but eager
+    // resolution keeps dependency order explicit)
     val cb = bigramCounts(spark, dir)
     stage(spark, dir, "docScores") {
       val docs = Tables.table(spark, dir, "documents")
@@ -95,9 +96,22 @@ object LmStage {
     }
   }
 
+  /** Per-(doc, bucket) hashed-bigram counts for DSIR importance
+    * resampling ([[SelectionQueries.dsirDocBucketCounts]]): one
+    * corpus bigram pass per snapshot, read twice by `q_dsir` (bucket
+    * model + scoring) and by any other target distribution sharing
+    * the bucket space. */
+  def dsirDocBuckets(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir,
+      s"dsirBuckets|B=${SelectionQueries.DsirBuckets}" +
+        s"|t=${SelectionQueries.DsirTargetSource}") {
+      SelectionQueries.dsirDocBucketCounts(spark, dir).localCheckpoint(true)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "lm.bigramCounts" -> (bigramCounts _),
-    "lm.docScores" -> (docScores _))
+    "lm.docScores" -> (docScores _),
+    "lm.dsirDocBuckets" -> (dsirDocBuckets _))
 }

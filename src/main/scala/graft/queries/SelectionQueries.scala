@@ -24,9 +24,9 @@ object SelectionQueries {
 
   private val ChunkLen = 8
   private val BoilerMinDocs = 2
-  private val DsirBuckets = 256
+  private[queries] val DsirBuckets = 256
   private val DsirTopK = 50
-  private val DsirTargetSource = "src0"
+  private[queries] val DsirTargetSource = "src0"
 
   /** Boilerplate removal: split every document into fixed
     * `ChunkLen`-token chunks, hash each chunk, and drop chunks whose
@@ -81,10 +81,16 @@ object SelectionQueries {
     * broadcast); scoring is one broadcast equi-join + a doc-keyed
     * aggregation; the final top-k is TakeOrderedAndProject. No
     * corpus-sized sort, no float accumulation. */
-  def q_dsir(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus pass of [[q_dsir]]: per-(doc, bucket) hashed-bigram
+    * counts plus the target flag — a per-snapshot derivation (only
+    * `DsirBuckets` and the target source parameterize it), staged as
+    * [[LmStage.dsirDocBuckets]] because the query's plan reads it
+    * TWICE (bucket model + scoring): unstaged, the bigram explode and
+    * its aggregation executed twice per call. */
+  private[queries] def dsirDocBucketCounts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-    val bigrams = docs
+    docs
       .select(col("doc_id"), (col("source") === DsirTargetSource).as("is_target"),
         explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -92,8 +98,12 @@ object SelectionQueries {
           (a, b) => concat(a, lit(" "), b))).as("bg"))
       .select(col("doc_id"), col("is_target"),
         (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % DsirBuckets).as("bucket"))
-    val docBucket = bigrams.groupBy("doc_id", "is_target", "bucket")
+      .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  def q_dsir(spark: SparkSession, dir: String): DataFrame = {
+    val docBucket = LmStage.dsirDocBuckets(spark, dir)
     val bucketTotals = docBucket.groupBy("bucket")
       .agg(
         sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t_b"),
