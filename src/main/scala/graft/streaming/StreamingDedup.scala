@@ -46,6 +46,32 @@ object StreamingDedup {
         sink(TextOps.minhashDupAgainstIndex(index, batch, n, k, bands, threshold), id)
       }
 
+  /** Streaming IMAGE dedup — the multimodal twin of
+    * [[dupsAgainstIndex]]: assets arrive as an (asset_id, media)
+    * stream, the prior corpus's perceptual-hash band index
+    * ([[graft.multimodal.Multimodal.phashBandRows]], staged per
+    * snapshot as `DedupStage.phashPriorIndex`) is STATIC, and each
+    * micro-batch fingerprints only itself (map-side features →
+    * integer grid bits) and probes the index on equal (band, bkey)
+    * with a popcount verify. Stateless stream-static ops — all heavy
+    * state is the index, so batch splits cannot change results;
+    * intra-batch mining belongs to the daily job
+    * (`q_phash_incremental`), and the emitted pairs compose into
+    * [[clusterMaintenance]] exactly like text pairs. */
+  def phashDupsAgainstIndex(
+      assets: DataFrame,
+      index: DataFrame,
+      chunkSize: Int = 16, bits: Int = 32, bands: Int = 2, maxHam: Int = 1)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    assets.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.multimodal.Multimodal.phashNearPairsAgainstIndex(
+          index,
+          graft.multimodal.Multimodal.phashBandRows(batch, chunkSize, bits, bands),
+          maxHam), id)
+      }
+
   /** LIVE dedup-cluster table: a stream of near-dup pairs folds into
     * a components labeling maintained through the [[TableFormat]]
     * seam — each micro-batch reads the current labeling, applies

@@ -247,6 +247,36 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("streaming phash image dedup vs static index is batch-split invariant and equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    def assets(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id".as("asset_id"), encode($"text", "UTF-8").as("media"))
+    val index = graft.multimodal.Multimodal.phashBandRows(
+      assets(docs.where($"doc_id" % 4 =!= 0)))
+    val arrivingRows = assets(docs.where($"doc_id" % 4 === 0))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val expected = graft.multimodal.Multimodal.phashNearPairsAgainstIndex(
+        index, graft.multimodal.Multimodal.phashBandRows(
+          assets(docs.where($"doc_id" % 4 === 0))))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val results = scala.collection.mutable.Set[(Long, Long, Int)]()
+    val q = graft.streaming.StreamingDedup.phashDupsAgainstIndex(
+      in.toDF().toDF("asset_id", "media"), index) { (dups, _) =>
+      results ++= dups.as[(Long, Long, Int)].collect()
+    }.start()
+    // two micro-batches: the split must not change results (all heavy
+    // state is the static index; the probe is stateless)
+    val (first, second) = arrivingRows.splitAt(arrivingRows.size / 2)
+    in.addData(first); q.processAllAvailable()
+    in.addData(second); q.processAllAvailable()
+    q.stop()
+    assert(results.toSet == expected)
+  }
+
   test("streaming cluster maintenance through TableFormat equals a from-scratch components run") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
