@@ -321,6 +321,25 @@ object CorpusQueries {
       .orderBy(col("a").asc, col("b").asc)
   }
 
+  /** Distributed BPE merge training ([[graft.text.Bpe.trainMerges]],
+    * staged per snapshot as [[LmStage.bpeMerges]]): the tokenizer-
+    * training primitive — vocab-bounded pair counting, argmax with a
+    * fixed tie-break, greedy merge. The oracle replays training as an
+    * unrolled MATERIALIZED-CTE chain, so the hash gate proves the
+    * distributed trainer == the sequential definition. */
+  def q_bpe_merges(spark: SparkSession, dir: String): DataFrame =
+    LmStage.bpeMerges(spark, dir).orderBy(col("merge_idx").asc)
+
+  /** Tokenize-with-the-shipped-tokenizer: apply the staged merge list
+    * to every document ([[graft.text.Bpe.segmentCounts]] — map-only
+    * narrow replaces) and count words/tokens per doc. */
+  def q_bpe_segment(spark: SparkSession, dir: String): DataFrame = {
+    val merges = LmStage.bpeMerges(spark, dir).orderBy(col("merge_idx").asc)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.text.Bpe.segmentCounts(Tables.table(spark, dir, "documents"), merges)
+      .orderBy(col("doc_id").asc)
+  }
+
   private def annQueries(vecs: DataFrame): DataFrame =
     vecs.where(col("vec_id") % 100 === 0)
 
@@ -388,6 +407,8 @@ object CorpusQueries {
     "q_multimodal_meta" -> (q_multimodal_meta _),
     "q_phash_dedup" -> (q_phash_dedup _),
     "q_phash_incremental" -> (q_phash_incremental _),
+    "q_bpe_merges" -> (q_bpe_merges _),
+    "q_bpe_segment" -> (q_bpe_segment _),
     "q_ann_ivf" -> (q_ann_ivf _),
     "q_rank_fusion" -> (q_rank_fusion _),
   )
@@ -1061,5 +1082,9 @@ FROM ph x JOIN ph y ON x.asset_id < y.asset_id
 WHERE bit_count(xor(x.phash, y.phash)) <= 1
   AND (x.asset_id % 4 = 0 OR y.asset_id % 4 = 0)
 ORDER BY a ASC, b ASC""",
+    // generated unrolled-CTE replays of BPE training / application
+    // (MATERIALIZED is load-bearing — see Bpe.bpeOracleSql)
+    "q_bpe_merges" -> graft.text.Bpe.bpeOracleSql(graft.text.Bpe.DefaultRounds),
+    "q_bpe_segment" -> graft.text.Bpe.segmentOracleSql(graft.text.Bpe.DefaultRounds),
   )
 }

@@ -108,10 +108,23 @@ object LmStage {
       SelectionQueries.dsirDocBucketCounts(spark, dir).localCheckpoint(true)
     }
 
+  /** The trained BPE merge table ([[graft.text.Bpe.trainMerges]]):
+    * a tokenizer trains ONCE per corpus snapshot and everything
+    * downstream applies it — the canonical staged artifact. The
+    * value is `rounds` driver-side rows (the distributed training's
+    * scalar summary), so no checkpoint is needed; the stage seam
+    * still gives memoization + warehouse persistence. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, s"bpeMerges|R=${graft.text.Bpe.DefaultRounds}") {
+      graft.text.Bpe.trainMerges(
+        Tables.table(spark, dir, "documents"), graft.text.Bpe.DefaultRounds)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "lm.bigramCounts" -> (bigramCounts _),
     "lm.docScores" -> (docScores _),
-    "lm.dsirDocBuckets" -> (dsirDocBuckets _))
+    "lm.dsirDocBuckets" -> (dsirDocBuckets _),
+    "lm.bpeMerges" -> (bpeMerges _))
 }
