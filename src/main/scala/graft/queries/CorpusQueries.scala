@@ -44,6 +44,14 @@ object CorpusQueries {
   private val IvfNProbe = 2
   private val IvfTopK = 5
   private val IvfMaxSample = 16384
+  // PQ: 2 subspaces × 8 codewords keeps the oracle's per-subspace
+  // k-means replay tractable; a production index would run m=16..64,
+  // k=256 with the same machinery
+  private val PqM = 2
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqTopK = 5
+  private[queries] val RewriteSeg = 5
 
   // ---- Spark-side queries ------------------------------------------
 
@@ -370,6 +378,28 @@ object CorpusQueries {
       Tables.table(spark, dir, "documents"), ExactSubstrW)
       .orderBy(col("doc_id").asc)
 
+  /** C4-style keep-first span dedup ([[TextOps.dedupRewrite]]):
+    * non-overlapping [[RewriteSeg]]-token spans, every duplicated
+    * span keeps only its globally-first occurrence, documents
+    * rewritten from the survivors. */
+  def q_dedup_rewrite(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dedupRewrite(Tables.table(spark, dir, "documents"), RewriteSeg)
+      .orderBy(col("doc_id").asc)
+
+  /** Product-quantization ANN ([[graft.vector.PqIndex]]): per-subspace
+    * codebooks from the shared deterministic k-means trainer, the
+    * collection compressed to m small ints per vector, ADC search via
+    * per-query lookup tables. Fully oracle-gated like [[q_ann_ivf]] —
+    * the DuckDB SQL replays training, encoding, and the ADC ranking
+    * with the same float op order. */
+  def q_ann_pq(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    val cbs = graft.vector.PqIndex.train(v, m = PqM, k = PqK, iters = PqIters, dim = VecDim)
+    val codes = graft.vector.PqIndex.encode(v, cbs, VecDim)
+    graft.vector.PqIndex.adcTopK(codes, annQueries(v), cbs, VecDim, PqTopK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** SemDeDup-style semantic dedup ([[graft.vector.IvfIndex
     * .semanticDedup]]): the IVF coarse quantizer's k-means cells
     * bound the pair search, cosine ≥ threshold drops the higher
@@ -410,6 +440,8 @@ object CorpusQueries {
     "q_bpe_merges" -> (q_bpe_merges _),
     "q_bpe_segment" -> (q_bpe_segment _),
     "q_ann_ivf" -> (q_ann_ivf _),
+    "q_ann_pq" -> (q_ann_pq _),
+    "q_dedup_rewrite" -> (q_dedup_rewrite _),
     "q_rank_fusion" -> (q_rank_fusion _),
   )
 
@@ -868,6 +900,131 @@ ORDER BY a ASC, b ASC"""
     (prefix, assignDist)
   }
 
+  /** PQ oracle building blocks: the IVF Lloyd replay parameterized
+    * over a contiguous embedding slice (subspace `s` covers 1-based
+    * [lo, hi]) with every CTE name suffixed `_s` — same sample bound,
+    * seeding, iteration count, float op order, and tie-breaks as
+    * [[graft.vector.PqIndex.train]]/[[graft.vector.IvfIndex.train]]
+    * over the sliced vectors. Produces `cen_s` (cell, v, nsq),
+    * `codes_s` (vec_id, cell) and the query-side LUT `qd_s`
+    * (q_id, cell, d). */
+  private def pqSubspaceCtes(s: Int, lo: Int, hi: Int): String = {
+    val sd = hi - lo + 1
+    def sub(e: String) = s"list_slice($e, $lo, $hi)"
+    def trainDist(v: String, c: String): String =
+      foldSum(
+        s"list_transform(range(1, $sd + 1), i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))",
+        "CAST(0.0 AS DOUBLE)")
+    val zeros = s"list_transform(range(1, $sd + 1), i -> CAST(0.0 AS DOUBLE))"
+    def lloydIter(prev: String, a: String, u: String, out: String): String =
+      s"""$a AS (
+         |  SELECT sm.vec_id, sm.v, c.cell
+         |  FROM samp_$s sm CROSS JOIN $prev c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sm.vec_id
+         |    ORDER BY ${trainDist("sm.v", "c.v")} ASC, c.cell ASC) = 1),
+         |$u AS (
+         |  SELECT cell, COUNT(*) AS cnt,
+         |    list_reduce(list_prepend($zeros, list(v ORDER BY vec_id ASC)),
+         |      (acc, e) -> list_transform(range(1, $sd + 1),
+         |                    i -> acc[i::INTEGER] + e[i::INTEGER])) AS s
+         |  FROM $a GROUP BY cell),
+         |$out AS (
+         |  SELECT p.cell, COALESCE(list_transform(u.s, x -> x / u.cnt), p.v) AS v
+         |  FROM $prev p LEFT JOIN $u u ON p.cell = u.cell)""".stripMargin
+    val iters = (0 until PqIters)
+      .map(i => lloydIter(s"c${i}_$s", s"a${i + 1}_$s", s"u${i + 1}_$s", s"c${i + 1}_$s"))
+      .mkString(",\n")
+    val assignDist =
+      s"((${dotSql(sub("e.embedding"), sub("e.embedding"))} - 2.0 * ${dotSql(sub("e.embedding"), "cen.v")}) + cen.nsq)"
+    s"""samp_$s AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx,
+       |         list_transform(${sub("embedding")}, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings QUALIFY idx < $IvfMaxSample),
+       |prm_$s AS (SELECT greatest(COUNT(*) // $PqK, 1) AS step FROM samp_$s),
+       |c0_$s AS (
+       |  SELECT CAST(idx // step AS INTEGER) AS cell, v
+       |  FROM samp_$s, prm_$s WHERE idx % step = 0 AND idx // step < $PqK),
+       |$iters,
+       |cen_$s AS (
+       |  SELECT cell, v,
+       |    ${foldSum("list_transform(v, x -> x * x)", "CAST(0.0 AS DOUBLE)")} AS nsq
+       |  FROM c${PqIters}_$s),
+       |codes_$s AS (
+       |  SELECT e.vec_id, cen.cell
+       |  FROM embeddings e CROSS JOIN cen_$s cen
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY $assignDist ASC, cen.cell ASC) = 1),
+       |qd_$s AS (
+       |  SELECT e.vec_id AS q_id, cen.cell,
+       |    round($assignDist, 10) AS d
+       |  FROM embeddings e CROSS JOIN cen_$s cen
+       |  WHERE e.vec_id % 100 = 0)""".stripMargin
+  }
+
+  /** ADC replay: per-subspace code + rounded LUT entry joined on the
+    * codeword id; pair distance = left-to-right sum of the rounded
+    * entries, rounded again — the exact op order of
+    * [[graft.vector.PqIndex.adcTopK]]. */
+  private val annPqSql: String = {
+    val subDim = VecDim / PqM
+    val subs = (0 until PqM)
+      .map(s => pqSubspaceCtes(s, s * subDim + 1, (s + 1) * subDim))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN codes_$s c$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"c$s.cell AS code$s").mkString(", ")
+    val lutJoins = (0 until PqM).map { s =>
+      val qk = if (s == 0) "" else s" AND q$s.q_id = q0.q_id"
+      s"JOIN qd_$s q$s ON q$s.cell = c.code$s$qk"
+    }.mkString("\n  ")
+    val distSum = (0 until PqM).map(s => s"q$s.d").mkString(" + ")
+    s"""WITH
+       |$subs,
+       |codes AS (SELECT vec_id, $codeCols FROM codes_0 c0 $codeJoin),
+       |pair AS (
+       |  SELECT q0.q_id, c.vec_id AS c_id, round($distSum, 10) AS adc
+       |  FROM codes c
+       |  $lutJoins
+       |  WHERE q0.q_id <> c.vec_id)
+       |SELECT q_id AS query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY adc ASC, c_id ASC) AS INTEGER) AS rank,
+       |  c_id AS neighbor_id, adc AS adc_dist
+       |FROM pair
+       |QUALIFY rank <= $PqTopK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+  }
+
+  /** Keep-first span-dedup replay: same segmentation (ceil-div span
+    * count, truncating tail slice), same md5 grouping, keeper = the
+    * (doc_id, pos)-smallest occurrence, rewrite by filtered span
+    * index. */
+  private val dedupRewriteSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+       |sg AS (SELECT doc_id,
+       |  list_transform(range(0, (len(toks) + ${RewriteSeg - 1}) // $RewriteSeg),
+       |    i -> array_to_string(list_slice(toks, i * $RewriteSeg + 1, i * $RewriteSeg + $RewriteSeg), ' ')) AS segs
+       |  FROM tk),
+       |ex AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, md5(segs[i::INTEGER]) AS h
+       |  FROM sg, UNNEST(range(1, len(segs) + 1)) AS u(i)),
+       |mk AS (SELECT doc_id, pos,
+       |  COUNT(*) OVER (PARTITION BY h) AS cnt,
+       |  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id ASC, pos ASC) AS rn
+       |  FROM ex),
+       |rm AS (SELECT doc_id, list(pos ORDER BY pos ASC) AS removed
+       |  FROM mk WHERE cnt > 1 AND rn > 1 GROUP BY doc_id)
+       |SELECT s.doc_id,
+       |  COALESCE(array_to_string(
+       |    list_transform(
+       |      list_filter(range(0, len(segs)),
+       |        i -> NOT list_contains(COALESCE(rm.removed, []), i)),
+       |      i -> segs[(i + 1)::INTEGER]),
+       |    ' '), '') AS clean_text,
+       |  CAST(len(segs) AS INTEGER) AS n_segments,
+       |  CAST(COALESCE(len(rm.removed), 0) AS INTEGER) AS n_removed
+       |FROM sg s LEFT JOIN rm ON s.doc_id = rm.doc_id
+       |ORDER BY s.doc_id ASC""".stripMargin
+
   private val annIvfSql: String = ivfAssignCtes + ",\n" +
     s"""q AS (
        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
@@ -1026,6 +1183,8 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_pq" -> annPqSql,
+    "q_dedup_rewrite" -> dedupRewriteSql,
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS asset_id, text,
   octet_length(encode(text)) AS byte_len FROM documents),

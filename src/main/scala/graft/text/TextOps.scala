@@ -254,6 +254,54 @@ object TextOps {
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** C4-style keep-first span dedup (Raffel et al. 2020, §2.2 of the
+    * T5 paper: "we discarded all but one of any three-sentence span
+    * occurring more than once"): documents split into NON-overlapping
+    * `segTokens`-token spans; every span occurring more than once in
+    * the corpus keeps only its globally-first occurrence (smallest
+    * (doc_id, pos)); each document is rewritten from its surviving
+    * spans in order. The complement of [[exactSubstringDedup]], which
+    * removes ALL copies of duplicated sliding windows — keep-first is
+    * the published C4 recipe and preserves one canonical copy of
+    * boilerplate instead of deleting the text from the corpus
+    * entirely.
+    *
+    * Scale: span text never shuffles. The exploded stream carries
+    * (doc_id, pos, md5) — 32-byte keys; the global count/argmin is
+    * one partial-aggregated shuffle on the hash; the verdict that
+    * joins back to documents is the aggregated REMOVED-position list
+    * per doc (duplicates are the rare case, so the verdict side is a
+    * small fraction of the corpus and AQE broadcasts it); the rewrite
+    * is map-side array surgery on the original text. */
+  def dedupRewrite(docs: DataFrame, segTokens: Int): DataFrame = {
+    // integer ceil-div: Column./ would widen to double, which
+    // sequence() rejects
+    val nSegs = expr(s"(size(tokens) + ${segTokens - 1}) div $segTokens")
+    val segsCol = transform(
+      sequence(lit(0), nSegs - 1),
+      i => array_join(slice(col("tokens"), i * segTokens + 1, lit(segTokens)), " "))
+    val withSegs = withTokens(docs).select(col("doc_id"), segsCol.as("segs"))
+    val ex = withSegs
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("pos"), md5(col("seg")).as("h"))
+    val agg = ex.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val removed = ex.join(agg, "h")
+      .where(col("cnt") > 1 &&
+        !(col("doc_id") === col("keeper.doc_id") && col("pos") === col("keeper.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("removed"))
+    withSegs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(col("segs"), (_, i) =>
+            !array_contains(coalesce(col("removed"), array()), i)),
+          " ").as("clean_text"),
+        size(col("segs")).as("n_segments"),
+        coalesce(size(col("removed")), lit(0)).as("n_removed"))
+  }
+
   // ---- shingling & the near-dup family -----------------------------
 
   /** Per-doc DISTINCT n-token shingle set, as an array column

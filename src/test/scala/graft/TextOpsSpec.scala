@@ -132,4 +132,39 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("n_dup_tokens") === 0L)
     assert(r(4L).getAs[Long]("n_dup_tokens") === 0L)
   }
+
+  test("keep-first span dedup: C4 semantics — one canonical copy survives") {
+    // 9-token docs at segTokens=5 → spans [t0..t4], [t5..t8]
+    val r = TextOps.dedupRewrite(corpus, segTokens = 5).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0 is the globally-first occurrence of both its spans: intact
+    assert(r(0L).getAs[String]("clean_text")
+      === "the quick brown fox jumps over the lazy dog")
+    assert(r(0L).getAs[Int]("n_removed") === 0)
+    // doc 1 duplicates both of doc 0's spans: fully removed (unlike
+    // exactSubstringDedup, doc 0's copy is KEPT)
+    assert(r(1L).getAs[String]("clean_text") === "")
+    assert(r(1L).getAs[Int]("n_removed") === 2)
+    // doc 2 shares only the first span ("cat" breaks the second)
+    assert(r(2L).getAs[String]("clean_text") === "over the lazy cat")
+    assert(r(2L).getAs[Int]("n_removed") === 1)
+    assert(r(2L).getAs[Int]("n_segments") === 2)
+    // unique docs untouched
+    assert(r(3L).getAs[Int]("n_removed") === 0)
+    assert(r(4L).getAs[Int]("n_removed") === 0)
+    assert(r(3L).getAs[String]("clean_text")
+      === "completely different words appear here today friends")
+  }
+
+  test("keep-first span dedup: within-doc repeats keep the earliest span") {
+    val repeats = Seq(
+      (10L, "a b c d e a b c d e x y z w v"), // span 0 == span 1
+      (11L, "a b c d e q r s t u")            // span 0 duplicates doc 10's
+    ).toDF("doc_id", "text")
+    val r = TextOps.dedupRewrite(repeats, segTokens = 5).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(10L).getAs[String]("clean_text") === "a b c d e x y z w v")
+    assert(r(10L).getAs[Int]("n_removed") === 1)
+    assert(r(11L).getAs[String]("clean_text") === "q r s t u")
+  }
 }
