@@ -31,8 +31,10 @@ private[graft] object CheckpointBlocks {
 
   def free(dfs: Iterable[DataFrame]): Unit = dfs.foreach(free)
 
+  private final case class Registration(threadId: Long, df: DataFrame)
+
   private val lastPerSite =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, Registration]
 
   /** For checkpoints embedded in a RETURNED lazy plan: the blocks must
     * outlive the query function (the caller hasn't executed yet), so
@@ -45,17 +47,30 @@ private[graft] object CheckpointBlocks {
     * Contract: by the time a site is invoked again, its prior result
     * has been consumed — SERIAL re-invocation per site. Concurrent
     * executions of the same site (two threads/sessions racing the same
-    * query) are UNSUPPORTED: the second registration frees the first
-    * caller's still-live blocks, and because a local checkpoint's
-    * lineage is truncated, that caller fails unrecoverably instead of
-    * recomputing. Sites are scoped by applicationId so at least a
-    * different SESSION can never free this one's blocks; within one
-    * session the discipline is the caller's (Bench/Verify run queries
-    * serially; the staged-artifact prewarm fans out across DIFFERENT
-    * artifacts, never the same retire site). */
+    * query) are DETECTED AND DEGRADED, not corrupted: freeing a
+    * concurrent caller's still-live blocks would fail it
+    * unrecoverably (a local checkpoint's lineage is truncated — no
+    * recompute path), so a re-registration from a DIFFERENT thread
+    * than the previous registrant's skips the free and leaves those
+    * blocks to ContextCleaner GC — a bounded leak instead of a
+    * wrong-answer/crash. Same-thread re-registration (Bench's serial
+    * reps, Verify's loop, a notebook) frees eagerly as before. Sites
+    * are additionally scoped by applicationId so a different
+    * SparkContext can never free this one's blocks; the
+    * staged-artifact prewarm fans out across DIFFERENT artifacts,
+    * never the same retire site, so it always takes the eager path. */
   def retire(site: String, df: DataFrame): DataFrame = {
     val key = s"${df.sparkSession.sparkContext.applicationId}|$site"
-    lastPerSite.put(key, df).foreach(free)
+    val me = Thread.currentThread().getId
+    lastPerSite.put(key, Registration(me, df)).foreach { prev =>
+      if (prev.threadId == me) free(prev.df)
+      else concurrentSkips.incrementAndGet()
+    }
     df
   }
+
+  /** Cross-thread re-registrations that skipped the eager free
+    * (observability for the degraded path — a growing count means a
+    * caller is racing one site and leaning on ContextCleaner). */
+  private[graft] val concurrentSkips = new java.util.concurrent.atomic.AtomicLong(0)
 }

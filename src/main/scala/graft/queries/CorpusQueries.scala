@@ -51,6 +51,9 @@ object CorpusQueries {
   private val PqK = 8
   private val PqIters = 2
   private val PqTopK = 5
+  // one constant feeds BOTH the Scala train call (q_ann_pq) and the
+  // oracle replay (pqSubspaceCtes) — a changed bound cannot desync them
+  private val PqMaxSample = IvfMaxSample
   private[queries] val RewriteSeg = 5
 
   // ---- Spark-side queries ------------------------------------------
@@ -394,7 +397,8 @@ object CorpusQueries {
     * with the same float op order. */
   def q_ann_pq(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.table(spark, dir, "embeddings")
-    val cbs = graft.vector.PqIndex.train(v, m = PqM, k = PqK, iters = PqIters, dim = VecDim)
+    val cbs = graft.vector.PqIndex.train(v, m = PqM, k = PqK, iters = PqIters,
+      dim = VecDim, maxSample = PqMaxSample)
     val codes = graft.vector.PqIndex.encode(v, cbs, VecDim)
     graft.vector.PqIndex.adcTopK(codes, annQueries(v), cbs, VecDim, PqTopK)
       .orderBy(col("query_id").asc, col("rank").asc)
@@ -844,53 +848,76 @@ ORDER BY a ASC, b ASC"""
     * sums over vec_id order, ties to the lower cell id). Data-
     * independent: no trained-centroid literals are baked in, so the
     * same SQL is the oracle at every scale factor. */
-  private val (ivfAssignCtes, ivfAssignDist): (String, String) = {
+  /** Shared Lloyd-replay CTE chain: the deterministic k-means
+    * pipeline ([[graft.vector.IvfIndex.train]]) replayed in DuckDB
+    * SQL over a contiguous 1-based slice [lo, hi] of the embedding,
+    * every CTE name suffixed `sfx` so multiple replays (IVF's full
+    * vector, PQ's m subspaces) coexist in one statement. ONE
+    * generator, both consumers — a fix to the replay (sample bound,
+    * seeding, float op order, tie-breaks) cannot silently miss one.
+    * `sampleBound` is threaded from the SAME constant the Scala
+    * train call passes, so oracle and engine stay bound-parity by
+    * construction. Produces `samp/prm/c0…/cen$sfx` (cen = cell, v,
+    * nsq); returns (CTE text, assignment-distance expression —
+    * assignCell's |v|² − 2·v·c + |c|² association order — against
+    * aliases `e` (embeddings) and `cen`). */
+  private def lloydReplayCtes(
+      sfx: String, lo: Int, hi: Int, k: Int, iters: Int,
+      sampleBound: Int): (String, String) = {
+    val sd = hi - lo + 1
+    def sub(e: String): String =
+      if (lo == 1 && hi == VecDim) e else s"list_slice($e, $lo, $hi)"
     // training distance: Scala's `d += (v_i − c_i)²` loop (IvfIndex
     // .train) as a left fold in the same index order
     def trainDist(v: String, c: String): String =
       foldSum(
-        s"list_transform(range(1, $VecDim + 1), i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))",
+        s"list_transform(range(1, $sd + 1), i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))",
         "CAST(0.0 AS DOUBLE)")
-    val zeros = s"list_transform(range(1, $VecDim + 1), i -> CAST(0.0 AS DOUBLE))"
+    val zeros = s"list_transform(range(1, $sd + 1), i -> CAST(0.0 AS DOUBLE))"
     // one Lloyd iteration: argmin assignment (ties → lower cell, like
     // the strict `<` in the Scala loop), per-cell elementwise sums in
     // vec_id order, mean; empty cells keep the previous centroid
     def lloydIter(prev: String, a: String, u: String, out: String): String =
       s"""$a AS (
-         |  SELECT s.vec_id, s.v, c.cell
-         |  FROM samp s CROSS JOIN $prev c
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id
-         |    ORDER BY ${trainDist("s.v", "c.v")} ASC, c.cell ASC) = 1),
+         |  SELECT sm.vec_id, sm.v, c.cell
+         |  FROM samp$sfx sm CROSS JOIN $prev c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sm.vec_id
+         |    ORDER BY ${trainDist("sm.v", "c.v")} ASC, c.cell ASC) = 1),
          |$u AS (
          |  SELECT cell, COUNT(*) AS cnt,
          |    list_reduce(list_prepend($zeros, list(v ORDER BY vec_id ASC)),
-         |      (acc, e) -> list_transform(range(1, $VecDim + 1),
+         |      (acc, e) -> list_transform(range(1, $sd + 1),
          |                    i -> acc[i::INTEGER] + e[i::INTEGER])) AS s
          |  FROM $a GROUP BY cell),
          |$out AS (
          |  SELECT p.cell, COALESCE(list_transform(u.s, x -> x / u.cnt), p.v) AS v
          |  FROM $prev p LEFT JOIN $u u ON p.cell = u.cell)""".stripMargin
-    val iters = (0 until IvfIters)
-      .map(i => lloydIter(s"c$i", s"a${i + 1}", s"u${i + 1}", s"c${i + 1}"))
+    val itersSql = (0 until iters)
+      .map(i => lloydIter(s"c$i$sfx", s"a${i + 1}$sfx", s"u${i + 1}$sfx", s"c${i + 1}$sfx"))
       .mkString(",\n")
-    // assignment distance: IvfIndex.nearestCells' |v|² − 2·v·c + |c|²
-    // with the same association order
     val assignDist =
-      s"((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "cen.v")}) + cen.nsq)"
-    val prefix = s"""WITH
-       |samp AS (
+      s"((${dotSql(sub("e.embedding"), sub("e.embedding"))} - 2.0 * ${dotSql(sub("e.embedding"), "cen.v")}) + cen.nsq)"
+    val ctes = s"""samp$sfx AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings QUALIFY idx < $IvfMaxSample),
-       |prm AS (SELECT greatest(COUNT(*) // $IvfK, 1) AS step FROM samp),
-       |c0 AS (
+       |         list_transform(${sub("embedding")}, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings QUALIFY idx < $sampleBound),
+       |prm$sfx AS (SELECT greatest(COUNT(*) // $k, 1) AS step FROM samp$sfx),
+       |c0$sfx AS (
        |  SELECT CAST(idx // step AS INTEGER) AS cell, v
-       |  FROM samp, prm WHERE idx % step = 0 AND idx // step < $IvfK),
-       |$iters,
-       |cen AS (
+       |  FROM samp$sfx, prm$sfx WHERE idx % step = 0 AND idx // step < $k),
+       |$itersSql,
+       |cen$sfx AS (
        |  SELECT cell, v,
        |    ${foldSum("list_transform(v, x -> x * x)", "CAST(0.0 AS DOUBLE)")} AS nsq
-       |  FROM c$IvfIters),
+       |  FROM c$iters$sfx)""".stripMargin
+    (ctes, assignDist)
+  }
+
+  private val (ivfAssignCtes, ivfAssignDist): (String, String) = {
+    val (ctes, assignDist) =
+      lloydReplayCtes("", 1, VecDim, IvfK, IvfIters, IvfMaxSample)
+    val prefix = s"""WITH
+       |$ctes,
        |col AS (
        |  SELECT e.vec_id AS c_id, e.embedding AS c_emb,
        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS c_norm, cen.cell
@@ -909,46 +936,9 @@ ORDER BY a ASC, b ASC"""
     * `codes_s` (vec_id, cell) and the query-side LUT `qd_s`
     * (q_id, cell, d). */
   private def pqSubspaceCtes(s: Int, lo: Int, hi: Int): String = {
-    val sd = hi - lo + 1
-    def sub(e: String) = s"list_slice($e, $lo, $hi)"
-    def trainDist(v: String, c: String): String =
-      foldSum(
-        s"list_transform(range(1, $sd + 1), i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))",
-        "CAST(0.0 AS DOUBLE)")
-    val zeros = s"list_transform(range(1, $sd + 1), i -> CAST(0.0 AS DOUBLE))"
-    def lloydIter(prev: String, a: String, u: String, out: String): String =
-      s"""$a AS (
-         |  SELECT sm.vec_id, sm.v, c.cell
-         |  FROM samp_$s sm CROSS JOIN $prev c
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sm.vec_id
-         |    ORDER BY ${trainDist("sm.v", "c.v")} ASC, c.cell ASC) = 1),
-         |$u AS (
-         |  SELECT cell, COUNT(*) AS cnt,
-         |    list_reduce(list_prepend($zeros, list(v ORDER BY vec_id ASC)),
-         |      (acc, e) -> list_transform(range(1, $sd + 1),
-         |                    i -> acc[i::INTEGER] + e[i::INTEGER])) AS s
-         |  FROM $a GROUP BY cell),
-         |$out AS (
-         |  SELECT p.cell, COALESCE(list_transform(u.s, x -> x / u.cnt), p.v) AS v
-         |  FROM $prev p LEFT JOIN $u u ON p.cell = u.cell)""".stripMargin
-    val iters = (0 until PqIters)
-      .map(i => lloydIter(s"c${i}_$s", s"a${i + 1}_$s", s"u${i + 1}_$s", s"c${i + 1}_$s"))
-      .mkString(",\n")
-    val assignDist =
-      s"((${dotSql(sub("e.embedding"), sub("e.embedding"))} - 2.0 * ${dotSql(sub("e.embedding"), "cen.v")}) + cen.nsq)"
-    s"""samp_$s AS (
-       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx,
-       |         list_transform(${sub("embedding")}, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings QUALIFY idx < $IvfMaxSample),
-       |prm_$s AS (SELECT greatest(COUNT(*) // $PqK, 1) AS step FROM samp_$s),
-       |c0_$s AS (
-       |  SELECT CAST(idx // step AS INTEGER) AS cell, v
-       |  FROM samp_$s, prm_$s WHERE idx % step = 0 AND idx // step < $PqK),
-       |$iters,
-       |cen_$s AS (
-       |  SELECT cell, v,
-       |    ${foldSum("list_transform(v, x -> x * x)", "CAST(0.0 AS DOUBLE)")} AS nsq
-       |  FROM c${PqIters}_$s),
+    val (ctes, assignDist) =
+      lloydReplayCtes(s"_$s", lo, hi, PqK, PqIters, PqMaxSample)
+    s"""$ctes,
        |codes_$s AS (
        |  SELECT e.vec_id, cen.cell
        |  FROM embeddings e CROSS JOIN cen_$s cen

@@ -277,8 +277,14 @@ object TextOps {
     // integer ceil-div: Column./ would widen to double, which
     // sequence() rejects
     val nSegs = expr(s"(size(tokens) + ${segTokens - 1}) div $segTokens")
+    // nSegs = 0 must yield NO spans: sequence(0, -1) is the DESCENDING
+    // two-element [0, -1] in Spark, which would fabricate two phantom
+    // empty spans where the oracle's range(0, 0) is empty. Unreachable
+    // while split(text, ' ') guarantees ≥1 token, but the guard keeps
+    // the operator correct if tokenization ever changes.
     val segsCol = transform(
-      sequence(lit(0), nSegs - 1),
+      when(nSegs > 0, sequence(lit(0), nSegs - 1))
+        .otherwise(array().cast("array<int>")),
       i => array_join(slice(col("tokens"), i * segTokens + 1, lit(segTokens)), " "))
     val withSegs = withTokens(docs).select(col("doc_id"), segsCol.as("segs"))
     val ex = withSegs

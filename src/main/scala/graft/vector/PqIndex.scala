@@ -42,6 +42,25 @@ object PqIndex {
 
   final case class Codebook(sub: Int, centroids: Seq[IvfIndex.Centroid])
 
+  /** Fail fast on a `dim` inconsistent with the codebooks: without
+    * these checks a mismatched caller would silently slice wrong
+    * subvectors (a slice past the array end yields truncated/empty
+    * arrays, not an error) and produce garbage codes/distances. Same
+    * invariants [[train]] establishes. */
+  private def checkedSubDim(codebooks: Seq[Codebook], dim: Int): Int = {
+    require(codebooks.nonEmpty, "PQ requires at least one codebook")
+    require(dim % codebooks.length == 0,
+      s"dim $dim not divisible into ${codebooks.length} subspaces")
+    val subDim = dim / codebooks.length
+    codebooks.foreach { cb =>
+      cb.centroids.foreach { c =>
+        require(c.vec.length == subDim,
+          s"codebook ${cb.sub} centroid length ${c.vec.length} != subspace dim $subDim")
+      }
+    }
+    subDim
+  }
+
   /** 1-based contiguous slice of subspace `sub`. */
   private def subVec(vec: Column, sub: Int, subDim: Int): Column =
     slice(vec, sub * subDim + 1, subDim)
@@ -64,7 +83,7 @@ object PqIndex {
     * against broadcast codeword literals (argmin squared distance,
     * ties to the lower codeword id, like [[IvfIndex.assignCell]]). */
   def encode(vecs: DataFrame, codebooks: Seq[Codebook], dim: Int): DataFrame = {
-    val subDim = dim / codebooks.length
+    val subDim = checkedSubDim(codebooks, dim)
     val codes = codebooks.map { cb =>
       IvfIndex.assignCell(subVec(col("embedding"), cb.sub, subDim), cb.centroids)
         .as(s"code${cb.sub}")
@@ -78,7 +97,7 @@ object PqIndex {
     * neighbors ranked by (adc_dist ASC, neighbor_id ASC). */
   def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: Seq[Codebook],
       dim: Int, k: Int): DataFrame = {
-    val subDim = dim / codebooks.length
+    val subDim = checkedSubDim(codebooks, dim)
     val luts = codebooks.map { cb =>
       val qs = subVec(col("embedding"), cb.sub, subDim)
       array(cb.centroids.map { c =>

@@ -246,6 +246,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(after4 - after1 <= 2, s"retire site leaked: $after1 -> $after4")
   }
 
+  test("retire: a cross-thread re-registration cannot free a live frame") {
+    import graft.operators.CheckpointBlocks
+    def hasLiveBlocks(df: org.apache.spark.sql.DataFrame): Boolean = {
+      def walk(r: org.apache.spark.rdd.RDD[_]): Boolean =
+        r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+          r.dependencies.exists(d => walk(d.rdd))
+      walk(df.queryExecution.toRdd)
+    }
+    val site = "spec.retire.concurrent"
+    // registrant thread A holds a live checkpointed frame at the site
+    val df1 = spark.range(100).toDF("v").localCheckpoint(true)
+    val t = new Thread(() => CheckpointBlocks.retire(site, df1))
+    t.start(); t.join()
+    // a DIFFERENT thread re-registering the same site must NOT free
+    // A's still-live blocks (a local checkpoint cannot recompute — a
+    // free here is an unrecoverable failure for A, not a cache miss)
+    val skipsBefore = CheckpointBlocks.concurrentSkips.get()
+    val df2 = spark.range(100).toDF("v").localCheckpoint(true)
+    CheckpointBlocks.retire(site, df2)
+    assert(CheckpointBlocks.concurrentSkips.get() == skipsBefore + 1)
+    assert(hasLiveBlocks(df1), "cross-thread retire freed a live frame")
+    assert(df1.count() == 100) // A's frame stays fully readable
+    // SAME-thread re-registration keeps the eager free (the serial
+    // Bench/Verify contract): df2's blocks go away
+    val df3 = spark.range(100).toDF("v").localCheckpoint(true)
+    CheckpointBlocks.retire(site, df3)
+    assert(!hasLiveBlocks(df2), "same-thread retire must free the prior frame")
+    CheckpointBlocks.free(df3) // leave no blocks behind for other suites
+  }
+
   // ---- weighted sampling / rank fusion -----------------------------
 
   test("weighted sample: k per source, deterministic, ES key favors long docs") {

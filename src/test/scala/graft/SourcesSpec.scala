@@ -64,6 +64,29 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_._2) == got.map(_._2).sorted)
   }
 
+  test("S7: an over-full response batch fails loudly instead of colliding positions") {
+    // position = batch_id·batchSize + pos0 + 1 is an order key; a
+    // response carrying MORE than batchSize tracks would silently
+    // collide its tail with the next batch's positions — the guard
+    // must raise instead
+    def track(i: Int) =
+      s"""{"external_ids":{"isrc":"I$i"},"artists":[],
+         | "duration_ms":1,"explicit":false,"external_urls":{"spotify":"s$i"},"name":"N$i"}"""
+        .stripMargin
+    val body = s"""{"tracks":[${(1 to 3).map(track).mkString(",")}]}"""
+    val df = Sources.songDocsFromTracksJson(
+      Seq((0L, body)).toDF("batch_id", "body"), batchSize = 2)
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("more than 2 tracks")), e.getMessage)
+    // exactly-full is fine (boundary: pos0 = batchSize - 1 passes)
+    val ok = Sources.songDocsFromTracksJson(
+      Seq((0L, s"""{"tracks":[${track(1)},${track(2)}]}""")).toDF("batch_id", "body"),
+      batchSize = 2)
+    assert(ok.select("position").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("S6: JSON-LD extraction from song page") {
     val html =
       """<html><script id="schema:song" type="application/ld+json">

@@ -71,6 +71,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streak state ignores a late cross-batch appearance instead of regressing") {
     implicit val sqlCtx = spark.sqlContext
+    val droppedBefore = StreamingCharts.droppedLateRows(spark)
     val in = MemoryStream[Appearance]
     val q = StreamingCharts.trackStreaks(in.toDS())
       .writeStream.outputMode(OutputMode.Append())
@@ -93,6 +94,9 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(
       ("2024-01-08", 1), ("2024-01-09", 2), ("2024-01-10", 3),
       ("2024-01-11", 4))) // late Jan 5 emitted nothing, state intact
+    // the drop is OBSERVABLE, not silent: monitoring must be able to
+    // tell "no backfills" from "backfills being discarded"
+    assert(StreamingCharts.droppedLateRows(spark) === droppedBefore + 1)
   }
 
   test("ranking sink is idempotent under micro-batch replay (at-least-once foreachBatch)") {
