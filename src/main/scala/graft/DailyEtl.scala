@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Load, VersionedParquet}
+import graft.ingest.Sources
+import graft.model.Music
+import graft.model.Music.MusicDb
+import graft.report.Render
+
+/** The runnable daily pipeline — the engine's analog of the
+  * reference's orchestrated entry point (`etl_pipeline.py:874-1034` →
+  * `render_templates.py:108-203`): fetch the playlist page, extract
+  * the top-10 song URLs (S4), batch-look-up track data (S7),
+  * FK-ordered load into the versioned parquet store (S9/J7, with the
+  * X5 retention stage riding the load), append the four RETURNING
+  * sets to CSVs (S11), and re-render the README from the delta view
+  * (W1/F6-F11).
+  *
+  * Usage:
+  * {{{
+  * sbt "runMain graft.DailyEtl <storeRoot> <yyyy-MM-dd> \
+  *   <playlistSource> <tracksSource> <renderPath> [csvDir]"
+  * }}}
+  *
+  * Fetches are driver-side control-plane calls behind
+  * [[Sources.Fetcher]]: an `http(s)://` source goes through the real
+  * [[Sources.HttpFetcher]] (with an OAuth2 client-credentials bearer
+  * token when GRAFT_TOKEN_URL / GRAFT_CLIENT_ID / GRAFT_CLIENT_SECRET
+  * are set — S3, reference `etl_pipeline.py:259-293`); any other
+  * source is a local file ([[Sources.FileFetcher]]), which is how
+  * zero-egress builds and DailyEtlSpec drive the binary end-to-end.
+  * `tracksSource` may carry an `{ids}` placeholder, expanded per
+  * ≤`batchSize`-id batch with the batch ordinal carried as the
+  * explicit order key (SURVEY §7.4 risk 3 — never row order).
+  *
+  * All parsing and loading is Spark-side: the same `run` composition
+  * scales from the reference's 10 songs/day to a backfill of every
+  * chart page ever archived — only the driver-side fetch loop is
+  * per-day work.
+  */
+object DailyEtl {
+
+  /** Reference `SongDataNotFoundError` (`etl_pipeline.py:975-976`):
+    * a partial chart aborts the run rather than loading a short day. */
+  final class SongDataNotFoundError(msg: String) extends RuntimeException(msg)
+
+  final case class Config(
+      storeRoot: String,
+      date: LocalDate,
+      playlistSource: String,
+      tracksSource: String,
+      renderPath: String,
+      csvDir: Option[String],
+      topN: Int = 10,
+      batchSize: Int = 50)
+
+  private val tableNames = Seq("artist", "song", "artist_song_map", "ranking")
+
+  private def emptyDb(spark: SparkSession): MusicDb = {
+    import spark.implicits._
+    MusicDb(
+      spark.emptyDataset[Music.Artist].toDF(),
+      spark.emptyDataset[Music.Song].toDF(),
+      spark.emptyDataset[Music.ArtistSongMap].toDF(),
+      spark.emptyDataset[Music.Ranking].toDF())
+  }
+
+  private def loadDb(spark: SparkSession, fmt: VersionedParquet): MusicDb =
+    if (tableNames.forall(fmt.currentVersion(_) > 0))
+      MusicDb(fmt.read("artist"), fmt.read("song"),
+        fmt.read("artist_song_map"), fmt.read("ranking"))
+    else emptyDb(spark) // day 1: nothing committed yet
+
+  private def persist(fmt: VersionedParquet, db: MusicDb): Unit =
+    tableNames.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
+      .foreach { case (n, df) => fmt.overwrite(n, df) }
+
+  /** One daily run, fetcher-injected (specs pass [[Sources
+    * .FileFetcher]]; [[main]] wires HTTP/file dispatch). Returns the
+    * [[Load.LoadResult]] so callers can inspect the RETURNING sets. */
+  def run(spark: SparkSession, fetcher: Sources.Fetcher, cfg: Config,
+      bearerToken: Option[String] = None): Load.LoadResult = {
+    import spark.implicits._
+
+    // 1. playlist page → top-N song URLs, order carried explicitly
+    val html = fetcher.fetch(cfg.playlistSource) match {
+      case Sources.Html(b) => b
+      case _ => throw new Sources.UnexpectedContentTypeError(
+        s"playlist source '${cfg.playlistSource}' did not return HTML")
+    }
+    val ids = Sources.songUrlsFromPlaylistHtml(
+        Seq(("spotify", html)).toDF("page_id", "html"), limit = cfg.topN)
+      .orderBy("position")
+      .select(Sources.trackIdFromUrl(col("song_url"))).as[String].collect().toSeq
+    if (ids.length != cfg.topN)
+      throw new SongDataNotFoundError(
+        s"Ranking data is missing: expected ${cfg.topN} songs, got ${ids.length}.")
+
+    // 2. batched track lookup; batch_id is the request ordinal
+    val responses = ids.grouped(cfg.batchSize).zipWithIndex.map { case (g, i) =>
+      val url =
+        if (cfg.tracksSource.contains("{ids}"))
+          cfg.tracksSource.replace("{ids}", g.mkString(","))
+        else cfg.tracksSource
+      fetcher.fetch(url, bearerToken) match {
+        case Sources.Json(b) => (i.toLong, b)
+        case _ => throw new Sources.UnexpectedContentTypeError(
+          s"tracks source '$url' did not return JSON")
+      }
+    }.toSeq
+    val docs = Sources.songDocsFromTracksJson(
+      responses.toDF("batch_id", "body"), batchSize = cfg.batchSize)
+
+    // 3. FK-ordered load over the committed state; the parquet commit
+    //    IS the between-days checkpoint (no in-memory lineage survives
+    //    a day boundary — PipelineE2ESpec's chained-plan lesson)
+    val fmt = new VersionedParquet(spark, cfg.storeRoot)
+    val res = Load.loadBatch(loadDb(spark, fmt), docs, java.sql.Date.valueOf(cfg.date))
+    persist(fmt, res.db)
+
+    // 4. S11 CSV append sinks: the four RETURNING sets, ranking with
+    //    the snapshot-derived ranking_id export column
+    cfg.csvDir.foreach { dir =>
+      Load.appendCsv(res.insertedArtists, s"$dir/artist.csv")
+      Load.appendCsv(res.insertedSongs, s"$dir/song.csv")
+      Load.appendCsv(res.insertedMaps, s"$dir/artist_song_map.csv")
+      Load.appendCsv(
+        Music.withRankingIds(res.insertedRankings)
+          .select(col("ranking_id"), col("isrc"),
+            date_format(col("ranking_date"), "yyyy-MM-dd").as("ranking_date"),
+            col("rank"), col("ranking_source")),
+        s"$dir/ranking.csv")
+    }
+
+    // 5. render from the COMMITTED store, exactly as the reference's
+    //    separate render job queries the database after the load
+    val md = Render.renderForDate(loadDb(spark, fmt), cfg.date)
+    Files.write(Paths.get(cfg.renderPath), md.getBytes("UTF-8"))
+    res
+  }
+
+  private[graft] def accessTokenFromJson(body: String): String = {
+    val re = """"access_token"\s*:\s*"([^"]+)"""".r
+    re.findFirstMatchIn(body).map(_.group(1)).getOrElse(
+      throw new Sources.UnexpectedContentTypeError(
+        "token response carried no access_token"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 5 || args.length == 6,
+      "usage: DailyEtl <storeRoot> <yyyy-MM-dd> <playlistSource> <tracksSource> <renderPath> [csvDir]")
+    val cfg = Config(args(0), LocalDate.parse(args(1)), args(2), args(3),
+      args(4), args.lift(5))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val http = new Sources.HttpFetcher()
+    val file = new Sources.FileFetcher(Map.empty)
+    val fetcher: Sources.Fetcher = new Sources.Fetcher {
+      def fetch(url: String, tok: Option[String]): Sources.Fetched =
+        if (url.matches("^https?://.*")) http.fetch(url, tok)
+        else file.fetch(url, tok)
+    }
+    // S3: only when a token endpoint + credentials are configured
+    val token = for {
+      tokenUrl <- sys.env.get("GRAFT_TOKEN_URL")
+      id <- sys.env.get("GRAFT_CLIENT_ID")
+      secret <- sys.env.get("GRAFT_CLIENT_SECRET")
+    } yield accessTokenFromJson(
+      http.postForm(tokenUrl, Sources.clientCredentialsHeader(id, secret),
+        Map("grant_type" -> "client_credentials")).body)
+    val res = run(spark, fetcher, cfg, token)
+    println(s"[daily-etl] ${cfg.date}: " +
+      s"artists+${res.insertedArtists.count()} songs+${res.insertedSongs.count()} " +
+      s"maps+${res.insertedMaps.count()} rankings+${res.insertedRankings.count()} " +
+      s"-> ${cfg.renderPath}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+
+import graft.ingest.Sources
+
+/** Drives [[DailyEtl.run]] — the composition `main` wires — over
+  * fixture files exactly as a deployment would invoke the binary:
+  * two daily runs against a fresh store, CSV sinks, rendered README,
+  * idempotent re-run, and the reference's short-chart abort. The
+  * library-level twin is PipelineE2ESpec; this one goes through the
+  * entry point's own fetch/commit/render plumbing. */
+class DailyEtlSpec extends SparkSpec {
+
+  private def write(p: Path, s: String): String = {
+    Files.write(p, s.getBytes("UTF-8")); p.toString
+  }
+
+  private def playlistHtml(ids: Seq[String]): String =
+    ids.map(i =>
+      s"""<meta name="music:song" content="https://open.spotify.com/track/$i"/>""")
+      .mkString("<html><head>", "\n", "</head></html>")
+
+  private def tracksJson(ids: Seq[String]): String = {
+    val tracks = ids.zipWithIndex.map { case (id, i) =>
+      s"""{"external_ids":{"isrc":"ISRC$id"},
+         | "artists":[{"id":"art$id","name":"Artist $id"},{"id":"shared","name":"Common"}],
+         | "duration_ms":${1000 + i},"explicit":${i % 2 == 0},
+         | "external_urls":{"spotify":"https://open.spotify.com/track/$id"},
+         | "name":"Song $id"}""".stripMargin
+    }.mkString(",")
+    s"""{"tracks":[$tracks]}"""
+  }
+
+  test("two daily runs through the binary: store commits, CSVs, rendered README, idempotent re-run") {
+    val dir = Files.createTempDirectory("dailyetl")
+    val store = s"$dir/store"
+    val readme = s"$dir/README.md"
+    val csv = s"$dir/csv"
+    Files.createDirectories(java.nio.file.Paths.get(csv))
+    val fetcher = new Sources.FileFetcher(Map.empty)
+    val ids1 = (1 to 10).map(i => s"t$i")
+
+    // --- day 1 ---
+    val r1 = DailyEtl.run(spark, fetcher, DailyEtl.Config(
+      store, LocalDate.of(2026, 2, 1),
+      write(java.nio.file.Paths.get(s"$dir/playlist1.html"), playlistHtml(ids1 :+ "t11" :+ "t12")),
+      write(java.nio.file.Paths.get(s"$dir/tracks1.json"), tracksJson(ids1)),
+      readme, Some(csv)))
+    assert(r1.insertedSongs.count() === 10)
+    assert(r1.insertedArtists.count() === 11) // 10 distinct + "Common"
+    assert(r1.insertedRankings.count() === 10)
+
+    // --- day 2: t1 drops out, everyone shifts up, t99 enters ---
+    val ids2 = ids1.drop(1) :+ "t99"
+    val cfg2 = DailyEtl.Config(
+      store, LocalDate.of(2026, 2, 2),
+      write(java.nio.file.Paths.get(s"$dir/playlist2.html"), playlistHtml(ids2)),
+      write(java.nio.file.Paths.get(s"$dir/tracks2.json"), tracksJson(ids2)),
+      readme, Some(csv))
+    val r2 = DailyEtl.run(spark, fetcher, cfg2)
+    assert(r2.insertedSongs.count() === 1) // only the newcomer
+    assert(r2.insertedRankings.count() === 10)
+
+    // rendered README: delta view over the committed store
+    val md = new String(Files.readAllBytes(java.nio.file.Paths.get(readme)), "UTF-8")
+    assert(md.startsWith("# Daily Top Songs"))
+    assert(md.contains("February 2, 2026"))
+    assert(md.contains("| new | 10 |")) // t99 is a newcomer
+    assert(md.contains("+1")) // survivors moved up
+    assert(md.contains("""Artist t2, Common \- Song t2"""))
+
+    // CSV append sinks accumulated BOTH days
+    val rankingCsv = spark.read
+      .schema("ranking_id INT, isrc STRING, ranking_date STRING, rank INT, ranking_source STRING")
+      .csv(s"$csv/ranking.csv")
+    assert(rankingCsv.count() === 20)
+    assert(rankingCsv.where("ranking_date = '2026-02-02'").count() === 10)
+    assert(spark.read.text(s"$csv/artist.csv").count() === 12) // 11 + t99's artist
+
+    // re-running day 2 is a no-op for the data (idempotent daily
+    // cron) and leaves the rendered README byte-identical
+    val r2again = DailyEtl.run(spark, fetcher, cfg2)
+    assert(r2again.insertedRankings.count() === 0)
+    assert(r2again.db.ranking.count() === 20)
+    val mdAgain = new String(Files.readAllBytes(java.nio.file.Paths.get(readme)), "UTF-8")
+    assert(mdAgain === md)
+  }
+
+  test("a short chart aborts the run before anything is loaded") {
+    val dir = Files.createTempDirectory("dailyetl_short")
+    val store = s"$dir/store"
+    val fetcher = new Sources.FileFetcher(Map.empty)
+    val e = intercept[DailyEtl.SongDataNotFoundError] {
+      DailyEtl.run(spark, fetcher, DailyEtl.Config(
+        store, LocalDate.of(2026, 2, 1),
+        write(java.nio.file.Paths.get(s"$dir/p.html"),
+          playlistHtml((1 to 9).map(i => s"t$i"))),
+        write(java.nio.file.Paths.get(s"$dir/t.json"),
+          tracksJson((1 to 9).map(i => s"t$i"))),
+        s"$dir/README.md", None))
+    }
+    assert(e.getMessage.contains("expected 10 songs, got 9"))
+    // nothing was committed — the store stays absent
+    assert(!Files.exists(java.nio.file.Paths.get(store)))
+  }
+
+  test("token extraction parses the OAuth2 response shape") {
+    assert(DailyEtl.accessTokenFromJson(
+      """{"access_token":"abc123","token_type":"Bearer","expires_in":3600}""")
+      === "abc123")
+    intercept[Sources.UnexpectedContentTypeError](
+      DailyEtl.accessTokenFromJson("""{"error":"invalid_client"}"""))
+  }
+}
