@@ -158,6 +158,30 @@ object GraphStage {
     }
   }
 
+  /** (node, n_tri) — each part's triangle participation count, the
+    * shared numerator of triangle top-k AND local clustering
+    * coefficients (2·tri / deg·(deg−1)). Enumeration is the
+    * Chiba–Nishizeki edge-iterator over the staged orientation: each
+    * oriented edge (a,b) contributes adj⁺(a) ∩ adj⁺(b) as its
+    * triangles, every triangle surfacing exactly once; the corner
+    * explode + count is one bounded shuffle on node id. Staged
+    * because the intersection pass is the m^{3/2} cost both
+    * consumers would otherwise pay per call. */
+  def copurchaseTriangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val oriented = copurchaseOriented(spark, dir)
+    val adj = copurchaseOrientedAdjacency(spark, dir)
+    stage(spark, dir, "triangleCounts") {
+      oriented.as("e")
+        .join(adj.as("au"), col("e.src") === col("au.src"))
+        .join(adj.withColumnRenamed("src", "w").as("av"), col("e.dst") === col("av.w"))
+        .select(col("e.src").as("a"), col("e.dst").as("b"),
+          explode(array_intersect(col("au.nbrs"), col("av.nbrs"))).as("c"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Distinct (part, supplier) lineitem incidence — the bipartite
     * link-scoring graph PageRank walks (one fact pass + distinct,
     * shared across invocations; consumers encode node ids however
@@ -218,6 +242,7 @@ object GraphStage {
     "graph.adjacency" -> (copurchaseAdjacency _),
     "graph.oriented" -> (copurchaseOriented _),
     "graph.orientedAdjacency" -> (copurchaseOrientedAdjacency _),
+    "graph.triangleCounts" -> (copurchaseTriangleCounts _),
     "graph.purchaseBipartite" -> (purchaseBipartite _),
     "graph.partSupplierPairs" -> (partSupplierPairs _))
 }

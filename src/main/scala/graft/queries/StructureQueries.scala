@@ -37,36 +37,47 @@ object StructureQueries {
     * through hash equi-joins on node ids (one row per edge — the
     * wedge fan-out happens inside a codegen'd array intersection, not
     * through an exchange); the top-k is TakeOrderedAndProject. */
-  def q_triangles(spark: SparkSession, dir: String): DataFrame = {
-    // the degree-ordered orientation + packed adjacency are staged
-    // snapshot artifacts ([[GraphStage.copurchaseOriented]] /
-    // [[GraphStage.copurchaseOrientedAdjacency]]) — built once per
-    // corpus snapshot, shared across invocations, like every other
-    // graph-family input.
-    //
-    // Edge-iterator with packed adjacency (Chiba–Nishizeki shape):
-    // each edge (a,b) yields its triangles as adj⁺(a) ∩ adj⁺(b) —
-    // under the (deg,id) orientation each triangle x<y<z surfaces
-    // exactly once, at base edge (x,y) with z the common
-    // out-neighbor. Materializing wedges (Σ C(outdeg,2) rows ≈
-    // m^{3/2}) through an exchange is the naive alternative — 16M
-    // wedge rows at sf0.1; here the same pair space collapses into
-    // per-row sorted-array intersections over arrays that travel
-    // packed (one row per EDGE through the joins), which benched 2×
-    // faster end-to-end (8.4s → 4.0s sf0.1) and shrinks shuffle
-    // bytes by the wedge/edge ratio at any scale. Degree-ordering
-    // still bounds every array at O(√m), so no hub explodes a row.
-    val oriented = GraphStage.copurchaseOriented(spark, dir)
-    val adj = GraphStage.copurchaseOrientedAdjacency(spark, dir)
-    val tri = oriented.as("e")
-      .join(adj.as("au"), col("e.src") === col("au.src"))
-      .join(adj.withColumnRenamed("src", "w").as("av"), col("e.dst") === col("av.w"))
-      .select(col("e.src").as("a"), col("e.dst").as("b"),
-        explode(array_intersect(col("au.nbrs"), col("av.nbrs"))).as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  def q_triangles(spark: SparkSession, dir: String): DataFrame =
+    // Per-node counts come from the STAGED triangle-count artifact
+    // ([[GraphStage.copurchaseTriangleCounts]]): the edge-iterator
+    // with packed adjacency (Chiba–Nishizeki shape) over the
+    // degree-ordered orientation — each edge (a,b) yields its
+    // triangles as adj⁺(a) ∩ adj⁺(b), every triangle exactly once,
+    // per-row sorted-array intersections instead of materialized
+    // wedge rows (benched 2× faster end-to-end, 8.4s → 4.0s sf0.1;
+    // shuffle bytes shrink by the wedge/edge ratio at any scale).
+    // Degree-ordering bounds every array at O(√m), so no hub
+    // explodes a row. The per-call residue is just the staged-table
+    // top-k — TakeOrderedAndProject.
+    GraphStage.copurchaseTriangleCounts(spark, dir)
       .orderBy(col("n_tri").desc, col("node").asc)
       .limit(TriTopK)
+
+  private val ClustTopK = 100
+
+  /** Local clustering coefficients on the co-purchase graph:
+    * c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the fraction of a
+    * node's neighbor pairs that are themselves adjacent (Watts &
+    * Strogatz 1998), the standard community-tightness signal next
+    * to raw triangle counts. Reads TWO staged artifacts and adds
+    * zero staging cost: the triangle-count table (numerator) and
+    * the degree table (denominator) join on node id, a
+    * broadcast-or-hash equi-join over snapshot tables. Nodes with
+    * deg < 2 have no neighbor pair and are excluded (undefined
+    * coefficient); triangle-free nodes coalesce to 0. The division
+    * is exact-integer operands under one IEEE double division,
+    * rounded — bit-identical in Spark and DuckDB. */
+  def q_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
+    val deg = GraphStage.copurchaseDegrees(spark, dir)
+    val tc = GraphStage.copurchaseTriangleCounts(spark, dir)
+    deg.where(col("deg") >= 2)
+      .join(tc, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+          / (col("deg") * (col("deg") - 1)), 10).as("clust_coeff"))
+      .orderBy(col("clust_coeff").desc, col("node").asc)
+      .limit(ClustTopK)
   }
 
   private val HitsStartMass = 1000000L
@@ -504,6 +515,7 @@ object StructureQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (q_triangles _),
+    "q_clustering_coeff" -> (q_clustering_coeff _),
     "q_hits" -> (q_hits _),
     "q_skyline" -> (q_skyline _),
     "q_link_pred" -> (q_link_pred _),
@@ -648,6 +660,32 @@ object StructureQueries {
        |SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
        |ORDER BY n_tri DESC, node ASC LIMIT $TriTopK""".stripMargin
 
+  /** Same triangle enumeration as [[trianglesSql]] (id-ordered a<b<c
+    * join chain — identical triangle set to the Spark side's
+    * degree-ordered orientation), joined to degrees for the
+    * coefficient; the division replays Spark's op order (2.0·n_tri
+    * first, then one double division, then round). */
+  private val clustCoeffSql =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |corners AS (SELECT a AS node FROM tri
+       |            UNION ALL SELECT b FROM tri
+       |            UNION ALL SELECT c FROM tri),
+       |tc AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node),
+       |d AS (SELECT node, COUNT(*) AS deg FROM
+       |      (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+       |SELECT d.node, d.deg,
+       |  COALESCE(tc.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       |  round(2.0 * COALESCE(tc.n_tri, CAST(0 AS BIGINT))
+       |        / (d.deg * (d.deg - 1)), 10) AS clust_coeff
+       |FROM d LEFT JOIN tc ON d.node = tc.node
+       |WHERE d.deg >= 2
+       |ORDER BY clust_coeff DESC, d.node ASC LIMIT $ClustTopK""".stripMargin
+
   private val degreeDistSql =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT a.p AS u, b.p AS v
@@ -705,6 +743,7 @@ object StructureQueries {
 
   val oracles: Map[String, String] = Map(
     "q_triangles" -> trianglesSql,
+    "q_clustering_coeff" -> clustCoeffSql,
     "q_hits" -> hitsSql,
     "q_skyline" -> skylineSql,
     "q_link_pred" -> linkPredSql,
