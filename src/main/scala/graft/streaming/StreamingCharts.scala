@@ -219,7 +219,7 @@ object StreamingCharts {
     * delta run on the store afterwards), append idempotently.
     * `foreachBatch` is where cross-entity total orders belong in a
     * streaming job. Returns rankings appended per batch. */
-  def rankingSink(scores: DataFrame, store: RankingStore): org.apache.spark.sql.streaming.StreamingQuery =
+  def rankingSink(scores: DataFrame, store: RankingSink): org.apache.spark.sql.streaming.StreamingQuery =
     scores.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -249,14 +249,26 @@ object StreamingCharts {
       .select("date", "platform", "entity_id", "rank")
   }
 
-  /** Minimal append store for tests/demos: accumulates ranked days in
-    * memory; a deployment would append date-partitioned parquet. */
-  final class RankingStore(spark: SparkSession) {
-    import org.apache.spark.sql.Row
+  /** The transactional-ish sink seam [[rankingSink]] writes through:
+    * batch-id-keyed append, where a replayed micro-batch
+    * (at-least-once foreachBatch) must commit nothing. */
+  trait RankingSink {
+    def appendOnce(batchId: Long, df: DataFrame): Unit
+    def snapshot(): DataFrame
+  }
+
+  private val rankingSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    private val schema = StructType(Seq(
+    StructType(Seq(
       StructField("date", DateType), StructField("platform", StringType),
       StructField("entity_id", LongType), StructField("rank", IntegerType)))
+  }
+
+  /** Minimal append store for tests/demos: accumulates ranked days in
+    * memory; the durable form is [[DurableRankingStore]]. */
+  final class RankingStore(spark: SparkSession) extends RankingSink {
+    import org.apache.spark.sql.Row
+    private val schema = rankingSchema
     @volatile private var rows: Seq[Row] = Seq.empty
     private val committed = scala.collection.mutable.Set.empty[Long]
     def append(df: DataFrame): Unit = synchronized {
@@ -277,5 +289,55 @@ object StreamingCharts {
     def snapshot(): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows), schema)
+  }
+
+  /** Durable ranking sink through the [[graft.etl.VersionedParquet]]
+    * table-format seam: the (batchId → committed) ledger rides ON the
+    * rows (`batch_id` column), so ledger and data land in the SAME
+    * atomic versioned-parquet commit — the guarantee the in-memory
+    * [[RankingStore]] documents itself as lacking. A driver restart
+    * (new store instance, same root) rehydrates exactly the committed
+    * ledger from the table, so a micro-batch replayed across the
+    * crash commits nothing (crash-replay spec'd in StreamingSpec).
+    *
+    * Scale note: each commit rewrites the table as the next version —
+    * fine for a daily top-k table (tens of rows/day); a high-volume
+    * deployment would swap in a log-based [[graft.etl.TableFormat]]
+    * whose commit appends files instead of rewriting, behind this
+    * same interface. */
+  final class DurableRankingStore(spark: SparkSession, root: String) extends RankingSink {
+    private val fmt = new graft.etl.VersionedParquet(spark, root)
+    private val table = "rankings"
+
+    private def current(): Option[DataFrame] =
+      if (fmt.currentVersion(table) > 0) Some(fmt.read(table)) else None
+
+    /** The rehydrated ledger — exactly the batches whose data is
+      * committed, by construction. */
+    def committedBatchIds(): Set[Long] = current() match {
+      case None => Set.empty
+      case Some(cur) =>
+        cur.select("batch_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+    }
+
+    def appendOnce(batchId: Long, df: DataFrame): Unit = synchronized {
+      val stamped = df.withColumn("batch_id", lit(batchId))
+      current() match {
+        case None => fmt.overwrite(table, stamped)
+        case Some(cur) =>
+          // the ledger check reads the SAME committed version the
+          // union below extends — no window where data commits
+          // without its ledger entry
+          if (cur.where(col("batch_id") === batchId).isEmpty)
+            fmt.overwrite(table, cur.unionByName(stamped))
+      }
+    }
+
+    def snapshot(): DataFrame = current() match {
+      case Some(cur) => cur.drop("batch_id")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rankingSchema)
+    }
   }
 }

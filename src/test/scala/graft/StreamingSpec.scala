@@ -111,6 +111,30 @@ class StreamingSpec extends SparkSpec {
     assert(store.snapshot().count() == 2)
   }
 
+  test("durable ranking ledger survives a driver restart: cross-crash replay commits nothing") {
+    val root = java.nio.file.Files.createTempDirectory("rankstore").toString
+    val day = Seq((Date.valueOf("2024-01-01"), "click", 7L, "9.5"))
+      .toDF("date", "platform", "entity_id", "score")
+      .select($"date", $"platform", $"entity_id", $"score".cast("decimal(14,2)"))
+    val s1 = new StreamingCharts.DurableRankingStore(spark, root)
+    s1.appendOnce(0L, StreamingCharts.rankBatch(day))
+    s1.appendOnce(0L, StreamingCharts.rankBatch(day)) // same-JVM replay: no-op
+    // "crash" between sink write and checkpoint commit, then driver
+    // restart: a FRESH store instance over the same root — all
+    // in-memory state gone, the ledger must come back from the table
+    val s2 = new StreamingCharts.DurableRankingStore(spark, root)
+    assert(s2.committedBatchIds() === Set(0L))
+    s2.appendOnce(0L, StreamingCharts.rankBatch(day)) // cross-crash replay: no-op
+    s2.appendOnce(1L, StreamingCharts.rankBatch(day)) // a real new batch
+    assert(s2.snapshot().count() === 2)
+    assert(s2.committedBatchIds() === Set(0L, 1L))
+    // and a THIRD rehydration still sees exactly the committed state
+    val s3 = new StreamingCharts.DurableRankingStore(spark, root)
+    assert(s3.snapshot().count() === 2)
+    assert(s3.snapshot().columns.toSeq ===
+      Seq("date", "platform", "entity_id", "rank"))
+  }
+
   test("streaming curation applies the batch language gate (und dropped)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
