@@ -182,6 +182,26 @@ object GraphStage {
     }
   }
 
+  /** (u, v, support) — each co-purchase edge's triangle support
+    * (|N(u) ∩ N(v)|), the k-truss seed state and the edge-level
+    * twin of [[copurchaseTriangleCounts]]. One codegen'd
+    * sorted-array intersection per edge row over the staged
+    * adjacency — no wedge rows through an exchange. Staged because
+    * the full-graph support pass is the dominant k-truss cost; the
+    * peel itself then only maintains DELTAS. */
+  def copurchaseEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    val adj = copurchaseAdjacency(spark, dir)
+    stage(spark, dir, "edgeSupport") {
+      edges
+        .join(adj.select(col("node").as("u"), col("nbrs").as("__un")), "u")
+        .join(adj.select(col("node").as("v"), col("nbrs").as("__vn")), "v")
+        .select(col("u"), col("v"),
+          size(array_intersect(col("__un"), col("__vn"))).as("support"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Distinct (part, supplier) lineitem incidence — the bipartite
     * link-scoring graph PageRank walks (one fact pass + distinct,
     * shared across invocations; consumers encode node ids however
@@ -243,6 +263,7 @@ object GraphStage {
     "graph.oriented" -> (copurchaseOriented _),
     "graph.orientedAdjacency" -> (copurchaseOrientedAdjacency _),
     "graph.triangleCounts" -> (copurchaseTriangleCounts _),
+    "graph.edgeSupport" -> (copurchaseEdgeSupport _),
     "graph.purchaseBipartite" -> (purchaseBipartite _),
     "graph.partSupplierPairs" -> (partSupplierPairs _))
 }

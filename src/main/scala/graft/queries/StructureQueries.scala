@@ -220,6 +220,145 @@ object StructureQueries {
       .orderBy(col("part").asc, col("rank").asc)
   }
 
+  private val TrussRounds = 6
+  private val TrussPctDenom = 50 // min_sup = exact ⌈m/50⌉-th smallest support
+
+  /** k-truss of the co-purchase graph (Cohen 2008): iteratively drop
+    * edges whose triangle support in the SURVIVING subgraph falls
+    * below the threshold, until fixpoint — the edge-level analog of
+    * [[q_kcore]]'s node peeling, and the standard cohesive-subgraph
+    * gate one notch stronger than k-core (every surviving edge sits
+    * in ≥ min_sup triangles of survivors). The threshold is the
+    * exact ⌈m/50⌉-th smallest initial support (k−2 in truss terms),
+    * data-driven like k-core's percentile so the peel is
+    * non-degenerate at every scale factor.
+    *
+    * Scale — DELTA peeling, never a full recompute per round (the
+    * naive recompute benched 12.5 s at sf0.1; this shape ~1 s): the
+    * full-graph support pass is the STAGED
+    * [[GraphStage.copurchaseEdgeSupport]] artifact, and each round
+    * then (1) enumerates only the triangles containing ≥1 removed
+    * edge — |removed|·deg candidate rows, ~2% of the graph in round
+    * one and a trickle after — via one join against the pre-round
+    * edge set plus a semi-join closure check, (2) dedups them by
+    * sorted node triple (a triangle with TWO dying edges must
+    * decrement its survivor once, not twice), and (3) decrements the
+    * surviving member edges. Supports stay exact by induction, so
+    * the peel's filters match the oracle's full recomputes
+    * round-for-round. Rounds cap at [[TrussRounds]] with the k-core
+    * contract: the oracle unrolls exactly this bound (peeling is
+    * idempotent at the fixpoint), and a non-converged final state
+    * refuses to return rather than diverge silently. */
+  def q_ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val sup0 = GraphStage.copurchaseEdgeSupport(spark, dir)
+    // exact percentile over the support HISTOGRAM (≤ a few hundred
+    // distinct values): tiny self-join, no global sort
+    val hist = sup0.groupBy(col("support").as("s")).agg(count(lit(1)).as("cnt"))
+    val msDf = hist.as("a").join(hist.as("b"), col("b.s") <= col("a.s"))
+      .groupBy(col("a.s").as("s")).agg(sum(col("b.cnt")).as("cum"))
+      .crossJoin(broadcast(sup0.agg(count(lit(1)).as("m"))))
+      .where(col("cum") >= expr(s"(m + ${TrussPctDenom - 1}) DIV $TrussPctDenom"))
+      .agg(min(col("s")).as("min_sup"))
+    val msCp = msDf.localCheckpoint(true)
+    // state = every still-present edge with its EXACT support in the
+    // current subgraph; min_sup baked on like k-core's k
+    var state = sup0.crossJoin(broadcast(msCp)).localCheckpoint(true)
+    var spent = List.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done && round < TrussRounds) {
+      val removed = state.where(col("support") < col("min_sup")).select("u", "v")
+      if (removed.isEmpty) done = true
+      else {
+        // triangles of the PRE-round edge set containing a removed
+        // edge (u,v): z adjacent to u via any pre-round edge, with
+        // (v,z) also pre-round — the closure semi-join. Both
+        // orientations of the removed edge are covered because z may
+        // hang off either endpoint.
+        val dirAll = state.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(state.select(col("v").as("src"), col("u").as("dst")))
+        val edgeSet = state.select(col("u").as("eu"), col("v").as("ev"))
+        val cand = removed
+          .join(dirAll, col("u") === col("src"))
+          .where(col("dst") =!= col("v"))
+          .select(col("u"), col("v"), col("dst").as("z"))
+        val tris = cand
+          .withColumn("eu", least(col("v"), col("z")))
+          .withColumn("ev", greatest(col("v"), col("z")))
+          .join(edgeSet, Seq("eu", "ev"), "left_semi")
+          .select(array_sort(array(col("u"), col("v"), col("z"))).as("t"))
+          .distinct() // triangle identity: the sorted node triple
+          .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
+        val triEdges = tris.select(explode(array(
+            struct(col("x").as("u"), col("y").as("v")),
+            struct(col("x").as("u"), col("z").as("v")),
+            struct(col("y").as("u"), col("z").as("v")))).as("e"))
+          .select(col("e.u"), col("e.v"))
+        val dec = triEdges.join(removed, Seq("u", "v"), "left_anti")
+          .groupBy("u", "v").agg(count(lit(1)).as("dec"))
+        val next = state.join(removed, Seq("u", "v"), "left_anti")
+          .join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("support") - coalesce(col("dec"), lit(0L))).cast("int").as("support"),
+            col("min_sup"))
+          .localCheckpoint(true)
+        spent ::= state
+        state = next
+        round += 1
+      }
+    }
+    graft.operators.CheckpointBlocks.free(spent)
+    graft.operators.CheckpointBlocks.free(msCp)
+    val finalState = graft.operators.CheckpointBlocks.retire("q_ktruss.state", state)
+    // the oracle unrolls exactly TrussRounds filter rounds and then
+    // RECOMPUTES final supports — equal to the maintained ones only
+    // at the fixpoint, so a non-converged state must refuse.
+    // Convergence is observed (`done`) or verified on the final state
+    // (the last allowed round may remove the last sub-threshold edges)
+    require(done || finalState.where(col("support") < col("min_sup")).isEmpty,
+      s"q_ktruss: peel did not reach fixpoint within $TrussRounds rounds; " +
+        "raise TrussRounds (the oracle unrolls the same bound)")
+    finalState.select(col("u"), col("v"), col("support"), col("min_sup"))
+      .orderBy(col("u").asc, col("v").asc)
+  }
+
+  private val ktrussSql: String = {
+    val supportOver = (e: String, adj: String, out: String) =>
+      s"""$out AS (SELECT e.u, e.v, CAST(COUNT(y.nbr) AS INTEGER) AS support
+         |     FROM $e e
+         |     JOIN $adj x ON x.node = e.u
+         |     LEFT JOIN $adj y ON y.node = e.v AND y.nbr = x.nbr
+         |     GROUP BY e.u, e.v)""".stripMargin
+    val rounds = (1 until TrussRounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""adj$i AS (SELECT u AS node, v AS nbr FROM $prev
+         |       UNION ALL SELECT v, u FROM $prev),
+         |${supportOver(prev, s"adj$i", s"s$i")},
+         |e$i AS MATERIALIZED (SELECT u, v FROM s$i, kk WHERE support >= min_sup)""".stripMargin
+    }.mkString(",\n")
+    val last = s"e${TrussRounds - 1}"
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |      FROM lineitem),
+       |eAll AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+       |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |adj0 AS MATERIALIZED (SELECT u AS node, v AS nbr FROM eAll
+       |       UNION ALL SELECT v, u FROM eAll),
+       |${supportOver("eAll", "adj0", "s0")},
+       |h AS (SELECT support AS s, COUNT(*) AS cnt FROM s0 GROUP BY 1),
+       |cum AS (SELECT a.s, SUM(b.cnt) AS cum FROM h a JOIN h b ON b.s <= a.s
+       |        GROUP BY a.s),
+       |mm AS (SELECT COUNT(*) AS m FROM s0),
+       |kk AS (SELECT MIN(s) AS min_sup FROM cum, mm
+       |       WHERE cum >= (m + ${TrussPctDenom - 1}) // $TrussPctDenom),
+       |e0 AS MATERIALIZED (SELECT u, v FROM s0, kk WHERE support >= min_sup),
+       |$rounds,
+       |adjF AS (SELECT u AS node, v AS nbr FROM $last
+       |       UNION ALL SELECT v, u FROM $last),
+       |${supportOver(last, "adjF", "sF")}
+       |SELECT u, v, support, min_sup FROM sF, kk
+       |ORDER BY u ASC, v ASC""".stripMargin
+  }
+
   private val KCoreRounds = 16
   private val KCorePctDenom = 50 // k = exact ⌈n/50⌉-th smallest degree
 
@@ -516,6 +655,7 @@ object StructureQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> (q_triangles _),
     "q_clustering_coeff" -> (q_clustering_coeff _),
+    "q_ktruss" -> (q_ktruss _),
     "q_hits" -> (q_hits _),
     "q_skyline" -> (q_skyline _),
     "q_link_pred" -> (q_link_pred _),
@@ -744,6 +884,7 @@ object StructureQueries {
   val oracles: Map[String, String] = Map(
     "q_triangles" -> trianglesSql,
     "q_clustering_coeff" -> clustCoeffSql,
+    "q_ktruss" -> ktrussSql,
     "q_hits" -> hitsSql,
     "q_skyline" -> skylineSql,
     "q_link_pred" -> linkPredSql,
