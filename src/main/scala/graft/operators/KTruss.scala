@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delta-maintained k-truss peeling (Cohen 2008): iteratively drop
+  * edges whose triangle support among SURVIVORS falls below the
+  * per-row threshold, until fixpoint or the round cap.
+  *
+  * Never a full support recompute per round (that shape benched
+  * 12.5 s vs ~1 s at sf0.1 on the co-purchase graph): each round
+  * (1) enumerates only the triangles containing ≥1 removed edge —
+  * |removed|·deg candidate rows via one join against the pre-round
+  * edge set plus a semi-join closure check, (2) dedups them by
+  * sorted node triple (a triangle with TWO dying edges must
+  * decrement its survivor once, not twice — KTrussSpec pins this on
+  * a hand-built graph), and (3) decrements the surviving member
+  * edges. Supports stay exact by induction, so the bounded peel's
+  * filters match a full-recompute replay round-for-round — the
+  * property the DuckDB oracle (StructureQueries.ktrussSql) relies
+  * on.
+  *
+  * Checkpoint hygiene follows k-core/PageRank: per-round eager
+  * localCheckpoint truncates lineage, superseded rounds free
+  * immediately, and the returned final state retires under
+  * `retireSite` (freed by the NEXT invocation — it is part of the
+  * returned lazy plan, so it must outlive this call).
+  */
+object KTruss {
+
+  /** @param state0 edge-support state: (u, v, support, min_sup) with
+    *   u < v and `support` the exact triangle support in the full
+    *   graph (extra columns are not preserved).
+    * @return (final state — every row ≥ its min_sup iff converged,
+    *   retired under `retireSite`; whether a round observed an empty
+    *   removal set). A cap exit can still be converged if the last
+    *   round removed the final sub-threshold edges — callers decide
+    *   whether to verify or refuse. */
+  def peel(state0: DataFrame, maxRounds: Int, retireSite: String): (DataFrame, Boolean) = {
+    var state = state0
+      .select("u", "v", "support", "min_sup")
+      .localCheckpoint(true)
+    var spent = List.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val removed = state.where(col("support") < col("min_sup")).select("u", "v")
+      if (removed.isEmpty) done = true
+      else {
+        // triangles of the PRE-round edge set containing a removed
+        // edge (u,v): z adjacent to u via any pre-round edge (both
+        // orientations), with (v,z) also pre-round — the closure
+        // semi-join; z is then adjacent to BOTH endpoints
+        val dirAll = state.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(state.select(col("v").as("src"), col("u").as("dst")))
+        val edgeSet = state.select(col("u").as("eu"), col("v").as("ev"))
+        val cand = removed
+          .join(dirAll, col("u") === col("src"))
+          .where(col("dst") =!= col("v"))
+          .select(col("u"), col("v"), col("dst").as("z"))
+        val tris = cand
+          .withColumn("eu", least(col("v"), col("z")))
+          .withColumn("ev", greatest(col("v"), col("z")))
+          .join(edgeSet, Seq("eu", "ev"), "left_semi")
+          .select(array_sort(array(col("u"), col("v"), col("z"))).as("t"))
+          .distinct() // triangle identity: the sorted node triple
+          .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
+        val triEdges = tris.select(explode(array(
+            struct(col("x").as("u"), col("y").as("v")),
+            struct(col("x").as("u"), col("z").as("v")),
+            struct(col("y").as("u"), col("z").as("v")))).as("e"))
+          .select(col("e.u"), col("e.v"))
+        val dec = triEdges.join(removed, Seq("u", "v"), "left_anti")
+          .groupBy("u", "v").agg(count(lit(1)).as("dec"))
+        val next = state.join(removed, Seq("u", "v"), "left_anti")
+          .join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("support") - coalesce(col("dec"), lit(0L))).cast("int").as("support"),
+            col("min_sup"))
+          .localCheckpoint(true)
+        spent ::= state
+        state = next
+        round += 1
+      }
+    }
+    CheckpointBlocks.free(spent)
+    (CheckpointBlocks.retire(retireSite, state), done)
+  }
+}

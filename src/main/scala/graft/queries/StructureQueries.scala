@@ -233,22 +233,16 @@ object StructureQueries {
     * data-driven like k-core's percentile so the peel is
     * non-degenerate at every scale factor.
     *
-    * Scale — DELTA peeling, never a full recompute per round (the
-    * naive recompute benched 12.5 s at sf0.1; this shape ~1 s): the
-    * full-graph support pass is the STAGED
-    * [[GraphStage.copurchaseEdgeSupport]] artifact, and each round
-    * then (1) enumerates only the triangles containing ≥1 removed
-    * edge — |removed|·deg candidate rows, ~2% of the graph in round
-    * one and a trickle after — via one join against the pre-round
-    * edge set plus a semi-join closure check, (2) dedups them by
-    * sorted node triple (a triangle with TWO dying edges must
-    * decrement its survivor once, not twice), and (3) decrements the
-    * surviving member edges. Supports stay exact by induction, so
-    * the peel's filters match the oracle's full recomputes
-    * round-for-round. Rounds cap at [[TrussRounds]] with the k-core
-    * contract: the oracle unrolls exactly this bound (peeling is
-    * idempotent at the fixpoint), and a non-converged final state
-    * refuses to return rather than diverge silently. */
+    * Scale: the full-graph support pass is the STAGED
+    * [[GraphStage.copurchaseEdgeSupport]] artifact, and the peel is
+    * [[graft.operators.KTruss.peel]]'s delta maintenance — only the
+    * triangles touching removed edges are enumerated per round, so
+    * per-round cost tracks the removal trickle, not the graph (the
+    * full-recompute form benched 12.5 s vs ~1 s at sf0.1). Rounds
+    * cap at [[TrussRounds]] with the k-core contract: the oracle
+    * unrolls exactly this bound (peeling is idempotent at the
+    * fixpoint), and a non-converged final state refuses to return
+    * rather than diverge silently. */
   def q_ktruss(spark: SparkSession, dir: String): DataFrame = {
     val sup0 = GraphStage.copurchaseEdgeSupport(spark, dir)
     // exact percentile over the support HISTOGRAM (≤ a few hundred
@@ -260,56 +254,11 @@ object StructureQueries {
       .where(col("cum") >= expr(s"(m + ${TrussPctDenom - 1}) DIV $TrussPctDenom"))
       .agg(min(col("s")).as("min_sup"))
     val msCp = msDf.localCheckpoint(true)
-    // state = every still-present edge with its EXACT support in the
-    // current subgraph; min_sup baked on like k-core's k
-    var state = sup0.crossJoin(broadcast(msCp)).localCheckpoint(true)
-    var spent = List.empty[DataFrame]
-    var round = 0
-    var done = false
-    while (!done && round < TrussRounds) {
-      val removed = state.where(col("support") < col("min_sup")).select("u", "v")
-      if (removed.isEmpty) done = true
-      else {
-        // triangles of the PRE-round edge set containing a removed
-        // edge (u,v): z adjacent to u via any pre-round edge, with
-        // (v,z) also pre-round — the closure semi-join. Both
-        // orientations of the removed edge are covered because z may
-        // hang off either endpoint.
-        val dirAll = state.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(state.select(col("v").as("src"), col("u").as("dst")))
-        val edgeSet = state.select(col("u").as("eu"), col("v").as("ev"))
-        val cand = removed
-          .join(dirAll, col("u") === col("src"))
-          .where(col("dst") =!= col("v"))
-          .select(col("u"), col("v"), col("dst").as("z"))
-        val tris = cand
-          .withColumn("eu", least(col("v"), col("z")))
-          .withColumn("ev", greatest(col("v"), col("z")))
-          .join(edgeSet, Seq("eu", "ev"), "left_semi")
-          .select(array_sort(array(col("u"), col("v"), col("z"))).as("t"))
-          .distinct() // triangle identity: the sorted node triple
-          .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
-        val triEdges = tris.select(explode(array(
-            struct(col("x").as("u"), col("y").as("v")),
-            struct(col("x").as("u"), col("z").as("v")),
-            struct(col("y").as("u"), col("z").as("v")))).as("e"))
-          .select(col("e.u"), col("e.v"))
-        val dec = triEdges.join(removed, Seq("u", "v"), "left_anti")
-          .groupBy("u", "v").agg(count(lit(1)).as("dec"))
-        val next = state.join(removed, Seq("u", "v"), "left_anti")
-          .join(dec, Seq("u", "v"), "left")
-          .select(col("u"), col("v"),
-            (col("support") - coalesce(col("dec"), lit(0L))).cast("int").as("support"),
-            col("min_sup"))
-          .localCheckpoint(true)
-        spent ::= state
-        state = next
-        round += 1
-      }
-    }
-    graft.operators.CheckpointBlocks.free(spent)
+    // state = every edge with its EXACT support, min_sup baked on
+    // like k-core's k; the peel itself lives in the reusable operator
+    val (finalState, done) = graft.operators.KTruss.peel(
+      sup0.crossJoin(broadcast(msCp)), TrussRounds, "q_ktruss.state")
     graft.operators.CheckpointBlocks.free(msCp)
-    val finalState = graft.operators.CheckpointBlocks.retire("q_ktruss.state", state)
     // the oracle unrolls exactly TrussRounds filter rounds and then
     // RECOMPUTES final supports — equal to the maintained ones only
     // at the fixpoint, so a non-converged state must refuse.
