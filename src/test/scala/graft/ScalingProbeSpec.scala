@@ -18,6 +18,7 @@ class ScalingProbeSpec extends SparkSpec {
     "q_fuzzy_join", // deletion-variant blocking
     "q_triangles", // packed-adjacency intersections over the staged edges
     "q_kcore", // histogram threshold + delta-peel rounds
+    "q_ktruss", // staged edge support + delta triangle peeling
     "q_pagerank", // iterative integer mass
     "q_cc_incremental", // daily fold: index probe + batch mining + delta CC
     "q_phash_dedup", // perceptual-hash banded join + Hamming verify
@@ -59,6 +60,10 @@ class ScalingProbeSpec extends SparkSpec {
         graft.queries.GraphStage.copurchasePairCounts(spark, dir).count()),
       buildProbe("bipartite build")(dir =>
         graft.queries.GraphStage.purchaseBipartite(spark, dir).count()),
+      buildProbe("tri-count build")(dir =>
+        graft.queries.GraphStage.copurchaseTriangleCounts(spark, dir).count()),
+      buildProbe("edge-support build")(dir =>
+        graft.queries.GraphStage.copurchaseEdgeSupport(spark, dir).count()),
       buildProbe("cc-prior build")(dir =>
         graft.queries.DedupStage.corpusSliceLabels(spark, dir).count()),
       buildProbe("lm-stage build")(dir =>
