@@ -37,9 +37,12 @@ object KTruss {
     *   round removed the final sub-threshold edges — callers decide
     *   whether to verify or refuse. */
   def peel(state0: DataFrame, maxRounds: Int, retireSite: String): (DataFrame, Boolean) = {
-    var state = state0
-      .select("u", "v", "support", "min_sup")
-      .localCheckpoint(true)
+    // state0 is NOT checkpointed here: callers hand a cheap-to-rescan
+    // frame (a staged artifact plus a broadcast scalar), round one
+    // scans it a handful of times, and every produced round
+    // checkpoints — materializing the full edge set again up front
+    // just duplicates the artifact's blocks
+    var state = state0.select("u", "v", "support", "min_sup")
     var spent = List.empty[DataFrame]
     var round = 0
     var done = false
@@ -84,6 +87,11 @@ object KTruss {
       }
     }
     CheckpointBlocks.free(spent)
-    (CheckpointBlocks.retire(retireSite, state), done)
+    // retire ONLY states this loop checkpointed: a round-0 fixpoint
+    // returns the caller's lazy state0, whose lineage reaches the
+    // staged support artifact — retiring it would hand the NEXT
+    // invocation a license to free the artifact's own blocks
+    if (round == 0) (state, done)
+    else (CheckpointBlocks.retire(retireSite, state), done)
   }
 }

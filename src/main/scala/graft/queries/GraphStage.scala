@@ -221,6 +221,30 @@ object GraphStage {
     }
   }
 
+  /** min_sup = the exact ⌈m/denom⌉-th smallest support in the truss
+    * seed state (k-core's percentile recipe at the edge level). */
+  private[queries] val TrussPctDenom = 50
+
+  /** 1-row (min_sup) snapshot scalar: the truss peel threshold from
+    * the support HISTOGRAM (≤ a few hundred distinct values —
+    * cumulative counts via a tiny self-join, no sort of the edge
+    * table). Staged because it is snapshot-pure and every truss
+    * invocation otherwise pays two extra passes over the support
+    * artifact to rederive it. */
+  def copurchaseTrussThreshold(spark: SparkSession, dir: String,
+      denom: Int = TrussPctDenom): DataFrame = {
+    val sup0 = copurchaseEdgeSupport(spark, dir)
+    stage(spark, dir, s"trussThreshold_$denom") {
+      val hist = sup0.groupBy(col("support").as("s")).agg(count(lit(1)).as("cnt"))
+      hist.as("a").join(hist.as("b"), col("b.s") <= col("a.s"))
+        .groupBy(col("a.s").as("s")).agg(sum(col("b.cnt")).as("cum"))
+        .crossJoin(broadcast(sup0.agg(count(lit(1)).as("m"))))
+        .where(col("cum") >= expr(s"(m + ${denom - 1}) DIV $denom"))
+        .agg(min(col("s")).as("min_sup"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** Distinct (part, supplier) lineitem incidence — the bipartite
     * link-scoring graph PageRank walks (one fact pass + distinct,
     * shared across invocations; consumers encode node ids however
@@ -283,6 +307,7 @@ object GraphStage {
     "graph.orientedAdjacency" -> (copurchaseOrientedAdjacency _),
     "graph.triangleCounts" -> (copurchaseTriangleCounts _),
     "graph.edgeSupport" -> (copurchaseEdgeSupport _),
+    "graph.trussThreshold" -> ((s: SparkSession, d: String) => copurchaseTrussThreshold(s, d)),
     "graph.purchaseBipartite" -> (purchaseBipartite _),
     "graph.partSupplierPairs" -> (partSupplierPairs _))
 }

@@ -232,7 +232,9 @@ object StructureQueries {
   // silent agreement on a wrong answer.
   private val TrussRounds = 20
   private val TrussOracleRounds = 8
-  private val TrussPctDenom = 50 // min_sup = exact ⌈m/50⌉-th smallest support
+  // min_sup percentile denominator — single source in GraphStage so
+  // the staged threshold artifact and this oracle can never disagree
+  private val TrussPctDenom = GraphStage.TrussPctDenom
 
   /** k-truss of the co-purchase graph (Cohen 2008): iteratively drop
     * edges whose triangle support in the SURVIVING subgraph falls
@@ -255,21 +257,12 @@ object StructureQueries {
     * fixpoint), and a non-converged final state refuses to return
     * rather than diverge silently. */
   def q_ktruss(spark: SparkSession, dir: String): DataFrame = {
+    // both peel inputs are staged snapshot artifacts — the per-call
+    // residue is the peel rounds themselves plus the final order-by
     val sup0 = GraphStage.copurchaseEdgeSupport(spark, dir)
-    // exact percentile over the support HISTOGRAM (≤ a few hundred
-    // distinct values): tiny self-join, no global sort
-    val hist = sup0.groupBy(col("support").as("s")).agg(count(lit(1)).as("cnt"))
-    val msDf = hist.as("a").join(hist.as("b"), col("b.s") <= col("a.s"))
-      .groupBy(col("a.s").as("s")).agg(sum(col("b.cnt")).as("cum"))
-      .crossJoin(broadcast(sup0.agg(count(lit(1)).as("m"))))
-      .where(col("cum") >= expr(s"(m + ${TrussPctDenom - 1}) DIV $TrussPctDenom"))
-      .agg(min(col("s")).as("min_sup"))
-    val msCp = msDf.localCheckpoint(true)
-    // state = every edge with its EXACT support, min_sup baked on
-    // like k-core's k; the peel itself lives in the reusable operator
+    val ms = GraphStage.copurchaseTrussThreshold(spark, dir, TrussPctDenom)
     val (finalState, done) = graft.operators.KTruss.peel(
-      sup0.crossJoin(broadcast(msCp)), TrussRounds, "q_ktruss.state")
-    graft.operators.CheckpointBlocks.free(msCp)
+      sup0.crossJoin(broadcast(ms)), TrussRounds, "q_ktruss.state")
     // the oracle unrolls exactly TrussRounds filter rounds and then
     // RECOMPUTES final supports — equal to the maintained ones only
     // at the fixpoint, so a non-converged state must refuse.
