@@ -54,19 +54,23 @@ object Bench {
     // temp root, so cold is a real cold build; `off` restores the
     // session-checkpoint staging of rounds ≤7 (cold/warm report -1).
     import graft.queries.{StageStore, Stages}
-    val warehouseRoot = sys.env.get("SPARK_GRAFT_BENCH_WAREHOUSE") match {
-      case Some("off") => None
-      case Some(root)  => Some(root)
-      case None =>
-        Some(java.nio.file.Files.createTempDirectory("graft-bench-stage").toString)
-    }
+    val (warehouseRoot, ownsWarehouseDir) =
+      sys.env.get("SPARK_GRAFT_BENCH_WAREHOUSE") match {
+        case Some("off") => (None, false)
+        case Some(root)  => (Some(root), false)
+        case None =>
+          (Some(java.nio.file.Files.createTempDirectory("graft-bench-stage").toString),
+            true)
+      }
     val (prewarmWall, stagedColdSec, stagedWarmSec) = warehouseRoot match {
       case Some(root) =>
         StageStore.setForTesting(sfDir, root)
         val cold = Stages.resolveAllConcurrently(spark, sfDir)
         // drop the memos — exactly the state a new driver JVM starts
-        // without — so the second resolve measures the store read path
-        Stages.clearAllForTesting()
+        // without — so the second resolve measures the store read
+        // path; the cold copies' blocks free NOW, not at ContextCleaner
+        // GC, so the timed loop never runs beside a 2× staged-memory spike
+        Stages.clearAllAndFree()
         val warm = Stages.resolveAllConcurrently(spark, sfDir)
         println(f"""[bench] warehouse staged: cold=$cold%.3fs warm=$warm%.3fs""")
         (cold, cold, warm)
@@ -191,6 +195,16 @@ object Bench {
     val tablesField = tableCounts
       .map { case (n, c) => s"\"" + n + "\":" + c }.mkString("{", ",", "}")
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","interleaved":true,"events_ts":"$eventsTsKind","tables":$tablesField,$perStage,"staged_sec":${r3(staged)},"staged_cold_sec":${r3(stagedColdSec)},"staged_warm_sec":${r3(stagedWarmSec)},$retimedField$spreadField"spread_max":${r3(spreadMax)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
+    // a per-run temp warehouse root is ours to remove (artifacts are
+    // memoized in memory; nothing reads the store after the loop) —
+    // user-pinned roots are left alone
+    if (ownsWarehouseDir) warehouseRoot.foreach { root =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")

@@ -70,15 +70,29 @@ object DailyEtl {
       spark.emptyDataset[Music.Ranking].toDF())
   }
 
+  /** Cross-table atomicity rides a MANIFEST table committed LAST:
+    * the manifest pins the exact (table → version) quadruple of one
+    * consistent daily state, and reads always go through it. A crash
+    * anywhere mid-persist leaves at worst ORPHAN table versions the
+    * manifest never points to — the next run reads the previous
+    * complete state (or day-1 empty, if no manifest ever committed)
+    * and its own commit simply supersedes the orphans. Without this,
+    * four independent sequential commits could tear: a day-3 read of
+    * artist@v2 + song@v1 is FK-inconsistent forever. */
   private def loadDb(spark: SparkSession, fmt: VersionedParquet): MusicDb =
-    if (tableNames.forall(fmt.currentVersion(_) > 0))
-      MusicDb(fmt.read("artist"), fmt.read("song"),
-        fmt.read("artist_song_map"), fmt.read("ranking"))
-    else emptyDb(spark) // day 1: nothing committed yet
+    if (fmt.currentVersion("manifest") > 0) {
+      val pinned = fmt.read("manifest").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def tbl(n: String) = fmt.readVersion(n, pinned(n))
+      MusicDb(tbl("artist"), tbl("song"), tbl("artist_song_map"), tbl("ranking"))
+    } else emptyDb(spark) // day 1: nothing committed yet
 
-  private def persist(fmt: VersionedParquet, db: MusicDb): Unit =
-    tableNames.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
-      .foreach { case (n, df) => fmt.overwrite(n, df) }
+  private def persist(spark: SparkSession, fmt: VersionedParquet, db: MusicDb): Unit = {
+    import spark.implicits._
+    val versions = tableNames.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
+      .map { case (n, df) => fmt.overwrite(n, df); (n, fmt.currentVersion(n)) }
+    fmt.overwrite("manifest", versions.toDF("table_name", "version"))
+  }
 
   /** One daily run, fetcher-injected (specs pass [[Sources
     * .FileFetcher]]; [[main]] wires HTTP/file dispatch). Returns the
@@ -115,13 +129,21 @@ object DailyEtl {
     }.toSeq
     val docs = Sources.songDocsFromTracksJson(
       responses.toDF("batch_id", "body"), batchSize = cfg.batchSize)
+    // the abort contract covers BOTH fetch stages: a tracks response
+    // that silently dropped an id (under-full is legal per batch —
+    // only OVER-full raises in the parser) must abort the run, not
+    // load a short day
+    val nDocs = docs.count()
+    if (nDocs != cfg.topN)
+      throw new SongDataNotFoundError(
+        s"Ranking data is missing: track lookup returned $nDocs of ${cfg.topN} songs.")
 
     // 3. FK-ordered load over the committed state; the parquet commit
     //    IS the between-days checkpoint (no in-memory lineage survives
     //    a day boundary — PipelineE2ESpec's chained-plan lesson)
     val fmt = new VersionedParquet(spark, cfg.storeRoot)
     val res = Load.loadBatch(loadDb(spark, fmt), docs, java.sql.Date.valueOf(cfg.date))
-    persist(fmt, res.db)
+    persist(spark, fmt, res.db)
 
     // 4. S11 CSV append sinks: the four RETURNING sets, ranking with
     //    the snapshot-derived ranking_id export column

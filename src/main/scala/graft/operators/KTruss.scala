@@ -44,6 +44,14 @@ object KTruss {
     // just duplicates the artifact's blocks
     var state = state0.select("u", "v", "support", "min_sup")
     var spent = List.empty[DataFrame]
+    // whether `state` is a checkpoint THIS loop produced: only those
+    // may ever be freed or retired — the caller's lazy state0 has the
+    // staged support artifact in its lineage, and free/retire walk
+    // the full RDD lineage unpersisting anything with storage, which
+    // would destroy the artifact's unrecomputable checkpoint blocks
+    // for the whole session (the q_kcore "staged artifact: NEVER
+    // freed here" discipline)
+    var owned = false
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -81,17 +89,14 @@ object KTruss {
             (col("support") - coalesce(col("dec"), lit(0L))).cast("int").as("support"),
             col("min_sup"))
           .localCheckpoint(true)
-        spent ::= state
+        if (owned) spent ::= state
         state = next
+        owned = true
         round += 1
       }
     }
     CheckpointBlocks.free(spent)
-    // retire ONLY states this loop checkpointed: a round-0 fixpoint
-    // returns the caller's lazy state0, whose lineage reaches the
-    // staged support artifact — retiring it would hand the NEXT
-    // invocation a license to free the artifact's own blocks
-    if (round == 0) (state, done)
-    else (CheckpointBlocks.retire(retireSite, state), done)
+    if (owned) (CheckpointBlocks.retire(retireSite, state), done)
+    else (state, done)
   }
 }

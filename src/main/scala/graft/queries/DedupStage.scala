@@ -36,6 +36,7 @@ object DedupStage {
 
   def stagedSeconds: Double = stage.stagedSeconds
   private[graft] def clearForTesting(): Unit = stage.clear()
+  private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
 
   /** (node, label) connected-component labeling of the MinHash

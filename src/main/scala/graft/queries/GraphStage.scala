@@ -37,6 +37,7 @@ object GraphStage {
 
   def stagedSeconds: Double = stage.stagedSeconds
   private[graft] def clearForTesting(): Unit = stage.clear()
+  private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
 
   /** Distinct (o, p) order–part incidence — the bipartite relation

@@ -37,6 +37,7 @@ object LmStage {
   /** Drop staged artifacts (testing only) — DeterminismSpec clears
     * between partitionings so SCORING re-runs under each layout. */
   private[graft] def clearForTesting(): Unit = stage.clear()
+  private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
 
   /** The corpus-sized (doc_id, w1, w2) bigram stream over documents

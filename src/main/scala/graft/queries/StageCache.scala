@@ -98,6 +98,16 @@ private[graft] object Stages {
     DedupStage.clearForTesting()
     LmStage.clearForTesting()
   }
+
+  /** [[clearAllForTesting]] + free the dropped artifacts' blocks —
+    * what Bench's cold→warm warehouse swap needs (the cold copies
+    * would otherwise sit in the block manager at ~2× staged memory
+    * while the warm resolve and the timed query loop run). */
+  def clearAllAndFree(): Unit = {
+    GraphStage.clearAndFree()
+    DedupStage.clearAndFree()
+    LmStage.clearAndFree()
+  }
 }
 
 /** Shared scaffolding for corpus-snapshot staged artifacts
@@ -132,7 +142,12 @@ private[graft] object Stages {
 private[graft] final class StageCache {
 
   private final class Cell(build: () => DataFrame) {
-    lazy val value: DataFrame = build()
+    @volatile var built: Option[DataFrame] = None
+    lazy val value: DataFrame = {
+      val v = build()
+      built = Some(v)
+      v
+    }
   }
   private val cache = new ConcurrentHashMap[String, Cell]()
   private val secs = new DoubleAdder()
@@ -151,6 +166,17 @@ private[graft] final class StageCache {
     * stand-in (the memo is exactly the state a new driver JVM
     * starts without). */
   def clear(): Unit = cache.clear()
+
+  /** [[clear]] + free every MATERIALIZED artifact's checkpoint
+    * blocks. Dropping cells alone orphans their eager checkpoints
+    * until ContextCleaner GC — for Bench's cold→warm warehouse
+    * resolve that meant a ~2× staged-memory spike riding into the
+    * timed query loop. Only safe when every artifact can be
+    * re-resolved (a committed store version, or a rebuild). */
+  def clearAndFree(): Unit = {
+    cache.values().forEach(c => c.built.foreach(CheckpointBlocks.free))
+    cache.clear()
+  }
 
   /** Build-once per (session, dir, artifact id — include any build
     * parameters in `what`).

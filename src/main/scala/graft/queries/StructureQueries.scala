@@ -252,10 +252,11 @@ object StructureQueries {
     * triangles touching removed edges are enumerated per round, so
     * per-round cost tracks the removal trickle, not the graph (the
     * full-recompute form benched 12.5 s vs ~1 s at sf0.1). Rounds
-    * cap at [[TrussRounds]] with the k-core contract: the oracle
-    * unrolls exactly this bound (peeling is idempotent at the
-    * fixpoint), and a non-converged final state refuses to return
-    * rather than diverge silently. */
+    * cap at [[TrussRounds]], the oracle unrolls the SEPARATE
+    * [[TrussOracleRounds]] bound (see the comment on those
+    * constants — both sides gate on the fixpoint, peeling is
+    * idempotent there), and a non-converged final state refuses to
+    * return rather than diverge silently. */
   def q_ktruss(spark: SparkSession, dir: String): DataFrame = {
     // both peel inputs are staged snapshot artifacts — the per-call
     // residue is the peel rounds themselves plus the final order-by
@@ -263,14 +264,16 @@ object StructureQueries {
     val ms = GraphStage.copurchaseTrussThreshold(spark, dir, TrussPctDenom)
     val (finalState, done) = graft.operators.KTruss.peel(
       sup0.crossJoin(broadcast(ms)), TrussRounds, "q_ktruss.state")
-    // the oracle unrolls exactly TrussRounds filter rounds and then
-    // RECOMPUTES final supports — equal to the maintained ones only
-    // at the fixpoint, so a non-converged state must refuse.
-    // Convergence is observed (`done`) or verified on the final state
-    // (the last allowed round may remove the last sub-threshold edges)
+    // both sides gate on the FIXPOINT (see the bounds comment above
+    // TrussRounds): a non-converged state must refuse rather than
+    // diverge. Convergence is observed (`done`) or verified on the
+    // final state (the last allowed round may remove the last
+    // sub-threshold edges)
     require(done || finalState.where(col("support") < col("min_sup")).isEmpty,
       s"q_ktruss: peel did not reach fixpoint within $TrussRounds rounds; " +
-        "raise TrussRounds (the oracle unrolls the same bound)")
+        s"raise TrussRounds — and if the sf0.01 cascade now needs more than " +
+        s"$TrussOracleRounds rounds, TrussOracleRounds too (they are " +
+        "separate bounds; an under-unrolled oracle fails as a hash mismatch)")
     finalState.select(col("u"), col("v"), col("support"), col("min_sup"))
       .orderBy(col("u").asc, col("v").asc)
   }

@@ -322,7 +322,25 @@ object StreamingCharts {
     }
 
     def appendOnce(batchId: Long, df: DataFrame): Unit = synchronized {
-      val stamped = df.withColumn("batch_id", lit(batchId))
+      // an EMPTY micro-batch must still enter the row-borne ledger:
+      // otherwise every at-least-once replay of it fails the check
+      // below and rewrites the whole table as a new identical version
+      // (unbounded churn), and committedBatchIds() never learns of
+      // it. Empty batches commit one all-NULL sentinel row — rankBatch
+      // output never carries a NULL rank, so snapshot() filters them
+      // out without ambiguity.
+      val stamped0 = df.withColumn("batch_id", lit(batchId))
+      val stamped =
+        if (!df.isEmpty) stamped0
+        else {
+          val sentinelSchema = org.apache.spark.sql.types.StructType(
+            stamped0.schema.map(f => f.copy(nullable = f.name != "batch_id")))
+          spark.createDataFrame(
+            java.util.Collections.singletonList(
+              org.apache.spark.sql.Row.fromSeq(
+                Seq.fill(df.schema.length)(null) :+ Long.box(batchId))),
+            sentinelSchema)
+        }
       current() match {
         case None => fmt.overwrite(table, stamped)
         case Some(cur) =>
@@ -334,8 +352,11 @@ object StreamingCharts {
       }
     }
 
+    /** Committed-version probe (observability + the churn spec). */
+    private[graft] def storeVersion: Long = fmt.currentVersion(table)
+
     def snapshot(): DataFrame = current() match {
-      case Some(cur) => cur.drop("batch_id")
+      case Some(cur) => cur.where(col("rank").isNotNull).drop("batch_id")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rankingSchema)
     }

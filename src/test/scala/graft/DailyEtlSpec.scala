@@ -106,6 +106,49 @@ class DailyEtlSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(store)))
   }
 
+  test("a short track-lookup response aborts the run (both fetch stages guarded)") {
+    // the playlist yields a full 10 ids, but the tracks API silently
+    // drops one (under-full batches are legal per response — only
+    // over-full raises in the parser): the run must abort, not load
+    // and render a 9-song day
+    val dir = Files.createTempDirectory("dailyetl_shorttracks")
+    val ids = (1 to 10).map(i => s"t$i")
+    val e = intercept[DailyEtl.SongDataNotFoundError] {
+      DailyEtl.run(spark, new Sources.FileFetcher(Map.empty), DailyEtl.Config(
+        s"$dir/store", LocalDate.of(2026, 2, 1),
+        write(java.nio.file.Paths.get(s"$dir/p.html"), playlistHtml(ids)),
+        write(java.nio.file.Paths.get(s"$dir/t.json"), tracksJson(ids.drop(1))),
+        s"$dir/README.md", None))
+    }
+    assert(e.getMessage.contains("returned 9 of 10"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/store")))
+  }
+
+  test("a torn multi-table persist cannot corrupt the store: reads go through the manifest") {
+    val dir = Files.createTempDirectory("dailyetl_torn")
+    val store = s"$dir/store"
+    val fetcher = new Sources.FileFetcher(Map.empty)
+    val ids1 = (1 to 10).map(i => s"t$i")
+    def cfg(n: Int, day: Int, idsN: Seq[String]) = DailyEtl.Config(
+      store, LocalDate.of(2026, 2, day),
+      write(java.nio.file.Paths.get(s"$dir/p$n.html"), playlistHtml(idsN)),
+      write(java.nio.file.Paths.get(s"$dir/t$n.json"), tracksJson(idsN)),
+      s"$dir/README.md", None)
+    DailyEtl.run(spark, fetcher, cfg(1, 1, ids1))
+    // simulate a crash mid-persist of a later run: an orphan artist
+    // version lands WITHOUT a manifest update
+    val fmt = new graft.etl.VersionedParquet(spark, store)
+    import spark.implicits._
+    fmt.overwrite("artist", Seq(("junk", "Torn Writer")).toDF("artist_id", "artist_name"))
+    // the next daily run reads the manifest-pinned consistent day-1
+    // state, never the orphan — t99 is the only new song, and the
+    // junk artist is invisible
+    val r2 = DailyEtl.run(spark, fetcher, cfg(2, 2, ids1.drop(1) :+ "t99"))
+    assert(r2.insertedSongs.count() === 1)
+    assert(r2.db.artist.where($"artist_id" === "junk").isEmpty)
+    assert(r2.db.ranking.count() === 20)
+  }
+
   test("token extraction parses the OAuth2 response shape") {
     assert(DailyEtl.accessTokenFromJson(
       """{"access_token":"abc123","token_type":"Bearer","expires_in":3600}""")

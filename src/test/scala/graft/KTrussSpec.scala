@@ -65,6 +65,25 @@ class KTrussSpec extends SparkSpec {
     assert(survivors(fin) === k5.map { case (u, v) => (u, v, 3) }.toSet)
   }
 
+  test("peel never frees the caller's staged-artifact blocks") {
+    // q_ktruss hands peel a LAZY overlay on the staged support
+    // artifact (a localCheckpoint — unrecomputable once unpersisted).
+    // The peel's spent-list free and site retire must only ever touch
+    // checkpoints the loop itself produced: freeing the overlay would
+    // walk its lineage into the artifact and destroy it session-wide.
+    val artifact = stateOf(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)), minSup = 2)
+      .localCheckpoint(true)
+    def overlay = artifact.select(col("u"), col("v"), col("support"), col("min_sup"))
+    val (_, done1) = KTruss.peel(overlay, 8, "spec.ktruss.artifact")
+    assert(done1)
+    // second invocation fires the retire site's previous-registration
+    // free path too
+    val (_, done2) = KTruss.peel(overlay, 8, "spec.ktruss.artifact")
+    assert(done2)
+    assert(artifact.count() === 5) // artifact blocks intact, still readable
+  }
+
   test("round cap: an unconverged peel reports done = false") {
     // the cascade graph needs TWO removal rounds; capping at one
     // leaves the starved shared edge (support 0) in the state, and

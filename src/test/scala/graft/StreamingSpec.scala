@@ -133,6 +133,20 @@ class StreamingSpec extends SparkSpec {
     assert(s3.snapshot().count() === 2)
     assert(s3.snapshot().columns.toSeq ===
       Seq("date", "platform", "entity_id", "rank"))
+
+    // an EMPTY micro-batch enters the ledger too: its replay must not
+    // mint a new identical table version (unbounded churn), and the
+    // rehydrated ledger must know it committed
+    val emptyBatch = StreamingCharts.rankBatch(day.where($"entity_id" < 0))
+    s3.appendOnce(2L, emptyBatch)
+    val vAfterEmpty = s3.storeVersion
+    s3.appendOnce(2L, emptyBatch) // same-JVM replay: no new version
+    assert(s3.storeVersion === vAfterEmpty)
+    val s4 = new StreamingCharts.DurableRankingStore(spark, root)
+    s4.appendOnce(2L, emptyBatch) // cross-restart replay: no new version
+    assert(s4.storeVersion === vAfterEmpty)
+    assert(s4.committedBatchIds() === Set(0L, 1L, 2L))
+    assert(s4.snapshot().count() === 2) // sentinel rows never surface
   }
 
   test("streaming curation applies the batch language gate (und dropped)") {
