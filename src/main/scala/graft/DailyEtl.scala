@@ -79,19 +79,31 @@ object DailyEtl {
     * and its own commit simply supersedes the orphans. Without this,
     * four independent sequential commits could tear: a day-3 read of
     * artist@v2 + song@v1 is FK-inconsistent forever. */
-  private def loadDb(spark: SparkSession, fmt: VersionedParquet): MusicDb =
-    if (fmt.currentVersion("manifest") > 0) {
+  /** @return the consistent state plus the manifest version it was
+    *   read at — [[persist]] commits against exactly that base, so a
+    *   concurrent second run (double-fired cron, manual backfill
+    *   racing the schedule) fails its commit LOUDLY instead of
+    *   silently overwriting the winner's day (lost update). */
+  private def loadDb(spark: SparkSession, fmt: VersionedParquet): (MusicDb, Long) = {
+    val base = fmt.currentVersion("manifest")
+    if (base > 0) {
       val pinned = fmt.read("manifest").collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       def tbl(n: String) = fmt.readVersion(n, pinned(n))
-      MusicDb(tbl("artist"), tbl("song"), tbl("artist_song_map"), tbl("ranking"))
-    } else emptyDb(spark) // day 1: nothing committed yet
+      (MusicDb(tbl("artist"), tbl("song"), tbl("artist_song_map"), tbl("ranking")), base)
+    } else (emptyDb(spark), base) // day 1: nothing committed yet
+  }
 
-  private def persist(spark: SparkSession, fmt: VersionedParquet, db: MusicDb): Unit = {
+  private def persist(spark: SparkSession, fmt: VersionedParquet, db: MusicDb,
+      manifestBase: Long): Unit = {
     import spark.implicits._
     val versions = tableNames.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
       .map { case (n, df) => fmt.overwrite(n, df); (n, fmt.currentVersion(n)) }
-    fmt.overwrite("manifest", versions.toDF("table_name", "version"))
+    // optimistic-concurrency: the manifest commits against the version
+    // this run's READS were based on; losing the race leaves only
+    // orphan table versions the manifest never points to
+    fmt.tryCommit("manifest", versions.toDF("table_name", "version"), manifestBase)
+    ()
   }
 
   /** One daily run, fetcher-injected (specs pass [[Sources
@@ -142,8 +154,9 @@ object DailyEtl {
     //    IS the between-days checkpoint (no in-memory lineage survives
     //    a day boundary — PipelineE2ESpec's chained-plan lesson)
     val fmt = new VersionedParquet(spark, cfg.storeRoot)
-    val res = Load.loadBatch(loadDb(spark, fmt), docs, java.sql.Date.valueOf(cfg.date))
-    persist(spark, fmt, res.db)
+    val (db, manifestBase) = loadDb(spark, fmt)
+    val res = Load.loadBatch(db, docs, java.sql.Date.valueOf(cfg.date))
+    persist(spark, fmt, res.db, manifestBase)
 
     // 4. S11 CSV append sinks: the four RETURNING sets, ranking with
     //    the snapshot-derived ranking_id export column
@@ -161,7 +174,7 @@ object DailyEtl {
 
     // 5. render from the COMMITTED store, exactly as the reference's
     //    separate render job queries the database after the load
-    val md = Render.renderForDate(loadDb(spark, fmt), cfg.date)
+    val md = Render.renderForDate(loadDb(spark, fmt)._1, cfg.date)
     Files.write(Paths.get(cfg.renderPath), md.getBytes("UTF-8"))
     res
   }
