@@ -70,8 +70,12 @@ object StructureQueries {
   def q_clustering_coeff(spark: SparkSession, dir: String): DataFrame = {
     val deg = GraphStage.copurchaseDegrees(spark, dir)
     val tc = GraphStage.copurchaseTriangleCounts(spark, dir)
+    // both staged sides are |V|-bounded; broadcasting the count table
+    // makes the join exchange-free by declaration instead of leaving
+    // it to AQE's runtime stats (LogicalRDD sizes are unknown at plan
+    // time, so the static plan would otherwise sort-merge)
     deg.where(col("deg") >= 2)
-      .join(tc, Seq("node"), "left")
+      .join(broadcast(tc), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
