@@ -68,6 +68,30 @@ object PageRank {
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
       .localCheckpoint(true)
+    val out = integerPageRankOver(e, deg, iters, startMass, broadcastState)
+    // e and deg are THIS function's checkpoints, fully consumed once
+    // the final round made the returned state independent
+    // (iters == 0 returns a view OVER deg — keep it)
+    if (iters > 0) {
+      CheckpointBlocks.free(e)
+      CheckpointBlocks.free(deg)
+    }
+    out
+  }
+
+  /** The iteration over CALLER-OWNED, already-materialized inputs —
+    * for staged snapshot artifacts (e.g. [[graft.queries.GraphStage]]
+    * incidences), whose blocks this function must never free: `e` a
+    * (src, dst) list with every node appearing as src (pre-positioned
+    * on src when `broadcastState = false`), `deg` its (node, degree)
+    * aggregate. Both are scanned every round, so non-materialized
+    * inputs re-derive per round. */
+  def integerPageRankOver(
+      e: DataFrame,
+      deg: DataFrame,
+      iters: Int,
+      startMass: Long = 1000000L,
+      broadcastState: Boolean = true): DataFrame = {
     val teleport = startMass * 15L / 100L
     var state = deg.withColumn("mass", lit(startMass))
     var spentCps = List.empty[DataFrame]
@@ -100,14 +124,9 @@ object PageRank {
         state = cp
       } else state = updated
     }
-    // spent checkpoints are dead block sets; e and deg are fully
-    // consumed once the final round made state an independent
-    // checkpoint (iters == 0 returns a view OVER deg — keep it)
-    if (iters > 0) {
-      CheckpointBlocks.free(spentCps)
-      CheckpointBlocks.free(e)
-      CheckpointBlocks.free(deg)
-    }
+    // spent round checkpoints are dead block sets on every path;
+    // e/deg belong to the caller and are never touched here
+    CheckpointBlocks.free(spentCps)
     state
   }
 }

@@ -222,6 +222,47 @@ object GraphStage {
     }
   }
 
+  /** Both orientations of the co-purchase edges, materialized — the
+    * static (node, nbr) list k-core's delta peel joins against every
+    * round (deriving it lazily re-unioned two projections of the
+    * pair artifact per round). One narrow map + checkpoint per
+    * snapshot. */
+  def copurchaseDirected(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, dir)
+    stage(spark, dir, "directed") {
+      edges.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The PageRank-ready part–supplier incidence: long-encoded node
+    * ids (part k → 2k, supplier k → 2k+1 — every shuffle hashes 8
+    * bytes, labels re-attach map-side over the |V|-row result), both
+    * directions, materialized once per snapshot. The iteration scans
+    * this every round, so staging it removes the per-call encode +
+    * union + checkpoint job q_pagerank used to pay. */
+  def partSupplierEncodedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = partSupplierPairs(spark, dir)
+    stage(spark, dir, "prEdges") {
+      val enc = pairs.select((col("p") * 2).as("p"), (col("s") * 2 + 1).as("s"))
+      enc.select(col("p").as("src"), col("s").as("dst"))
+        .unionByName(enc.select(col("s").as("src"), col("p").as("dst")))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** (node, degree) over [[partSupplierEncodedEdges]] — the other
+    * per-round input of the PageRank loop. */
+  def partSupplierEncodedDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = partSupplierEncodedEdges(spark, dir)
+    stage(spark, dir, "prDegrees") {
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .localCheckpoint(true)
+    }
+  }
+
   /** min_sup = the exact ⌈m/denom⌉-th smallest support in the truss
     * seed state (k-core's percentile recipe at the edge level). */
   private[queries] val TrussPctDenom = 50
@@ -309,6 +350,9 @@ object GraphStage {
     "graph.triangleCounts" -> (copurchaseTriangleCounts _),
     "graph.edgeSupport" -> (copurchaseEdgeSupport _),
     "graph.trussThreshold" -> ((s: SparkSession, d: String) => copurchaseTrussThreshold(s, d)),
+    "graph.directed" -> (copurchaseDirected _),
+    "graph.prEdges" -> (partSupplierEncodedEdges _),
+    "graph.prDegrees" -> (partSupplierEncodedDegrees _),
     "graph.purchaseBipartite" -> (purchaseBipartite _),
     "graph.partSupplierPairs" -> (partSupplierPairs _))
 }

@@ -98,19 +98,18 @@ object PipelineQueries {
     * five power iterations replay exactly in the oracle's unrolled
     * CTE chain. */
   def q_pagerank(spark: SparkSession, dir: String): DataFrame = {
-    // long node ids inside the iteration (part k → 2k, supplier k →
-    // 2k+1): every distinct/join/shuffle hashes 8-byte keys instead
-    // of "p:<k>"/"s:<k>" strings; the display label re-attaches as a
-    // map-side format over the |V|-row result. Same graph, same
-    // integer masses, 3.6 s → 2.7 s at sf0.1 (min of 5). The
-    // incidence itself is the staged snapshot artifact
-    // ([[GraphStage.partSupplierPairs]]); the id encoding is a
-    // narrow map over its materialized blocks.
-    val pairs = GraphStage.partSupplierPairs(spark, dir)
-      .select((col("p") * 2).as("p"), (col("s") * 2 + 1).as("s"))
-    val edges = pairs.select(col("p").as("src"), col("s").as("dst"))
-      .unionByName(pairs.select(col("s").as("src"), col("p").as("dst")))
-    PageRank.integerPageRank(edges, PrIters, PrStartMass)
+    // BOTH per-round loop inputs are staged snapshot artifacts now —
+    // the long-encoded bidirectional incidence and its degree table
+    // ([[GraphStage.partSupplierEncodedEdges]]/[[GraphStage
+    // .partSupplierEncodedDegrees]]; long ids: every shuffle hashes
+    // 8 bytes, labels re-attach map-side over the |V|-row result,
+    // 3.6 s → 2.7 s at round 4; staging the per-call encode+union+
+    // degree checkpoints is the round-8 cut). The caller-owned
+    // variant never frees the artifacts' blocks.
+    PageRank.integerPageRankOver(
+      GraphStage.partSupplierEncodedEdges(spark, dir),
+      GraphStage.partSupplierEncodedDegrees(spark, dir),
+      PrIters, PrStartMass)
       .select(
         when(pmod(col("node"), lit(2)) === 0,
           concat(lit("p:"), expr("node div 2").cast("string")))

@@ -352,12 +352,10 @@ object StructureQueries {
     * choice buys; asserted by the spec at sf0.001), so
     * both engines reach the identical maximal subgraph. */
   def q_kcore(spark: SparkSession, dir: String): DataFrame = {
-    // both orientations of the staged undirected edges — the swap
-    // union is a narrow map over the artifact's materialized blocks,
-    // re-walked cheaply by each peel round below
-    val edges = GraphStage.copurchaseEdges(spark, dir)
-    val directed = edges.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+    // the both-orientations list every peel round joins against is
+    // its own staged artifact (round 8 — re-deriving the swap union
+    // per round cost two pair-artifact scans each)
+    val directed = GraphStage.copurchaseDirected(spark, dir)
     val deg0 = GraphStage.copurchaseDegrees(spark, dir)
     val hist = deg0.groupBy(col("deg").as("d")).agg(count(lit(1)).as("cnt"))
     val kDf = hist.as("a").join(hist.as("b"), col("b.d") <= col("a.d"))
