@@ -78,8 +78,9 @@ object DailyEtl {
     * complete state (or day-1 empty, if no manifest ever committed)
     * and its own commit simply supersedes the orphans. Without this,
     * four independent sequential commits could tear: a day-3 read of
-    * artist@v2 + song@v1 is FK-inconsistent forever. */
-  /** @return the consistent state plus the manifest version it was
+    * artist@v2 + song@v1 is FK-inconsistent forever.
+    *
+    * @return the consistent state plus the manifest version it was
     *   read at — [[persist]] commits against exactly that base, so a
     *   concurrent second run (double-fired cron, manual backfill
     *   racing the schedule) fails its commit LOUDLY instead of

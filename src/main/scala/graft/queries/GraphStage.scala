@@ -87,12 +87,12 @@ object GraphStage {
 
   /** (node, nbrs) — each part's SORTED neighbor array, the layout
     * random walks index into. One collect_list aggregation over the
-    * pair artifact. */
+    * staged both-orientations list ([[copurchaseDirected]] — shared
+    * instead of re-deriving the swap union here). */
   def copurchaseAdjacency(spark: SparkSession, dir: String): DataFrame = {
-    val edges = copurchaseEdges(spark, dir)
+    val directed = copurchaseDirected(spark, dir)
     stage(spark, dir, "adjacency") {
-      edges.select(col("u").as("node"), col("v").as("nbr"))
-        .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+      directed
         .groupBy("node").agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
         .localCheckpoint(true)
     }

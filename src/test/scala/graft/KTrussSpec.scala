@@ -43,10 +43,8 @@ class KTrussSpec extends SparkSpec {
   }
 
   test("cascade: peeling outer triangles starves the shared edge") {
-    // bowtie: triangles {1,2,3} and {3,4,5} share node 3? No — share
-    // EDGE (3,4) instead: triangles {1,2,3} with extra edge (1,4)?
-    // Keep it direct: two triangles sharing edge (2,3):
-    // {1,2,3} and {2,3,4}. Edge (2,3) support 2; others support 1.
+    // two triangles sharing edge (2,3): {1,2,3} and {2,3,4}. Edge
+    // (2,3) has support 2; the four outer edges support 1.
     // min_sup=2: round 1 removes the four support-1 edges; (2,3)
     // loses both triangles (2→0) and dies in round 2 — empty truss.
     val (fin, done) = KTruss.peel(
