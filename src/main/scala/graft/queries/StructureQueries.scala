@@ -228,14 +228,17 @@ object StructureQueries {
   // k-core's (measured removal rounds: 12 at sf0.001, 5 at sf0.01,
   // 1 at sf0.1). The SPARK cap covers the deepest observed + margin
   // (delta rounds are cheap, and the peel exits early at the
-  // fixpoint); the ORACLE unroll only needs to cover sf0.01 — the
-  // one scale the driver replays it at — because both sides gate on
-  // the same FIXPOINT: Spark refuses a non-converged state, and an
-  // under-unrolled oracle (testdata regeneration deepening the
-  // cascade past 8) surfaces as a loud hash mismatch, never a
-  // silent agreement on a wrong answer.
+  // fixpoint); the ORACLE unroll must cover every scale the oracle
+  // is replayed at — the driver's sf0.01 AND the round-close sf0.001
+  // sweep (an 8-round unroll failed exactly there: the oracle
+  // stopped 149 edges short of the fixpoint Spark reached). Both
+  // sides gate on the same FIXPOINT: Spark refuses a non-converged
+  // state, and an under-unrolled oracle (testdata regeneration
+  // deepening a cascade past 16) surfaces as a loud hash mismatch,
+  // never a silent agreement on a wrong answer; post-fixpoint
+  // unrolled rounds are idempotent no-ops.
   private val TrussRounds = 20
-  private val TrussOracleRounds = 8
+  private val TrussOracleRounds = 16
   // min_sup percentile denominator — single source in GraphStage so
   // the staged threshold artifact and this oracle can never disagree
   private val TrussPctDenom = GraphStage.TrussPctDenom
