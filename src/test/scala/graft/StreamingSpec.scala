@@ -441,6 +441,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1).contains("2024-01-01"))
   }
 
+  test("ranking sink persists through the durable store end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ranksink_durable").toString
+    val in = MemoryStream[Ev]
+    in.addData(
+      (1 to 15).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:00:00"), i.toLong, "click", 100.0 - i)): _*)
+    val store = new StreamingCharts.DurableRankingStore(spark, root)
+    val q = StreamingCharts.rankingSink(
+      StreamingCharts.dailyScores(in.toDF(), watermark = "0 seconds"), store)
+    q.processAllAvailable() // day 1 still open: empty batches ledger too
+    in.addData(Ev(99, ts("2024-01-03 00:00:01"), 99, "click", 1.0))
+    q.processAllAvailable() // watermark closes day 1
+    q.stop()
+    // a FRESH driver's store over the same root sees the committed
+    // ranked days and the batch ledger — the full foreachBatch →
+    // versioned-table path, not just appendOnce in isolation
+    val rehydrated = new StreamingCharts.DurableRankingStore(spark, root)
+    val day1 = rehydrated.snapshot()
+      .where($"date".cast("string") === "2024-01-01")
+      .select($"entity_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(day1.size === 10) // top-10 of the 15 scored users
+    assert(day1(1L) === 1) // user 1 had the highest day-1 score
+    assert(rehydrated.committedBatchIds().nonEmpty)
+  }
+
   test("streaming PSI monitor converges to the batch PSI under any batch split") {
     import graft.streaming.StreamingDrift
     import graft.streaming.StreamingDrift.{PsiRow, TokenRow}
