@@ -80,8 +80,15 @@ object Multimodal {
     assets
       .withColumn("n_chunks",
         ((length(col("media")) + chunkSize - 1) / chunkSize).cast("int"))
+      // a ZERO-BYTE blob (corrupt upload — a certainty somewhere in a
+      // 100 TB media corpus) must yield zero frames, not kill the job:
+      // sequence(0, -1, 1) throws "Illegal sequence boundaries" at
+      // runtime because the positive step contradicts the descending
+      // range. explode of the empty array drops the row.
       .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_chunks") - 1, lit(stride))))
+        explode(when(col("n_chunks") > 0,
+            sequence(lit(0), col("n_chunks") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame",
         expr(s"substring(media, frame_idx * $chunkSize + 1, $chunkSize)"))
       .select("asset_id", "frame_idx", "frame")

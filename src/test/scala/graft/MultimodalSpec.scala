@@ -49,6 +49,17 @@ class MultimodalSpec extends SparkSpec {
     assert(lens.count(_ === 32) === 6) // all but the tail chunk full
   }
 
+  test("frame sampling: a zero-byte blob yields zero frames, not a crash") {
+    // a corrupt empty upload is a certainty somewhere in a large media
+    // corpus; without the guard, sequence(0, -1, stride) throws
+    // "Illegal sequence boundaries" and kills the whole job
+    val withEmpty = assets.toDF()
+      .unionByName(Seq(Asset(99L, "image", Array.empty[Byte])).toDS().toDF())
+    val frames = Multimodal.frameSample(withEmpty, chunkSize = 32, stride = 1)
+    assert(frames.where($"asset_id" === 99L).isEmpty)
+    assert(frames.where($"asset_id" === 3L).count() === 13) // others intact
+  }
+
   test("frame features: constant payload has zero entropy, header raises it") {
     val f = Multimodal.frameFeatures(
       Multimodal.frameSample(assets.toDF(), 32, 1))
