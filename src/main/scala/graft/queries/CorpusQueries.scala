@@ -54,6 +54,11 @@ object CorpusQueries {
   // one constant feeds BOTH the Scala train call (q_ann_pq) and the
   // oracle replay (pqSubspaceCtes) — a changed bound cannot desync them
   private val PqMaxSample = IvfMaxSample
+  // distributed full-collection Lloyd (q_kmeans): k, rounds, and the
+  // integer quantization scale — shared verbatim by the oracle replay
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmScale = 1000000L
   private[queries] val RewriteSeg = 5
 
   // ---- Spark-side queries ------------------------------------------
@@ -416,7 +421,25 @@ object CorpusQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Distributed full-collection Lloyd k-means ([[graft.vector
+    * .DistributedKMeans]]) — the scale companion to [[q_ann_ivf]]'s
+    * sample-bounded driver training: centroids fit on EVERY vector,
+    * one map-only-assign + bounded-shuffle-update job per round,
+    * integer-exact so any partitioning (and the DuckDB replay)
+    * reproduces it bit-for-bit. Output: each vector's final cell and
+    * integer squared distance. */
+  def q_kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.CheckpointBlocks.retire("q_kmeans.qv",
+      graft.vector.DistributedKMeans.quantized(
+        Tables.table(spark, dir, "embeddings"), KmScale)
+        .localCheckpoint(true))
+    val cents = graft.vector.DistributedKMeans.train(q, KmK, KmIters)
+    graft.vector.DistributedKMeans.assignment(q, cents)
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> (q_kmeans _),
     "q_repetition" -> (q_repetition _),
     "q_exact_substring" -> (q_exact_substring _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
@@ -1015,6 +1038,54 @@ ORDER BY a ASC, b ASC"""
        |FROM sg s LEFT JOIN rm ON s.doc_id = rm.doc_id
        |ORDER BY s.doc_id ASC""".stripMargin
 
+  /** The distributed-Lloyd replay: unlike [[lloydReplayCtes]] there
+    * is no float op order to reconstruct — quantization, distances,
+    * and the truncating integer mean are all order-independent
+    * integer math, so plain SUM/GROUP BY replays the cluster's
+    * shuffle-order-agnostic aggregation exactly. */
+  private val kmeansSql: String = {
+    val d = VecDim
+    def idist(v: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
+        s"i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))) AS BIGINT)"
+    // one Lloyd round: argmin assign (ties → lower cell), per-cell
+    // elementwise integer sums, truncating mean; empty cells keep
+    // their previous centroid
+    def round(prev: String, a: String, out: String): String =
+      s"""$a AS (
+         |  SELECT q.vec_id, q.v, c.cell
+         |  FROM qv q CROSS JOIN $prev c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${idist("q.v", "c.v")} ASC, c.cell ASC) = 1),
+         |${a}n AS (SELECT cell, COUNT(*) AS cnt FROM $a GROUP BY cell),
+         |${a}s AS (
+         |  SELECT cell, i, SUM(v[i::INTEGER]) AS s
+         |  FROM $a, UNNEST(range(1, ${d + 1})) AS t(i) GROUP BY cell, i),
+         |$out AS (
+         |  SELECT p.cell, COALESCE(m.v2, p.v) AS v
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT s.cell, list(s.s // n.cnt ORDER BY s.i) AS v2
+         |    FROM ${a}s s JOIN ${a}n n USING (cell) GROUP BY s.cell) m
+         |    ON p.cell = m.cell)""".stripMargin
+    val rounds = (0 until KmIters)
+      .map(i => round(s"k$i", s"ka${i + 1}", s"k${i + 1}")).mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |k0 AS (
+       |  SELECT CAST(vec_id % $KmK AS INTEGER) AS cell, v FROM qv
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id % $KmK
+       |    ORDER BY vec_id ASC) = 1),
+       |$rounds
+       |SELECT q.vec_id, c.cell, ${idist("q.v", "c.v")} AS dist2
+       |FROM qv q CROSS JOIN k$KmIters c
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |  ORDER BY ${idist("q.v", "c.v")} ASC, c.cell ASC) = 1
+       |ORDER BY q.vec_id ASC""".stripMargin
+  }
+
   private val annIvfSql: String = ivfAssignCtes + ",\n" +
     s"""q AS (
        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
@@ -1173,6 +1244,7 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_kmeans" -> kmeansSql,
     "q_ann_pq" -> annPqSql,
     "q_dedup_rewrite" -> dedupRewriteSql,
     "q_multimodal_meta" ->

@@ -653,6 +653,8 @@ object PipelineQueries {
       .limit(AnomalyTopK)
   }
 
+  // = 7/10: q_containment_prefix passes the same threshold as that
+  // rational for its integer prefix bound — keep the two in lockstep
   private val ContainmentThreshold = 0.7
 
   /** Asymmetric shingle containment ([[TextOps.containmentPairs]]):
@@ -661,6 +663,18 @@ object PipelineQueries {
     TextOps.containmentPairs(
       Tables.table(spark, dir, "documents"),
       CorpusQueries.ShingleN, ContainmentThreshold)
+      .orderBy(col("a").asc, col("b").asc)
+
+  /** The EXACT scale twin of [[q_containment]]: identical answer
+    * (same oracle SQL), but candidates from the smaller side's
+    * rarest-first prefix against the staged shingle index instead of
+    * the n² shingle self-join — the plan that survives 100× where
+    * the baseline is the labeled yardstick
+    * ([[TextOps.prefixContainmentPairsFromKeyed]]). Threshold 0.7 as
+    * the rational 7/10 for the integer prefix bound. */
+  def q_containment_prefix(spark: SparkSession, dir: String): DataFrame =
+    TextOps.prefixContainmentPairsFromKeyed(
+      DedupStage.prefixIndex(spark, dir), p = 7, q = 10)
       .orderBy(col("a").asc, col("b").asc)
 
   /** Dedup mass report: how much of the corpus is duplicated —
@@ -727,6 +741,7 @@ object PipelineQueries {
     "q_winsorize" -> (q_winsorize _),
     "q_weighted_sample" -> (q_weighted_sample _),
     "q_containment" -> (q_containment _),
+    "q_containment_prefix" -> (q_containment_prefix _),
     "q_dedup_stats" -> (q_dedup_stats _),
     "q_anomaly" -> (q_anomaly _),
     "q_token_budget" -> (q_token_budget _),
@@ -1239,6 +1254,8 @@ object PipelineQueries {
     "q_weighted_sample" -> weightedSampleSql,
     "q_winsorize" -> winsorizeSql,
     "q_containment" -> containmentSql,
+    // the prefix twin computes the SAME function — one oracle, two plans
+    "q_containment_prefix" -> containmentSql,
     "q_dedup_stats" -> dedupStatsSql,
     "q_anomaly" -> anomalySql,
     "q_token_budget" -> tokenBudgetSql,

@@ -116,6 +116,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!r(2L).getAs[Boolean]("keep"))
   }
 
+  test("containment: prefix filtering is lossless vs the n² baseline") {
+    // planted subset-duplicate: doc 5 is doc 3's six-token prefix —
+    // low Jaccard (4 shared of 5∪4 shingles), containment 4/4 = 1.0
+    val planted = corpus.unionByName(Seq(
+      (5L, "completely different words appear here today", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val real = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    for (docs <- Seq(planted, real)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("cont_ab"),
+          r.getAs[Double]("cont_ba"))).toSet
+      val base = rows(TextOps.containmentPairs(docs, 3, 0.7))
+      val twin = rows(TextOps.prefixContainmentPairsFromKeyed(
+        TextOps.prefixOrderedShingles(docs, 3), p = 7, q = 10))
+      assert(twin == base && twin.nonEmpty)
+    }
+  }
+
   test("exact-substring dedup strips cross-document duplicated spans") {
     val r = TextOps.exactSubstringDedup(corpus, w = 5).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
