@@ -510,6 +510,65 @@ object AdvancedQueries {
       .orderBy(col("c_custkey").asc, col("valid_from").asc)
   }
 
+  /** q_curate's full-funnel replay — shared VERBATIM with
+    * q_curate_incremental: the fold provably computes the same
+    * function, so one oracle gates both plans. */
+  private val curateSql: String = {
+      val n = CorpusQueries.ShingleN
+      val stop = TextOps.allStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      val scores = TextOps.stopwordSets.map { case (l, ws) =>
+        val in = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(toks, t -> t IN $in)) AS s_$l"
+      }.mkString(",\n    ")
+      val m = TextOps.stopwordSets.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val cases = TextOps.stopwordSets.map { case (l, _) =>
+        s"WHEN s_$l = m AND m > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  round((len(list_distinct(toks)) / len(toks)) * 0.6
+         |        + (1.0 - len(list_filter(toks, t -> t IN $stop)) / len(toks)) * 0.4,
+         |        6) AS quality
+         |FROM t),
+         |ls AS (SELECT doc_id,
+         |    $scores
+         |  FROM t),
+         |lg AS (SELECT doc_id,
+         |  CASE $cases ELSE 'und' END AS predicted
+         |  FROM (SELECT *, $m AS m FROM ls)),
+         |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
+         |exg AS (SELECT h, MIN(doc_id) AS canon, COUNT(*) AS c FROM ex GROUP BY h),
+         |exl AS (SELECT e.doc_id FROM ex e JOIN exg g USING (h)
+         |        WHERE g.c > 1 AND e.doc_id <> g.canon),
+         |nl AS (SELECT DISTINCT b AS doc_id FROM (
+         |${CorpusQueries.minhashPairsBody}
+         |) mp),
+         |shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
+         |        FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+         |        WHERE len(toks) >= $n),
+         |ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
+         |ct AS (SELECT doc_id FROM shd JOIN ev USING (shingle)
+         |       WHERE doc_id % 97 <> 0 GROUP BY doc_id HAVING COUNT(*) >= 5)
+         |SELECT *,
+         |  (NOT is_eval AND sampled_in AND NOT is_exact_dup AND NOT is_near_dup
+         |   AND NOT is_contaminated AND predicted <> 'und'
+         |   AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000) AS kept
+         |FROM (
+         |  SELECT d.doc_id, st.n_tokens, st.quality, lg.predicted,
+         |    d.doc_id % 97 = 0 AS is_eval,
+         |    exl.doc_id IS NOT NULL AS is_exact_dup,
+         |    nl.doc_id IS NOT NULL AS is_near_dup,
+         |    ct.doc_id IS NOT NULL AS is_contaminated,
+         |    substr(md5('smpl:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < 'e' AS sampled_in
+         |  FROM documents d
+         |  JOIN st USING (doc_id) JOIN lg USING (doc_id)
+         |  LEFT JOIN exl ON d.doc_id = exl.doc_id
+         |  LEFT JOIN nl ON d.doc_id = nl.doc_id
+         |  LEFT JOIN ct ON d.doc_id = ct.doc_id)
+         |ORDER BY doc_id ASC""".stripMargin
+    }
+
   private val decontaminateSql: String = {
     val n = CorpusQueries.ShingleN
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -528,6 +587,29 @@ object AdvancedQueries {
     * per-stage audit flags, oracle-checked as one query. */
   def q_curate(spark: SparkSession, dir: String): DataFrame =
     graft.text.Curation.curate(Tables.table(spark, dir, "documents"))
+
+  /** The INCREMENTAL twin of [[q_curate]]: the corpus split into two
+    * id-ordered daily batches and folded through [[graft.text.Curation
+    * .curateFold]] — per-day work is batch-proportional, history is
+    * touched only through its hash/band indexes ([[graft.CorpusEtl]]
+    * is the runnable store-backed form). Same oracle SQL as q_curate:
+    * first-arrival-wins folding over ascending-id batches emits
+    * bit-for-bit the one-shot funnel's flags (one oracle, two plans). */
+  def q_curate_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Curation
+    val docs = Tables.table(spark, dir, "documents")
+    // scalar split point (one tiny agg, like Bpe's per-round argmax):
+    // ascending-id halves stand in for day-1 / day-2 arrival order
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val cfg = Curation.Config()
+    val state0 = Curation.initState(
+      docs.where(col("doc_id") % cfg.evalModulus === 0), cfg)
+    val (f1, state1) = Curation.curateFold(
+      docs.where(col("doc_id") <= mid), state0, cfg)
+    val (f2, _) = Curation.curateFold(
+      docs.where(col("doc_id") > mid), state1, cfg)
+    f1.unionByName(f2).orderBy(col("doc_id").asc)
+  }
 
   /** Vocabulary building: global term/document frequencies, top-50 by
     * collection frequency — the tokenizer-training precursor. Global
@@ -644,6 +726,7 @@ object AdvancedQueries {
     "q_vocab" -> (q_vocab _),
     "q_mixture_sample" -> (q_mixture_sample _),
     "q_curate" -> (q_curate _),
+    "q_curate_incremental" -> (q_curate_incremental _),
     "q_decontaminate" -> (q_decontaminate _),
     "q_decontaminate_bloom" -> (q_decontaminate_bloom _),
     "q_scd2" -> (q_scd2 _),
@@ -726,61 +809,8 @@ object AdvancedQueries {
          |      < CASE $cases ELSE '$mixtureDefault' END
          |GROUP BY source ORDER BY source ASC""".stripMargin
     },
-    "q_curate" -> {
-      val n = CorpusQueries.ShingleN
-      val stop = TextOps.allStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-      val scores = TextOps.stopwordSets.map { case (l, ws) =>
-        val in = ws.map(w => s"'$w'").mkString("(", ", ", ")")
-        s"len(list_filter(toks, t -> t IN $in)) AS s_$l"
-      }.mkString(",\n    ")
-      val m = TextOps.stopwordSets.map { case (l, _) => s"s_$l" }
-        .mkString("greatest(", ", ", ")")
-      val cases = TextOps.stopwordSets.map { case (l, _) =>
-        s"WHEN s_$l = m AND m > 0 THEN '$l'"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |st AS (SELECT doc_id, len(toks) AS n_tokens,
-         |  round((len(list_distinct(toks)) / len(toks)) * 0.6
-         |        + (1.0 - len(list_filter(toks, t -> t IN $stop)) / len(toks)) * 0.4,
-         |        6) AS quality
-         |FROM t),
-         |ls AS (SELECT doc_id,
-         |    $scores
-         |  FROM t),
-         |lg AS (SELECT doc_id,
-         |  CASE $cases ELSE 'und' END AS predicted
-         |  FROM (SELECT *, $m AS m FROM ls)),
-         |ex AS (SELECT md5(text) AS h, doc_id FROM documents),
-         |exg AS (SELECT h, MIN(doc_id) AS canon, COUNT(*) AS c FROM ex GROUP BY h),
-         |exl AS (SELECT e.doc_id FROM ex e JOIN exg g USING (h)
-         |        WHERE g.c > 1 AND e.doc_id <> g.canon),
-         |nl AS (SELECT DISTINCT b AS doc_id FROM (
-         |${CorpusQueries.minhashPairsBody}
-         |) mp),
-         |shd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${n - 1}], ' ') AS shingle
-         |        FROM t, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
-         |        WHERE len(toks) >= $n),
-         |ev AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 97 = 0),
-         |ct AS (SELECT doc_id FROM shd JOIN ev USING (shingle)
-         |       WHERE doc_id % 97 <> 0 GROUP BY doc_id HAVING COUNT(*) >= 5)
-         |SELECT *,
-         |  (NOT is_eval AND sampled_in AND NOT is_exact_dup AND NOT is_near_dup
-         |   AND NOT is_contaminated AND predicted <> 'und'
-         |   AND quality >= 0.5 AND n_tokens BETWEEN 5 AND 1000) AS kept
-         |FROM (
-         |  SELECT d.doc_id, st.n_tokens, st.quality, lg.predicted,
-         |    d.doc_id % 97 = 0 AS is_eval,
-         |    exl.doc_id IS NOT NULL AS is_exact_dup,
-         |    nl.doc_id IS NOT NULL AS is_near_dup,
-         |    ct.doc_id IS NOT NULL AS is_contaminated,
-         |    substr(md5('smpl:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < 'e' AS sampled_in
-         |  FROM documents d
-         |  JOIN st USING (doc_id) JOIN lg USING (doc_id)
-         |  LEFT JOIN exl ON d.doc_id = exl.doc_id
-         |  LEFT JOIN nl ON d.doc_id = nl.doc_id
-         |  LEFT JOIN ct ON d.doc_id = ct.doc_id)
-         |ORDER BY doc_id ASC""".stripMargin
-    },
+    "q_curate" -> curateSql,
+    "q_curate_incremental" -> curateSql,
     "q_decontaminate" -> decontaminateSql,
     // the Bloom prefilter never changes the result set (no false
     // negatives; false positives die in the exact join) — the naive

@@ -41,6 +41,138 @@ object Curation {
       sampleHexLt: String = "e",
       evalModulus: Int = 97)
 
+  /** The dedup/decontamination state one [[curateFold]] batch reads
+    * and the next one extends — the persistable form of "everything
+    * the funnel has seen", none of it document text:
+    *
+    *  - `hashes`: (content_md5) of every doc ever folded — the exact-
+    *    dedup probe set. Append-only (duplicate hash rows are
+    *    harmless: probes are semi-joins); 32 bytes/doc.
+    *  - `bandIndex`: [[TextOps.lshBandRows]] of every doc ever folded
+    *    — the near-dup probe index. Append-only; at warehouse scale
+    *    written bucketed on (band_idx, band_hash) so the daily probe
+    *    join is co-located on the index side.
+    *  - `evalShingles`: (shingle) of the PINNED benchmark set, fixed
+    *    at [[initState]] — contamination is checked against a known
+    *    benchmark, never a moving target, so day-1 decisions can't be
+    *    invalidated by day-30 arrivals.
+    */
+  final case class FoldState(
+      hashes: DataFrame,
+      bandIndex: DataFrame,
+      evalShingles: DataFrame)
+
+  /** Day-0 state: empty probe sets + the benchmark's shingles.
+    * `evalDocs` is the eval slice itself (the caller decides
+    * membership — [[q_curate_incremental]] and the one-shot
+    * [[curate]] use the `doc_id % evalModulus` convention). */
+  def initState(evalDocs: DataFrame, cfg: Config = Config()): FoldState =
+    FoldState(
+      hashes = evalDocs.limit(0)
+        .select(md5(col("text")).as("content_md5")),
+      bandIndex = TextOps.lshBandRows(
+        evalDocs.limit(0), cfg.shingleN, cfg.minhashK, cfg.minhashBands),
+      evalShingles = TextOps.shingleRows(evalDocs, cfg.shingleN)
+        .select("shingle").distinct())
+
+  /** INCREMENTAL curation — one day's batch through the same funnel
+    * as [[curate]], against [[FoldState]] instead of the whole
+    * corpus: the shape that makes curation affordable at 100 TB,
+    * where history is petabytes already judged and the batch is a
+    * day's crawl. Per-day work is batch-proportional: gates 1-3 and
+    * sampling are map-only over the batch; exact dedup is the batch's
+    * 32-byte hashes semi-probing the hash set; near dedup is the
+    * batch's band rows self-joined (within-day pairs) plus probed
+    * against the band index (history never re-shingles); and
+    * contamination joins batch shingles to the pinned benchmark set.
+    * History is touched only through its indexes.
+    *
+    * Semantics: FIRST ARRIVAL WINS — a batch doc duplicating
+    * anything already folded is the loser, and within a batch the
+    * smaller doc_id wins (the [[curate]] rule). When batches arrive
+    * in ascending doc_id order and `state.evalShingles` was pinned
+    * from the full corpus's eval slice, folding the batches emits
+    * bit-for-bit the flags of one-shot [[curate]] over their union —
+    * CorpusEtlSpec asserts it, and `q_curate_incremental` proves it
+    * against `q_curate`'s own oracle SQL (one oracle, two plans).
+    *
+    * Returns (per-doc flags frame — [[curate]]'s exact schema — and
+    * the extended state). Both state appends reuse the ONE
+    * [[TextOps.lshBandRows]]/md5 computation this fold already did;
+    * callers persisting state (graft.CorpusEtl) materialize it
+    * through their commit, so nothing is shingled twice. */
+  def curateFold(batch: DataFrame, state: FoldState,
+      cfg: Config = Config()): (DataFrame, FoldState) = {
+    val isEval = col("doc_id") % cfg.evalModulus === 0
+
+    val stats = TextOps.qualityScore(batch)
+      .join(TextOps.tokenStats(batch).select("doc_id", "n_tokens"), "doc_id")
+      .select("doc_id", "n_tokens", "quality")
+    val lang = TextOps.langId(batch).select(col("doc_id"), col("predicted"))
+
+    val batchHashes = batch.select(md5(col("text")).as("content_md5"), col("doc_id"))
+    // exact losers: non-canonical within the batch, or any copy of a
+    // hash history has already accepted a canonical for
+    val exactLosers = TextOps.exactDupGroups(batch)
+      .where(col("n_copies") > 1)
+      .join(batchHashes, "content_md5")
+      .where(col("doc_id") =!= col("canonical_doc_id"))
+      .select("doc_id")
+      .union(batchHashes
+        .join(state.hashes, Seq("content_md5"), "left_semi")
+        .select("doc_id"))
+      .distinct()
+      .withColumn("is_exact_dup", lit(true))
+
+    // near losers: larger side of a within-batch pair, or any batch
+    // doc whose bands hit the history index (history side always
+    // wins — it was folded first)
+    val br = TextOps.lshBandRows(batch, cfg.shingleN, cfg.minhashK, cfg.minhashBands)
+    val nearLosers = TextOps.minhashDupPairsFromBands(br, cfg.nearDupThreshold)
+      .select(col("b").as("doc_id"))
+      .union(TextOps.minhashDupAgainstIndexFromBands(
+        state.bandIndex, br, cfg.nearDupThreshold)
+        .select(col("a").as("doc_id")))
+      .distinct()
+      .withColumn("is_near_dup", lit(true))
+
+    val contaminated = TextOps.shingleRows(batch.where(!isEval), cfg.shingleN)
+      .join(broadcast(state.evalShingles), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= cfg.contamShingles)
+      .select(col("doc_id"), lit(true).as("is_contaminated"))
+
+    def flag(c: Column): Column = coalesce(c, lit(false))
+
+    val flags = batch.select(col("doc_id"))
+      .join(stats, "doc_id")
+      .join(lang, "doc_id")
+      .join(exactLosers, Seq("doc_id"), "left")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("quality"), col("predicted"),
+        isEval.as("is_eval"),
+        flag(col("is_exact_dup")).as("is_exact_dup"),
+        flag(col("is_near_dup")).as("is_near_dup"),
+        flag(col("is_contaminated")).as("is_contaminated"),
+        (substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 1)
+          < cfg.sampleHexLt).as("sampled_in"))
+      .withColumn("kept",
+        !col("is_eval") && col("sampled_in") &&
+          !col("is_exact_dup") && !col("is_near_dup") && !col("is_contaminated") &&
+          col("predicted") =!= "und" &&
+          col("quality") >= cfg.minQuality &&
+          col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+      .orderBy(col("doc_id").asc)
+
+    (flags, FoldState(
+      hashes = state.hashes.union(batchHashes.select("content_md5").distinct()),
+      bandIndex = state.bandIndex.unionByName(br),
+      evalShingles = state.evalShingles))
+  }
+
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val isEval = col("doc_id") % cfg.evalModulus === 0
 
