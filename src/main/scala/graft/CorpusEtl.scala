@@ -15,8 +15,9 @@ import graft.text.Curation
   *
   * Usage:
   * {{{
-  * sbt "runMain graft.CorpusEtl init <storeRoot> <evalDocsParquet>"
-  * sbt "runMain graft.CorpusEtl run  <storeRoot> <batchParquet> <batchId>"
+  * sbt "runMain graft.CorpusEtl init   <storeRoot> <evalDocsParquet>"
+  * sbt "runMain graft.CorpusEtl run    <storeRoot> <batchParquet> <batchId>"
+  * sbt "runMain graft.CorpusEtl forget <storeRoot> <docIdsParquet>"
   * }}}
   *
   * `init` pins the benchmark: the eval set's shingles are committed
@@ -28,8 +29,8 @@ import graft.text.Curation
   *
   * Store tables (all through the TableFormat seam):
   *  - `eval_shingles` (shingle) — pinned at init.
-  *  - `content_hashes` (content_md5) — exact-dedup probe set,
-  *    append-per-batch.
+  *  - `content_hashes` (content_md5, doc_id) — exact-dedup probe set,
+  *    append-per-batch; doc_id addresses rows for [[forget]].
   *  - `band_index` (doc_id, shingles, band_idx, band_hash) — near-dup
   *    probe index, append-per-batch. At warehouse scale this table is
   *    written BUCKETED on (band_idx, band_hash) (BucketingSpec's
@@ -146,6 +147,36 @@ object CorpusEtl {
       a.getLong(4), a.getLong(5), a.getLong(6))
   }
 
+  /** Right-to-be-forgotten: erase `docIds` (a (doc_id) frame) from
+    * every table that carries the documents — accepted text, audit
+    * ledger, content hashes, band-index rows — in one manifest-
+    * committed state change, so a crash can't leave a half-forgotten
+    * store and a racing daily run fails loudly against the new base.
+    *
+    * Semantics, deliberately: (1) erasure is by anti-join on doc_id —
+    * a surviving exact copy of a forgotten document (different
+    * doc_id, same content) keeps ITS hash/band rows, so forgetting
+    * one copy never unblocks its other copies; (2) PAST decisions
+    * stand — a document that was dropped as a duplicate of a now-
+    * forgotten one stays dropped (its ledger row never referenced the
+    * winner); (3) FUTURE arrivals of the forgotten content are judged
+    * fresh — the probe rows are gone, which is exactly what erasure
+    * means. Scale: four anti-joins against a (typically tiny)
+    * broadcast forget-set; on the versioned-parquet backend the
+    * commit rewrites each table, where a transactional format fulfils
+    * the same seam with deletion vectors / merge-on-read. */
+  def forget(spark: SparkSession, storeRoot: String,
+      docIds: DataFrame): Unit = {
+    val fmt = new VersionedParquet(spark, storeRoot)
+    val (_, manifestBase) = loadState(fmt)
+    val ids = broadcast(docIds.select("doc_id").distinct())
+    Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept")
+      .foreach { t =>
+        fmt.overwrite(t, fmt.read(t).join(ids, Seq("doc_id"), "left_anti"))
+      }
+    commitManifest(spark, fmt, manifestBase)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -166,9 +197,13 @@ object CorpusEtl {
           s"exact_dup=${a.nExactDup} near_dup=${a.nNearDup} " +
           s"contaminated=${a.nContaminated} eval=${a.nEval} " +
           s"low_quality=${a.nLowQuality}")
+      case Seq("forget", storeRoot, idsParquet) =>
+        forget(spark, storeRoot, spark.read.parquet(idsParquet))
+        println(s"[corpus-etl] forgot the docs in $idsParquet from $storeRoot")
       case _ => sys.error(
         "usage: CorpusEtl init <storeRoot> <evalDocsParquet> | " +
-          "CorpusEtl run <storeRoot> <batchParquet> <batchId>")
+          "CorpusEtl run <storeRoot> <batchParquet> <batchId> | " +
+          "CorpusEtl forget <storeRoot> <docIdsParquet>")
     }
     spark.stop()
   }

@@ -45,9 +45,11 @@ object Curation {
     * and the next one extends — the persistable form of "everything
     * the funnel has seen", none of it document text:
     *
-    *  - `hashes`: (content_md5) of every doc ever folded — the exact-
-    *    dedup probe set. Append-only (duplicate hash rows are
-    *    harmless: probes are semi-joins); 32 bytes/doc.
+    *  - `hashes`: (content_md5, doc_id) of every doc ever folded —
+    *    the exact-dedup probe set. Append-only (duplicate hash rows
+    *    are harmless: probes are semi-joins on the hash); doc_id rides
+    *    along so erasure ([[graft.CorpusEtl]] `forget`) can address
+    *    one document's rows without re-hashing history. ~40 bytes/doc.
     *  - `bandIndex`: [[TextOps.lshBandRows]] of every doc ever folded
     *    — the near-dup probe index. Append-only; at warehouse scale
     *    written bucketed on (band_idx, band_hash) so the daily probe
@@ -69,7 +71,7 @@ object Curation {
   def initState(evalDocs: DataFrame, cfg: Config = Config()): FoldState =
     FoldState(
       hashes = evalDocs.limit(0)
-        .select(md5(col("text")).as("content_md5")),
+        .select(md5(col("text")).as("content_md5"), col("doc_id")),
       bandIndex = TextOps.lshBandRows(
         evalDocs.limit(0), cfg.shingleN, cfg.minhashK, cfg.minhashBands),
       evalShingles = TextOps.shingleRows(evalDocs, cfg.shingleN)
@@ -168,7 +170,7 @@ object Curation {
       .orderBy(col("doc_id").asc)
 
     (flags, FoldState(
-      hashes = state.hashes.union(batchHashes.select("content_md5").distinct()),
+      hashes = state.hashes.unionByName(batchHashes),
       bandIndex = state.bandIndex.unionByName(br),
       evalShingles = state.evalShingles))
   }

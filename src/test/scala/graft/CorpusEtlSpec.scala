@@ -78,6 +78,55 @@ class CorpusEtlSpec extends SparkSpec {
       !f(22L).getAs[Boolean]("is_near_dup"))
   }
 
+  test("forget erases a document everywhere and its content is judged fresh") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    val day1 = Seq(
+      (10L, "remember me not this very distinctive document text right here", "en", "web", 60L),
+      (11L, "an entirely different document about music charts and rankings here", "en", "web", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.init(spark, root, day1.limit(0), cfg)
+    CorpusEtl.runBatch(spark, root, day1, 1L, cfg)
+    CorpusEtl.forget(spark, root, Seq(10L).toDF("doc_id"))
+
+    val fmt = new VersionedParquet(spark, root)
+    for (t <- Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept"))
+      assert(fmt.read(t).where($"doc_id" === 10L).isEmpty, s"doc 10 survives in $t")
+    assert(fmt.read("corpus_flags").where($"doc_id" === 11L).count() == 1)
+
+    // the forgotten content no longer blocks a future arrival; the
+    // untouched doc 11 still does
+    val day2 = Seq(
+      (20L, "remember me not this very distinctive document text right here", "en", "web", 60L),
+      (21L, "an entirely different document about music charts and rankings there", "en", "web", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.runBatch(spark, root, day2, 2L, cfg)
+    val f = fmt.read("corpus_flags").where($"batch_id" === 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!f(20L).getAs[Boolean]("is_exact_dup") &&
+      !f(20L).getAs[Boolean]("is_near_dup"))
+    assert(f(21L).getAs[Boolean]("is_near_dup"))
+  }
+
+  test("forgetting one copy never unblocks its surviving exact copies") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    val textX = "the same duplicated content appears in two separate documents today"
+    val day1 = Seq(
+      (30L, textX, "en", "web", 60L), (31L, textX, "en", "web", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.init(spark, root, day1.limit(0), cfg)
+    CorpusEtl.runBatch(spark, root, day1, 1L, cfg)
+    CorpusEtl.forget(spark, root, Seq(30L).toDF("doc_id"))
+    CorpusEtl.runBatch(spark, root,
+      Seq((40L, textX, "en", "web", 60L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), 2L, cfg)
+    val fmt = new VersionedParquet(spark, root)
+    val f40 = fmt.read("corpus_flags").where($"doc_id" === 40L).head()
+    assert(f40.getAs[Boolean]("is_exact_dup"),
+      "doc 31's surviving probe row must still block new copies")
+  }
+
   test("init refuses a live store; a racing day fails its manifest commit") {
     val root = freshRoot()
     val cfg = Curation.Config()
