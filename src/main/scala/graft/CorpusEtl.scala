@@ -147,6 +147,22 @@ object CorpusEtl {
       a.getLong(4), a.getLong(5), a.getLong(6))
   }
 
+  /** Point-in-time read: every store table as pinned by `manifestVersion`
+    * — "what did the funnel know after day N" for audits and
+    * backfills. Committed versions are immutable, so this is safe
+    * concurrent with daily runs; note that [[forget]] mints a NEW
+    * manifest version rather than editing history, so erasure
+    * compliance for the underlying FILES of older versions is the
+    * retention policy of the backing format (vacuum old versions),
+    * not this read path. */
+  def tablesAsOf(spark: SparkSession, storeRoot: String,
+      manifestVersion: Long): Map[String, DataFrame] = {
+    val fmt = new VersionedParquet(spark, storeRoot)
+    val pinned = fmt.readVersion("manifest", manifestVersion).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    allTables.map(n => n -> fmt.readVersion(n, pinned(n))).toMap
+  }
+
   /** Right-to-be-forgotten: erase `docIds` (a (doc_id) frame) from
     * every table that carries the documents — accepted text, audit
     * ledger, content hashes, band-index rows — in one manifest-

@@ -438,8 +438,41 @@ object CorpusQueries {
       .orderBy(col("vec_id").asc)
   }
 
+  /** ONLINE k-means — the daily-fold twin of [[q_kmeans]]
+    * ([[graft.vector.DistributedKMeans.foldBatch]]): Lloyd trains on
+    * the first half of the collection only; the second half arrives
+    * as a batch, assigns against the state's centroids in ONE job,
+    * and merges its per-cell (sum, cnt) partials — history is never
+    * rescanned. Assignments are FROZEN at their fold (the
+    * incremental-CC contract); distances report against the final
+    * merged centroids. Integer-exact throughout, so the DuckDB
+    * replay is plain SUM/GROUP BY over the same phases. */
+  def q_kmeans_incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.vector.DistributedKMeans._
+    val q = graft.operators.CheckpointBlocks.retire("q_kmeans_incremental.qv",
+      quantized(Tables.table(spark, dir, "embeddings"), KmScale)
+        .localCheckpoint(true))
+    val mid = q.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val q1 = q.where(col("vec_id") <= mid)
+    val q2 = q.where(col("vec_id") > mid)
+    val c1 = train(q1, KmK, KmIters)
+    val s1 = stateOf(q1, c1)
+    val s2 = foldBatch(q2, s1)
+    val c2 = centroids(s2)
+    val frozen = q1.withColumn("cell", assignCell(col("qv"), c1))
+      .unionByName(q2.withColumn("cell", assignCell(col("qv"), centroids(s1))))
+    // dist2 vs the final centroid of the frozen cell — a literal CASE
+    // chain over k tiny centroids, map-only
+    val d2 = c2.foldLeft(lit(null).cast("long")) { (acc, c) =>
+      when(col("cell") === c.cell, dist2To(col("qv"), c)).otherwise(acc)
+    }
+    frozen.select(col("vec_id"), col("cell"), d2.as("dist2"))
+      .orderBy(col("vec_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans" -> (q_kmeans _),
+    "q_kmeans_incremental" -> (q_kmeans_incremental _),
     "q_repetition" -> (q_repetition _),
     "q_exact_substring" -> (q_exact_substring _),
     "q_semantic_dedup" -> (q_semantic_dedup _),
@@ -1043,47 +1076,90 @@ ORDER BY a ASC, b ASC"""
     * and the truncating integer mean are all order-independent
     * integer math, so plain SUM/GROUP BY replays the cluster's
     * shuffle-order-agnostic aggregation exactly. */
-  private val kmeansSql: String = {
-    val d = VecDim
-    def idist(v: String, c: String): String =
-      s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
-        s"i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))) AS BIGINT)"
-    // one Lloyd round: argmin assign (ties → lower cell), per-cell
-    // elementwise integer sums, truncating mean; empty cells keep
-    // their previous centroid
-    def round(prev: String, a: String, out: String): String =
-      s"""$a AS (
-         |  SELECT q.vec_id, q.v, c.cell
-         |  FROM qv q CROSS JOIN $prev c
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |    ORDER BY ${idist("q.v", "c.v")} ASC, c.cell ASC) = 1),
-         |${a}n AS (SELECT cell, COUNT(*) AS cnt FROM $a GROUP BY cell),
-         |${a}s AS (
-         |  SELECT cell, i, SUM(v[i::INTEGER]) AS s
-         |  FROM $a, UNNEST(range(1, ${d + 1})) AS t(i) GROUP BY cell, i),
-         |$out AS (
-         |  SELECT p.cell, COALESCE(m.v2, p.v) AS v
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT s.cell, list(s.s // n.cnt ORDER BY s.i) AS v2
-         |    FROM ${a}s s JOIN ${a}n n USING (cell) GROUP BY s.cell) m
-         |    ON p.cell = m.cell)""".stripMargin
-    val rounds = (0 until KmIters)
-      .map(i => round(s"k$i", s"ka${i + 1}", s"k${i + 1}")).mkString(",\n")
-    s"""WITH qv AS (
+  private def kmIdist(v: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, ${VecDim + 1}), " +
+      s"i -> ($v[i::INTEGER] - $c[i::INTEGER]) * ($v[i::INTEGER] - $c[i::INTEGER]))) AS BIGINT)"
+
+  // one Lloyd round over `src`: argmin assign (ties → lower cell,
+  // CTE `$a`), per-cell counts/elementwise integer sums (`${a}n` /
+  // `${a}s`), truncating mean with empty cells keeping their previous
+  // centroid (`$out`) — shared by the full and incremental replays
+  private def kmRound(src: String, prev: String, a: String, out: String): String =
+    s"""$a AS (
+       |  SELECT q.vec_id, q.v, c.cell
+       |  FROM $src q CROSS JOIN $prev c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${kmIdist("q.v", "c.v")} ASC, c.cell ASC) = 1),
+       |${a}n AS (SELECT cell, COUNT(*) AS cnt FROM $a GROUP BY cell),
+       |${a}s AS (
+       |  SELECT cell, i, SUM(v[i::INTEGER]) AS s
+       |  FROM $a, UNNEST(range(1, ${VecDim + 1})) AS t(i) GROUP BY cell, i),
+       |$out AS (
+       |  SELECT p.cell, COALESCE(m.v2, p.v) AS v
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT s.cell, list(s.s // n.cnt ORDER BY s.i) AS v2
+       |    FROM ${a}s s JOIN ${a}n n USING (cell) GROUP BY s.cell) m
+       |    ON p.cell = m.cell)""".stripMargin
+
+  private def kmQuantizedCte(from: String): String =
+    s"""qv AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
-       |  FROM embeddings),
-       |k0 AS (
-       |  SELECT CAST(vec_id % $KmK AS INTEGER) AS cell, v FROM qv
+       |  FROM $from)""".stripMargin
+
+  private def kmSeedCte(src: String): String =
+    s"""k0 AS (
+       |  SELECT CAST(vec_id % $KmK AS INTEGER) AS cell, v FROM $src
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id % $KmK
-       |    ORDER BY vec_id ASC) = 1),
+       |    ORDER BY vec_id ASC) = 1)""".stripMargin
+
+  private val kmeansSql: String = {
+    val rounds = (0 until KmIters)
+      .map(i => kmRound("qv", s"k$i", s"ka${i + 1}", s"k${i + 1}")).mkString(",\n")
+    s"""WITH ${kmQuantizedCte("embeddings")},
+       |${kmSeedCte("qv")},
        |$rounds
-       |SELECT q.vec_id, c.cell, ${idist("q.v", "c.v")} AS dist2
+       |SELECT q.vec_id, c.cell, ${kmIdist("q.v", "c.v")} AS dist2
        |FROM qv q CROSS JOIN k$KmIters c
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |  ORDER BY ${idist("q.v", "c.v")} ASC, c.cell ASC) = 1
+       |  ORDER BY ${kmIdist("q.v", "c.v")} ASC, c.cell ASC) = 1
        |ORDER BY q.vec_id ASC""".stripMargin
+  }
+
+  /** Online-fold replay: Lloyd over the first half only; `s1a`/`cs1`
+    * are one more [[kmRound]] whose mean IS the state's implied
+    * centroids; the batch assigns against `cs1` and the merge is
+    * UNION ALL + SUM over the two phases' partials (order-independent
+    * integer math again); frozen assignments score against the merged
+    * centroids. */
+  private val kmeansIncrementalSql: String = {
+    val rounds = (0 until KmIters)
+      .map(i => kmRound("qv1", s"k$i", s"ka${i + 1}", s"k${i + 1}")).mkString(",\n")
+    val kf = s"k$KmIters"
+    s"""WITH ${kmQuantizedCte("embeddings")},
+       |prm AS (SELECT MAX(vec_id) // 2 AS mid FROM qv),
+       |qv1 AS (SELECT q.vec_id, q.v FROM qv q, prm WHERE q.vec_id <= prm.mid),
+       |qv2 AS (SELECT q.vec_id, q.v FROM qv q, prm WHERE q.vec_id > prm.mid),
+       |${kmSeedCte("qv1")},
+       |$rounds,
+       |${kmRound("qv1", kf, "s1a", "cs1")},
+       |${kmRound("qv2", "cs1", "a2", "c2x")},
+       |mn AS (SELECT cell, SUM(cnt) AS cnt FROM (
+       |  SELECT cell, cnt FROM s1an UNION ALL SELECT cell, cnt FROM a2n) GROUP BY cell),
+       |ms AS (SELECT cell, i, SUM(s) AS s FROM (
+       |  SELECT cell, i, s FROM s1as UNION ALL SELECT cell, i, s FROM a2s) GROUP BY cell, i),
+       |c2 AS (
+       |  SELECT p.cell, COALESCE(m.v2, p.v) AS v
+       |  FROM cs1 p LEFT JOIN (
+       |    SELECT ms.cell, list(ms.s // mn.cnt ORDER BY ms.i) AS v2
+       |    FROM ms JOIN mn USING (cell) GROUP BY ms.cell) m
+       |    ON p.cell = m.cell),
+       |al AS (SELECT vec_id, v, cell FROM s1a
+       |       UNION ALL SELECT vec_id, v, cell FROM a2)
+       |SELECT al.vec_id, al.cell, ${kmIdist("al.v", "c.v")} AS dist2
+       |FROM al JOIN c2 c ON al.cell = c.cell
+       |ORDER BY al.vec_id ASC""".stripMargin
   }
 
   private val annIvfSql: String = ivfAssignCtes + ",\n" +
@@ -1245,6 +1321,7 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
     "q_kmeans" -> kmeansSql,
+    "q_kmeans_incremental" -> kmeansIncrementalSql,
     "q_ann_pq" -> annPqSql,
     "q_dedup_rewrite" -> dedupRewriteSql,
     "q_multimodal_meta" ->

@@ -47,7 +47,7 @@ object DistributedKMeans {
         x => round(x.cast("double") * scale).cast("long")).as("qv"))
 
   /** Integer squared distance to one centroid literal. */
-  private def dist2(v: Column, cent: QCentroid): Column =
+  def dist2To(v: Column, cent: QCentroid): Column =
     aggregate(
       zip_with(v, typedLit(cent.vec), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, d) => acc + d)
@@ -55,16 +55,67 @@ object DistributedKMeans {
   /** Argmin cell over centroid literals, ties to the smaller cell. */
   def assignCell(v: Column, cents: Seq[QCentroid]): Column =
     array_min(array(cents.map(c =>
-      struct(dist2(v, c).as("d"), lit(c.cell).as("cell"))): _*))
+      struct(dist2To(v, c).as("d"), lit(c.cell).as("cell"))): _*))
       .getField("cell")
 
   /** The per-vector (cell, dist2) against trained centroids —
     * map-only; the final scoring pass of [[train]]'s caller. */
   def assignment(q: DataFrame, cents: Seq[QCentroid]): DataFrame = {
     val best = array_min(array(cents.map(c =>
-      struct(dist2(col("qv"), c).as("d"), lit(c.cell).as("cell"))): _*))
+      struct(dist2To(col("qv"), c).as("d"), lit(c.cell).as("cell"))): _*))
     q.select(col("vec_id"), best.getField("cell").as("cell"),
       best.getField("d").as("dist2"))
+  }
+
+  /** Per-cell running (elementwise sum, count) — the MERGEABLE state
+    * behind incremental and streaming centroid maintenance: sums are
+    * order-independent longs, so state from any partitioning, any
+    * batch split, or any day merges to the same value. `seed` is the
+    * centroid the cell falls back to while empty (the trained
+    * centroid it was derived from). */
+  final case class CellState(cell: Int, sum: Seq[Long], cnt: Long,
+      seed: Seq[Long])
+
+  /** Centroids a state implies: truncating mean, empty cell → seed. */
+  def centroids(state: Seq[CellState]): Seq[QCentroid] =
+    state.map(s => QCentroid(s.cell,
+      if (s.cnt == 0L) s.seed else s.sum.map(_ / s.cnt)))
+
+  /** One assignment job reduced to state: per-cell (sum, cnt) of `q`
+    * under `cents` (map-only assign + the same bounded
+    * partitions×k×dim shuffle as a [[train]] round). */
+  def stateOf(q: DataFrame, cents: Seq[QCentroid]): Seq[CellState] = {
+    val upd = q
+      .withColumn("cell", assignCell(col("qv"), cents))
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val byCell = upd.groupBy(_.getInt(0))
+    cents.map { c =>
+      byCell.get(c.cell) match {
+        case Some(rows) => CellState(c.cell,
+          rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq,
+          rows.head.getLong(3), c.vec)
+        case None => CellState(c.cell, c.vec.map(_ => 0L), 0L, c.vec)
+      }
+    }
+  }
+
+  /** ONLINE (mini-batch) k-means fold: assign `batch` against the
+    * centroids the state currently implies, and merge the batch's
+    * per-cell partials in — earlier days' assignments never revisit
+    * (the incremental-CC contract applied to centroids: history is
+    * touched only through its k×dim-long state, one job per day).
+    * Deterministic and split-order-defined; the streaming twin
+    * ([[graft.streaming.StreamingKMeans]]) maintains the identical
+    * state with arbitrary micro-batch splits. */
+  def foldBatch(batch: DataFrame, state: Seq[CellState]): Seq[CellState] = {
+    val upd = stateOf(batch, centroids(state)).map(s => s.cell -> s).toMap
+    state.map { s =>
+      val u = upd(s.cell)
+      CellState(s.cell, s.sum.lazyZip(u.sum).map(_ + _), s.cnt + u.cnt, s.seed)
+    }
   }
 
   /** `iters` Lloyd rounds over `q` ([[quantized]] — must be
@@ -77,26 +128,10 @@ object DistributedKMeans {
       .collect()
     var cents: Seq[QCentroid] = seedRows
       .map(r => QCentroid(r.getInt(0), r.getSeq[Long](1))).sortBy(_.cell).toSeq
-    for (_ <- 1 to iters) {
-      // one job: map-only assign + (cell, pos)-keyed partial-agg'd
-      // update, k×dim result rows collected
-      val upd = q
-        .withColumn("cell", assignCell(col("qv"), cents))
-        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-        .collect()
-      val byCell = upd.groupBy(_.getInt(0))
-      cents = cents.map { c =>
-        byCell.get(c.cell) match {
-          case Some(rows) =>
-            val cnt = rows.head.getLong(3)
-            QCentroid(c.cell,
-              rows.sortBy(_.getInt(1)).map(_.getLong(2) / cnt).toSeq)
-          case None => c // empty cell: keep the previous centroid
-        }
-      }
-    }
+    // one job per round: [[stateOf]]'s assign+partial-agg; the
+    // empty-cell rule (keep previous centroid) is [[centroids]]'s
+    // seed fallback, seeded here with the round's input centroids
+    for (_ <- 1 to iters) cents = centroids(stateOf(q, cents))
     cents
   }
 }

@@ -125,6 +125,12 @@ class CorpusEtlSpec extends SparkSpec {
     val f40 = fmt.read("corpus_flags").where($"doc_id" === 40L).head()
     assert(f40.getAs[Boolean]("is_exact_dup"),
       "doc 31's surviving probe row must still block new copies")
+
+    // time travel: the day-1 state (manifest v2 — init was v1) still
+    // shows doc 30's ledger row; the current state does not
+    val asOfDay1 = CorpusEtl.tablesAsOf(spark, root, 2L)
+    assert(asOfDay1("corpus_flags").where($"doc_id" === 30L).count() == 1)
+    assert(fmt.read("corpus_flags").where($"doc_id" === 30L).isEmpty)
   }
 
   test("init refuses a live store; a racing day fails its manifest commit") {

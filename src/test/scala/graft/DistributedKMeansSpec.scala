@@ -36,6 +36,30 @@ class DistributedKMeansSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("online fold: day-2 batch merges into day-1 state, history untouched") {
+    import DistributedKMeans._
+    val q = DistributedKMeans.quantized(vecs, 1000000L).localCheckpoint(true)
+    val cents = train(q, k = 2, iters = 3)
+    val day1 = q.where(col("vec_id") <= 2L) // the low cluster
+    val day2 = q.where(col("vec_id") > 2L) // the high cluster
+    val s1 = stateOf(day1, cents)
+    // day-1 saw only the low cluster: the high cell is empty and its
+    // implied centroid falls back to the trained seed
+    assert(s1.map(_.cnt).sorted === Seq(0L, 3L))
+    val emptyCell = s1.find(_.cnt == 0L).get.cell
+    assert(centroids(s1).find(_.cell == emptyCell).get.vec ===
+      cents.find(_.cell == emptyCell).get.vec)
+    val s2 = foldBatch(day2, s1)
+    assert(s2.map(_.cnt).toSet === Set(3L, 3L).toSet && s2.map(_.cnt).sum === 6L)
+    // merged centroids are the exact truncating means of each cluster
+    val c2 = centroids(s2)
+    val lowCell = s1.find(_.cnt == 3L).get.cell
+    assert(c2.find(_.cell == lowCell).get.vec ===
+      Seq((100000L + 0L - 100000L) / 3, (0L + 200000L + 100000L) / 3))
+    assert(c2.find(_.cell == emptyCell).get.vec ===
+      Seq((10000000L + 9900000L + 10100000L) / 3, (9900000L + 10100000L + 10000000L) / 3))
+  }
+
   test("a cell that loses all members keeps its previous centroid") {
     // seeds 0 and 1 are identical vectors, so every assignment tie
     // breaks to cell 0 and cell 1 goes empty from round 1 — it must

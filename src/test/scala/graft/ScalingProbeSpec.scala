@@ -22,7 +22,10 @@ class ScalingProbeSpec extends SparkSpec {
     "q_pagerank", // iterative integer mass
     "q_cc_incremental", // daily fold: index probe + batch mining + delta CC
     "q_phash_dedup", // perceptual-hash banded join + Hamming verify
-    "q_split_dedup_aware") // components consumer over the staged artifact
+    "q_split_dedup_aware", // components consumer over the staged artifact
+    "q_containment_prefix", // prefix-filtered candidate join (r9)
+    "q_curate_incremental", // two-day fold: gates + index probes (r9)
+    "q_kmeans") // full-collection Lloyd: bounded per-round shuffle (r9)
 
   private val small = "/root/testdata/sf0.01"
   private val big = "/root/testdata/sf0.1"

@@ -492,6 +492,34 @@ class StreamingSpec extends SparkSpec {
     assert(latest === batch && batch.nonEmpty)
   }
 
+  test("streaming k-means cell state equals the batch fold under any split") {
+    import graft.streaming.StreamingKMeans
+    import graft.vector.DistributedKMeans
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.io.Tables.table(spark, sf, "embeddings")
+    val scale = 1000000L
+    val q = DistributedKMeans.quantized(emb, scale).localCheckpoint(true)
+    val cents = DistributedKMeans.train(q, k = 4, iters = 2)
+    val batch = StreamingKMeans.flatten(DistributedKMeans.stateOf(q, cents)).toSet
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    for (nSplits <- Seq(1, 3)) {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val sq = StreamingKMeans.cellStateStream(
+          in.toDF().toDF("vec_id", "embedding"), cents, scale)
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(s"km_t$nSplits").start()
+      rows.grouped(math.max(1, rows.size / nSplits + 1)).foreach { b =>
+        in.addData(b: _*); sq.processAllAvailable()
+      }
+      sq.stop()
+      val got = spark.table(s"km_t$nSplits")
+        .as[(Int, Int, Long, Long)].collect().toSet
+      assert(got === batch && batch.nonEmpty)
+    }
+  }
+
   test("streaming weighted reservoir converges to the batch weighted sample") {
     import graft.streaming.StreamingMix
     import graft.streaming.StreamingMix.{DocRow, Pick}
