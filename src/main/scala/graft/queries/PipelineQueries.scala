@@ -135,6 +135,23 @@ object PipelineQueries {
   def q_bm25(spark: SparkSession, dir: String): DataFrame =
     bm25Scores(spark, dir).orderBy(col("doc_id").asc)
 
+  /** The daily-index-maintenance twin of [[q_bm25]]: the corpus
+    * arrives as two id-ordered batches, each contributing ONE row of
+    * additive sufficient statistics (n_docs, Σdl, per-term df) from a
+    * single map+agg pass over its own documents; global stats are the
+    * SUM of the partials (disjoint doc sets — df adds exactly), and
+    * scoring is the identical per-doc math against the merged row.
+    * History's text is tokenized on its own day only; day-30 global
+    * stats cost one k-long-row merge. Same oracle SQL as q_bm25. */
+  def q_bm25_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val b1 = bm25Base(docs.where(col("doc_id") <= mid), "q_bm25_inc.b1")
+    val b2 = bm25Base(docs.where(col("doc_id") > mid), "q_bm25_inc.b2")
+    val merged = bm25MergeStats(bm25Stats(b1).unionByName(bm25Stats(b2)))
+    scoreBm25(b1.unionByName(b2), merged).orderBy(col("doc_id").asc)
+  }
+
   private val WsK = 10
   private val WsMixA = 2654435761L
   private val WsMixB = 987654321L
@@ -170,22 +187,47 @@ object PipelineQueries {
 
   /** Per-document BM25 scores (no output ordering) — shared by
     * [[q_bm25]] and [[CorpusQueries.q_rank_fusion]]'s lexical arm. */
-  private[queries] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (dl, tf per fixed term) — the map-side pass both the
+    * corpus stats and the scoring join read; checkpointed so the
+    * tokenize pass runs once (retire-managed per site). */
+  private def bm25Base(docs: DataFrame, site: String): DataFrame = {
     val toks = split(col("text"), " ")
-    // per-doc (dl, tf*) feeds the corpus stats AND the scoring join —
-    // checkpoint it so the tokenize pass over the corpus runs once
-    // (retire-managed: the previous invocation's blocks free here)
-    val base = graft.operators.CheckpointBlocks.retire("q_bm25.base",
-      Tables.table(spark, dir, "documents").select(
+    graft.operators.CheckpointBlocks.retire(site,
+      docs.select(
         col("doc_id") +: size(toks).as("dl") +:
           Bm25Terms.zipWithIndex.map { case (t, i) =>
             size(filter(toks, x => x === lit(t))).as(s"tf$i")
           }: _*)
         .localCheckpoint(true))
+  }
+
+  /** The ADDITIVE corpus sufficient statistics BM25 needs:
+    * (n_docs, Σdl, df per term) — one row; partials from disjoint
+    * document sets merge by [[bm25MergeStats]]. */
+  private def bm25Stats(base: DataFrame): DataFrame = {
     val statCols = sum(col("dl")).as("sum_dl") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))
-    val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+  }
+
+  /** Merge per-day partial stats rows: every column is a sum. */
+  private def bm25MergeStats(partials: DataFrame): DataFrame = {
+    val cols = sum(col("n_docs")).as("n_docs") +:
+      sum(col("sum_dl")).as("sum_dl") +:
+      Bm25Terms.indices.map(i => sum(col(s"df$i")).as(s"df$i"))
+    partials.agg(cols.head, cols.tail: _*)
+  }
+
+  private[queries] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val base = bm25Base(Tables.table(spark, dir, "documents"), "q_bm25.base")
+    scoreBm25(base, bm25Stats(base))
+  }
+
+  /** Per-doc BM25 math against ONE broadcast stats row — identical
+    * arithmetic whether the stats came from one corpus pass or a
+    * merge of daily partials. */
+  private def scoreBm25(base: DataFrame, stats: DataFrame): DataFrame = {
     val withAvg = base.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
     val score = Bm25Terms.indices.map { i =>
@@ -764,6 +806,7 @@ object PipelineQueries {
     "q_profile" -> (q_profile _),
     "q_pagerank" -> (q_pagerank _),
     "q_bm25" -> (q_bm25 _),
+    "q_bm25_incremental" -> (q_bm25_incremental _),
     "q_zorder" -> (q_zorder _),
   )
 
@@ -1278,6 +1321,8 @@ object PipelineQueries {
     "q_profile" -> profileSql,
     "q_pagerank" -> pagerankSql,
     "q_bm25" -> bm25Sql,
+    // scoring against merged daily partials computes the same function
+    "q_bm25_incremental" -> bm25Sql,
     "q_zorder" -> zorderSql,
   )
 }

@@ -333,6 +333,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.where($"bm25" > 0).count() > 0)
   }
 
+  test("bm25: merged daily stat partials score identically to one pass") {
+    val sf = "/root/testdata/sf0.001"
+    val one = graft.queries.PipelineQueries.q_bm25(spark, sf).collect().toSeq
+    val inc = graft.queries.PipelineQueries.q_bm25_incremental(spark, sf)
+      .collect().toSeq
+    assert(inc == one && one.nonEmpty)
+  }
+
   // ---- ZOrder code -------------------------------------------------
 
   test("morton code interleaves extremes to the known bit pattern") {
