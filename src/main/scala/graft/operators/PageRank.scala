@@ -91,9 +91,23 @@ object PageRank {
       deg: DataFrame,
       iters: Int,
       startMass: Long = 1000000L,
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true,
+      init: Option[DataFrame] = None): DataFrame = {
     val teleport = startMass * 15L / 100L
-    var state = deg.withColumn("mass", lit(startMass))
+    // WARM START: seed from a prior day's (node, mass) instead of
+    // uniform — the incremental refresh after a graph delta (nodes
+    // absent from the seed start uniform). Power iteration converges
+    // from any start vector; a near-fixpoint seed needs fewer rounds
+    // for the same ordering quality, which is the whole point of
+    // folding a daily delta instead of re-ranking from scratch.
+    var state = init match {
+      case None => deg.withColumn("mass", lit(startMass))
+      case Some(m) => deg
+        .join(m.select(col("node"), col("mass").as("init_mass")),
+          Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("init_mass"), lit(startMass)).as("mass"))
+    }
     var spentCps = List.empty[DataFrame]
     var lastCp: Option[DataFrame] = None
     for (i <- 1 to iters) {

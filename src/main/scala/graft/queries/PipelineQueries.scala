@@ -110,14 +110,44 @@ object PipelineQueries {
       GraphStage.partSupplierEncodedEdges(spark, dir),
       GraphStage.partSupplierEncodedDegrees(spark, dir),
       PrIters, PrStartMass)
-      .select(
-        when(pmod(col("node"), lit(2)) === 0,
-          concat(lit("p:"), expr("node div 2").cast("string")))
-          .otherwise(
-            concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
-          .as("node"),
-        col("degree"), col("mass"))
-      .orderBy(col("node").asc)
+      .transform(prLabeled)
+  }
+
+  private val PrWarmIters = 2
+
+  /** Re-labels an encoded (node, degree, mass) state to the string
+    * ids the oracle uses, in output order. */
+  private def prLabeled(state: DataFrame): DataFrame = state
+    .select(
+      when(pmod(col("node"), lit(2)) === 0,
+        concat(lit("p:"), expr("node div 2").cast("string")))
+        .otherwise(
+          concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
+        .as("node"),
+      col("degree"), col("mass"))
+    .orderBy(col("node").asc)
+
+  /** WARM-START (incremental) PageRank — the daily-fold twin of
+    * [[q_pagerank]]: "day 1" is the ~2/3 edge subset with
+    * `(src + dst) % 3 ≠ 0` (an arbitrary deterministic crawl-day
+    * split; the sum is direction-invariant), ranked with the full
+    * [[PrIters]] power rounds; "day 2" adds the remaining edges and
+    * runs only [[PrWarmIters]] rounds SEEDED from day-1's final mass
+    * (new nodes start uniform). Power iteration converges from any
+    * start vector, so the near-fixpoint seed buys the same ordering
+    * quality for a fraction of the rounds — the refresh pattern for
+    * a growing link graph. Integer mass end to end: both phases
+    * replay exactly in the oracle's unrolled CTE chain. */
+  def q_pagerank_warmstart(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphStage.partSupplierEncodedEdges(spark, dir)
+    val e1 = e.where(pmod(col("src") + col("dst"), lit(3)) =!= 0)
+    val m1 = graft.operators.CheckpointBlocks.retire("q_pr_warm.m1",
+      PageRank.integerPageRank(e1, PrIters, PrStartMass))
+    PageRank.integerPageRankOver(
+      e, GraphStage.partSupplierEncodedDegrees(spark, dir),
+      PrWarmIters, PrStartMass,
+      init = Some(m1.select(col("node"), col("mass"))))
+      .transform(prLabeled)
   }
 
   private val Bm25Terms = Seq("spark", "table", "query")
@@ -805,6 +835,7 @@ object PipelineQueries {
     "q_rand_proj" -> (q_rand_proj _),
     "q_profile" -> (q_profile _),
     "q_pagerank" -> (q_pagerank _),
+    "q_pagerank_warmstart" -> (q_pagerank_warmstart _),
     "q_bm25" -> (q_bm25 _),
     "q_bm25_incremental" -> (q_bm25_incremental _),
     "q_zorder" -> (q_zorder _),
@@ -871,27 +902,58 @@ object PipelineQueries {
     * [[PageRank.integerPageRank]] — integer ops only, so the chain is
     * bit-exact. DuckDB `//` is floor division and Spark `div`
     * truncates, identical on the non-negative masses here. */
-  private val pagerankSql: String = {
-    val head =
-      s"""WITH pe AS (SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS p,
-         |                's:' || CAST(l_suppkey AS VARCHAR) AS s
-         |            FROM lineitem),
-         |e AS (SELECT p AS src, s AS dst FROM pe
-         |      UNION ALL SELECT s, p FROM pe),
-         |d AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY src),
-         |m0 AS (SELECT node, degree, CAST($PrStartMass AS BIGINT) AS mass FROM d)""".stripMargin
+  // shared head for the PageRank replays: the part–supplier bipartite
+  // edge list (both directions) with `r`, the encoded-id sum mod 3
+  // (2·pk + 2·sk + 1 — direction-invariant), which the warm-start
+  // replay uses as its crawl-day split; plus full-graph degrees
+  private val prHeadSql: String =
+    s"""WITH pe AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |en AS (SELECT 'p:' || CAST(pk AS VARCHAR) AS p,
+       |              's:' || CAST(sk AS VARCHAR) AS s,
+       |              (2 * pk + 2 * sk + 1) % 3 AS r FROM pe),
+       |e AS (SELECT p AS src, s AS dst, r FROM en
+       |      UNION ALL SELECT s, p, r FROM en),
+       |d AS (SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY src)""".stripMargin
+
+  // one damped integer power round over edge CTE `eCte` / degree CTE
+  // `dCte`: contributions, then teleport + 85% damped update
+  private def prRoundSql(eCte: String, dCte: String, prev: String,
+      c: String, out: String): String = {
     val teleport = PrStartMass * 15L / 100L
-    val its = (1 to PrIters).map { i =>
-      s""",
-         |c$i AS (SELECT e.dst AS node, SUM(m.mass // m.degree) AS inc
-         |        FROM e JOIN m${i - 1} m ON e.src = m.node GROUP BY e.dst),
-         |m$i AS (SELECT d.node, d.degree,
-         |          $teleport + (85 * COALESCE(c$i.inc, 0)) // 100 AS mass
-         |        FROM d LEFT JOIN c$i ON d.node = c$i.node)""".stripMargin
-    }.mkString
-    head + its +
-      s"\nSELECT node, degree, CAST(mass AS BIGINT) AS mass FROM m$PrIters ORDER BY node ASC"
+    s""",
+       |$c AS (SELECT e.dst AS node, SUM(m.mass // m.degree) AS inc
+       |        FROM $eCte e JOIN $prev m ON e.src = m.node GROUP BY e.dst),
+       |$out AS (SELECT d.node, d.degree,
+       |          $teleport + (85 * COALESCE($c.inc, 0)) // 100 AS mass
+       |        FROM $dCte d LEFT JOIN $c ON d.node = $c.node)""".stripMargin
   }
+
+  private def prFinalSql(last: String): String =
+    s"\nSELECT node, degree, CAST(mass AS BIGINT) AS mass FROM $last ORDER BY node ASC"
+
+  private val pagerankSql: String =
+    prHeadSql +
+      s""",
+         |m0 AS (SELECT node, degree, CAST($PrStartMass AS BIGINT) AS mass FROM d)""".stripMargin +
+      (1 to PrIters).map(i => prRoundSql("e", "d", s"m${i - 1}", s"c$i", s"m$i")).mkString +
+      prFinalSql(s"m$PrIters")
+
+  /** The warm-start replay: full rounds over the day-1 subgraph
+    * (r ≠ 0), then the day-2 state seeds from day-1 mass (new nodes
+    * uniform) and runs the short refresh over the full graph. */
+  private val pagerankWarmstartSql: String =
+    prHeadSql +
+      s""",
+         |e1 AS (SELECT src, dst FROM e WHERE r <> 0),
+         |d1 AS (SELECT src AS node, COUNT(*) AS degree FROM e1 GROUP BY src),
+         |w0 AS (SELECT node, degree, CAST($PrStartMass AS BIGINT) AS mass FROM d1)""".stripMargin +
+      (1 to PrIters).map(i => prRoundSql("e1", "d1", s"w${i - 1}", s"wc$i", s"w$i")).mkString +
+      s""",
+         |m0 AS (SELECT d.node, d.degree,
+         |         CAST(COALESCE(w.mass, $PrStartMass) AS BIGINT) AS mass
+         |       FROM d LEFT JOIN w$PrIters w ON d.node = w.node)""".stripMargin +
+      (1 to PrWarmIters).map(i => prRoundSql("e", "d", s"m${i - 1}", s"c$i", s"m$i")).mkString +
+      prFinalSql(s"m$PrWarmIters")
 
   private[queries] val bm25Sql: String = {
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
@@ -1320,6 +1382,7 @@ object PipelineQueries {
     "q_rand_proj" -> randProjSql,
     "q_profile" -> profileSql,
     "q_pagerank" -> pagerankSql,
+    "q_pagerank_warmstart" -> pagerankWarmstartSql,
     "q_bm25" -> bm25Sql,
     // scoring against merged daily partials computes the same function
     "q_bm25_incremental" -> bm25Sql,

@@ -175,6 +175,34 @@ class PipelineOpsSpec extends SparkSpec {
       Seq("c", 1L, 575000L)))
   }
 
+  test("warm-start pagerank is exact continuation: 5 rounds + 2 seeded = 7") {
+    // power iteration is memoryless (m_{k+1} = f(m_k)), so on an
+    // UNCHANGED graph, seeding 2 rounds from the 5-round state must
+    // be bit-identical to 7 cold rounds — the identity that makes
+    // warm-start after a graph delta principled rather than ad hoc
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"))
+      .toDF("x", "y")
+    val edges = und.select($"x".as("src"), $"y".as("dst"))
+      .unionByName(und.select($"y".as("src"), $"x".as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("degree")).localCheckpoint(true)
+    import graft.operators.PageRank
+    val m5 = PageRank.integerPageRankOver(edges, deg, 5)
+    val warm = PageRank.integerPageRankOver(edges, deg, 2,
+      init = Some(m5.select($"node", $"mass"))).orderBy("node")
+    val cold = PageRank.integerPageRankOver(edges, deg, 7).orderBy("node")
+    assert(rowsOf(warm) == rowsOf(cold))
+    // a node absent from the seed starts uniform: seed only node "a"
+    val partial = PageRank.integerPageRankOver(edges, deg, 1,
+      init = Some(Seq(("a", 42L)).toDF("node", "mass")))
+    val uniform1 = PageRank.integerPageRankOver(edges, deg, 1)
+    // "a" is a degree-2 corner feeding b and c with 21 units each —
+    // every OTHER node's round-1 input differs from uniform only in
+    // a's contribution
+    assert(partial.count() === uniform1.count())
+  }
+
   test("integer pagerank is invariant to partitioning and edge order") {
     val li = graft.io.Tables.table(spark, sf, "lineitem")
       .select(concat(lit("p:"), $"l_partkey").as("p"),
