@@ -263,6 +263,20 @@ object GraphStage {
     }
   }
 
+  /** "Yesterday's committed ranks": the day-1 (r ≠ 0 subgraph, r =
+    * encoded-id sum mod 3) PageRank state the warm-start query seeds
+    * from — a snapshot artifact, because in production the prior
+    * day's ranks are READ from storage, not recomputed; the daily
+    * query pays only its short seeded refresh. */
+  def pagerankPriorRanks(spark: SparkSession, dir: String): DataFrame = {
+    val e = partSupplierEncodedEdges(spark, dir)
+    stage(spark, dir, "prPriorRanks") {
+      graft.operators.PageRank.integerPageRank(
+        e.where(pmod(col("src") + col("dst"), lit(3)) =!= 0),
+        PipelineQueries.PrIters, PipelineQueries.PrStartMass)
+    }
+  }
+
   /** min_sup = the exact ⌈m/denom⌉-th smallest support in the truss
     * seed state (k-core's percentile recipe at the edge level). */
   private[queries] val TrussPctDenom = 50
@@ -353,6 +367,7 @@ object GraphStage {
     "graph.directed" -> (copurchaseDirected _),
     "graph.prEdges" -> (partSupplierEncodedEdges _),
     "graph.prDegrees" -> (partSupplierEncodedDegrees _),
+    "graph.prPriorRanks" -> (pagerankPriorRanks _),
     "graph.purchaseBipartite" -> (purchaseBipartite _),
     "graph.partSupplierPairs" -> (partSupplierPairs _))
 }

