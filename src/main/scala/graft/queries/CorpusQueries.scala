@@ -56,9 +56,9 @@ object CorpusQueries {
   private val PqMaxSample = IvfMaxSample
   // distributed full-collection Lloyd (q_kmeans): k, rounds, and the
   // integer quantization scale — shared verbatim by the oracle replay
-  private val KmK = 8
-  private val KmIters = 3
-  private val KmScale = 1000000L
+  private[queries] val KmK = 8
+  private[queries] val KmIters = 3
+  private[queries] val KmScale = 1000000L
   private[queries] val RewriteSeg = 5
 
   // ---- Spark-side queries ------------------------------------------
@@ -429,10 +429,7 @@ object CorpusQueries {
     * reproduces it bit-for-bit. Output: each vector's final cell and
     * integer squared distance. */
   def q_kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.operators.CheckpointBlocks.retire("q_kmeans.qv",
-      graft.vector.DistributedKMeans.quantized(
-        Tables.table(spark, dir, "embeddings"), KmScale)
-        .localCheckpoint(true))
+    val q = VectorStage.quantizedEmbeddings(spark, dir)
     val cents = graft.vector.DistributedKMeans.train(q, KmK, KmIters)
     graft.vector.DistributedKMeans.assignment(q, cents)
       .orderBy(col("vec_id").asc)
@@ -449,14 +446,15 @@ object CorpusQueries {
     * replay is plain SUM/GROUP BY over the same phases. */
   def q_kmeans_incremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.vector.DistributedKMeans._
-    val q = graft.operators.CheckpointBlocks.retire("q_kmeans_incremental.qv",
-      quantized(Tables.table(spark, dir, "embeddings"), KmScale)
-        .localCheckpoint(true))
-    val mid = q.agg(max(col("vec_id"))).head().getLong(0) / 2
+    // day-1 training + state are the staged [[VectorStage.kmPriorState]]
+    // artifact — yesterday's COMMITTED centroid table, read not
+    // retrained — so the query pays only the batch fold + scoring
+    val q = VectorStage.quantizedEmbeddings(spark, dir)
+    val mid = VectorStage.kmMid(spark, dir)
     val q1 = q.where(col("vec_id") <= mid)
     val q2 = q.where(col("vec_id") > mid)
-    val c1 = train(q1, KmK, KmIters)
-    val s1 = stateOf(q1, c1)
+    val s1 = VectorStage.kmPriorCells(spark, dir)
+    val c1 = s1.map(s => QCentroid(s.cell, s.seed))
     val s2 = foldBatch(q2, s1)
     val c2 = centroids(s2)
     val frozen = q1.withColumn("cell", assignCell(col("qv"), c1))

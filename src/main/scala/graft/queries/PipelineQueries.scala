@@ -220,21 +220,26 @@ object PipelineQueries {
   /** Per-doc (dl, tf per fixed term) — the map-side pass both the
     * corpus stats and the scoring join read; checkpointed so the
     * tokenize pass runs once (retire-managed per site). */
-  private def bm25Base(docs: DataFrame, site: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  private def bm25Base(docs: DataFrame, site: String): DataFrame =
     graft.operators.CheckpointBlocks.retire(site,
-      docs.select(
-        col("doc_id") +: size(toks).as("dl") +:
-          Bm25Terms.zipWithIndex.map { case (t, i) =>
-            size(filter(toks, x => x === lit(t))).as(s"tf$i")
-          }: _*)
-        .localCheckpoint(true))
+      bm25BaseFrame(docs).localCheckpoint(true))
+
+  /** The tokenize → per-doc (dl, tf per term) projection alone —
+    * cadence-agnostic (the streaming stats maintainer maps the same
+    * expressions over arriving documents). */
+  private[graft] def bm25BaseFrame(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id") +: size(toks).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).as(s"tf$i")
+        }: _*)
   }
 
   /** The ADDITIVE corpus sufficient statistics BM25 needs:
     * (n_docs, Σdl, df per term) — one row; partials from disjoint
     * document sets merge by [[bm25MergeStats]]. */
-  private def bm25Stats(base: DataFrame): DataFrame = {
+  private[graft] def bm25Stats(base: DataFrame): DataFrame = {
     val statCols = sum(col("dl")).as("sum_dl") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1).otherwise(0)).as(s"df$i"))

@@ -57,10 +57,12 @@ private[graft] object Stages {
       : Seq[(String, (SparkSession, String) => DataFrame)] =
     GraphStage.persistableArtifacts ++
       DedupStage.persistableArtifacts ++
-      LmStage.persistableArtifacts
+      LmStage.persistableArtifacts ++
+      VectorStage.persistableArtifacts
 
   def stagedSecondsTotal: Double =
-    GraphStage.stagedSeconds + DedupStage.stagedSeconds + LmStage.stagedSeconds
+    GraphStage.stagedSeconds + DedupStage.stagedSeconds +
+      LmStage.stagedSeconds + VectorStage.stagedSeconds
 
   /** Per-stage build-time attribution (adder sums — CPU-ish cost, not
     * wall): Bench emits these as separate tail fields so a staged_sec
@@ -68,7 +70,8 @@ private[graft] object Stages {
   def stagedSecondsByStage: Seq[(String, Double)] = Seq(
     "graph" -> GraphStage.stagedSeconds,
     "dedup" -> DedupStage.stagedSeconds,
-    "lm" -> LmStage.stagedSeconds)
+    "lm" -> LmStage.stagedSeconds,
+    "vector" -> VectorStage.stagedSeconds)
 
   /** Resolve every persistable artifact, fanning independent builds
     * out over a bounded thread pool — they are independent Spark jobs,
@@ -81,6 +84,15 @@ private[graft] object Stages {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val t0 = System.nanoTime()
+    // JVM class-init deadlock guard (round-9 postmortem): the query
+    // objects' oracle-SQL vals cross-reference (CorpusQueries ↔
+    // PipelineQueries ↔ …), which is legal when ONE thread walks the
+    // cycle (recursive-init re-entry) but deadlocks when two prewarm
+    // threads enter it from opposite ends (graph builder touched
+    // PipelineQueries constants while the dedup builder touched
+    // CorpusQueries — both parked on the other's class monitor
+    // forever). Force the whole chain on THIS thread first.
+    graft.SparkEntry.queries.size: Unit
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, math.max(1, persistableArtifacts.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -97,6 +109,7 @@ private[graft] object Stages {
     GraphStage.clearForTesting()
     DedupStage.clearForTesting()
     LmStage.clearForTesting()
+    VectorStage.clearForTesting()
   }
 
   /** [[clearAllForTesting]] + free the dropped artifacts' blocks —
@@ -107,6 +120,7 @@ private[graft] object Stages {
     GraphStage.clearAndFree()
     DedupStage.clearAndFree()
     LmStage.clearAndFree()
+    VectorStage.clearAndFree()
   }
 }
 

@@ -26,7 +26,7 @@ class StageStoreSpec extends SparkSpec {
     * scope. */
   private def snapshotDir(tag: String): String = {
     val dir = Files.createTempDirectory(s"graft_snap_$tag")
-    for (t <- Seq("documents", "lineitem", "orders", "customer")) {
+    for (t <- Seq("documents", "lineitem", "orders", "customer", "embeddings")) {
       Files.createSymbolicLink(
         dir.resolve(s"$t.parquet"), Paths.get(s"$src/$t.parquet"))
     }

@@ -492,6 +492,30 @@ class StreamingSpec extends SparkSpec {
     assert(latest === batch && batch.nonEmpty)
   }
 
+  test("streaming BM25 stats equal the batch stats row under any split") {
+    import graft.streaming.StreamingIndexStats
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.table(spark, sf, "documents")
+    val batch = graft.queries.PipelineQueries
+      .bm25Stats(graft.queries.PipelineQueries.bm25BaseFrame(docs))
+      .collect().toSeq.map(r => (0 until r.length).map(r.get))
+    val rows = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val sq = StreamingIndexStats.bm25StatsStream(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("bm25_t").start()
+    rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+      in.addData(b: _*); sq.processAllAvailable()
+    }
+    sq.stop()
+    val got = spark.table("bm25_t").collect().toSeq
+      .map(r => (0 until r.length).map(r.get))
+    assert(got == batch && batch.nonEmpty)
+  }
+
   test("streaming k-means cell state equals the batch fold under any split") {
     import graft.streaming.StreamingKMeans
     import graft.vector.DistributedKMeans
