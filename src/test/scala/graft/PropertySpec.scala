@@ -260,6 +260,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("every scale/fold twin shares its baseline's oracle SQL verbatim") {
+    // "one oracle, two plans": the twin's correctness claim is that it
+    // computes the SAME function — if its oracle ever drifts from the
+    // baseline's, that claim silently weakens to "passes some oracle"
+    val o = SparkEntry.oracleSql
+    for ((twin, base) <- Seq(
+        "q_containment_prefix" -> "q_containment",
+        "q_curate_incremental" -> "q_curate",
+        "q_bm25_incremental" -> "q_bm25",
+        "q_decontaminate_bloom" -> "q_decontaminate")) {
+      assert(o(twin) == o(base), s"$twin's oracle drifted from $base's")
+    }
+  }
+
   test("packing is total and stable: every doc lands in exactly one bin") {
     val docsGen = Gen.listOfN(20,
       Gen.listOfN(5, Gen.oneOf("a", "bb", "ccc")).map(_.mkString(" ")))
