@@ -40,6 +40,25 @@ object PipelineQueries {
         .select(col("c_custkey").as("bid"), col("c_name").as("bstr")))
       .orderBy(col("a_id").asc, col("b_id").asc)
 
+  private val SnWindow = 5
+
+  /** Sorted-neighborhood blocking ([[graft.operators
+    * .SortedNeighborhood]]): candidates = customer names within
+    * [[SnWindow]] rank positions under the (c_name, c_custkey) total
+    * order, verified at edit distance ≤1 — the skew-proof
+    * complement of [[q_fuzzy_join]]'s token blocking (candidate
+    * volume is exactly \|R\|·w regardless of value distribution).
+    * The rank comes from ExactRank's range-partitioned pass and the
+    * window self-join is an equi-join on w-wide rank blocks. */
+  def q_sorted_neighborhood(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SortedNeighborhood.candidatePairs(
+      Tables.table(spark, dir, "customer").select(col("c_name"), col("c_custkey")),
+      Seq(col("c_name"), col("c_custkey")), SnWindow)
+      .select(col("a_c_name").as("name_a"), col("b_c_name").as("name_b"),
+        levenshtein(col("a_c_name"), col("b_c_name")).cast("int").as("dist"))
+      .where(col("dist") <= 1)
+      .orderBy(col("name_a").asc, col("name_b").asc)
+
   /** Deterministic shuffle → 16 hash shards → greedy token-budget
     * packing ([[TrainingMix.packSequences]]). */
   def q_pack_sequences(spark: SparkSession, dir: String): DataFrame =
@@ -835,6 +854,7 @@ object PipelineQueries {
     "q_hard_negatives" -> (q_hard_negatives _),
     "q_label_noise" -> (q_label_noise _),
     "q_fuzzy_join" -> (q_fuzzy_join _),
+    "q_sorted_neighborhood" -> (q_sorted_neighborhood _),
     "q_pack_sequences" -> (q_pack_sequences _),
     "q_upsample" -> (q_upsample _),
     "q_rand_proj" -> (q_rand_proj _),
@@ -1382,6 +1402,15 @@ object PipelineQueries {
     "q_hard_negatives" -> hardNegativesSql,
     "q_label_noise" -> labelNoiseSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_sorted_neighborhood" ->
+      s"""WITH r AS (SELECT c_name,
+         |  ROW_NUMBER() OVER (ORDER BY c_name ASC, c_custkey ASC) AS rn
+         |  FROM customer)
+         |SELECT a.c_name AS name_a, b.c_name AS name_b,
+         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + $SnWindow
+         |WHERE levenshtein(a.c_name, b.c_name) <= 1
+         |ORDER BY name_a ASC, name_b ASC""".stripMargin,
     "q_pack_sequences" -> packSequencesSql,
     "q_upsample" -> upsampleSql,
     "q_rand_proj" -> randProjSql,

@@ -190,6 +190,73 @@ object SelectionQueries {
       .orderBy(col("source").asc)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift per source over the
+    * document-LENGTH distribution — the binning-free complement of
+    * [[q_psi]] (a location shift PSI's 64 hash buckets can smear
+    * shows up directly as an ECDF gap). Same md5 half-split as PSI.
+    *
+    * EXACT distributed form: KS = max_v |ECDF_ref(v) − ECDF_cur(v)|
+    * is maximized at observed values, so per (source, value) counts
+    * cumulate under a source-PARTITIONED window (never a global
+    * single-partition sort) and the max runs over the integer
+    * cross-multiplied numerator |cum_ref·n_cur − cum_cur·n_ref| —
+    * ONE double division at the very end, bit-identical across
+    * engines. Integer-exact while n_ref·n_cur < 2⁶³ (~3·10⁹ docs per
+    * source per half); beyond that, promote the numerator to
+    * decimal(38,0). Sources with an empty half are excluded (their
+    * ECDF is undefined). */
+  def q_ks_drift(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.table(spark, dir, "documents").select(col("source"),
+      (substring(md5(concat(lit("psi:"), col("doc_id").cast("string"))), 1, 1)
+        <= "7").as("is_ref"),
+      col("n_chars").as("v"))
+    val cell = rows.groupBy("source", "v")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("v")
+    val cum = cell
+      .withColumn("cum_ref", sum(col("c_ref")).over(w))
+      .withColumn("cum_cur", sum(col("c_cur")).over(w))
+    val totals = cell.groupBy("source")
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    cum.join(totals, "source")
+      .where(col("n_ref") > 0 && col("n_cur") > 0)
+      .select(col("source"), col("n_ref"), col("n_cur"),
+        abs(col("cum_ref") * col("n_cur") - col("cum_cur") * col("n_ref"))
+          .as("num"))
+      .groupBy("source")
+      .agg(min(col("n_ref")).as("n_ref_docs"),
+        min(col("n_cur")).as("n_cur_docs"),
+        round(max(col("num")).cast("double")
+          / (min(col("n_ref")) * min(col("n_cur"))), 6).as("ks"))
+      .orderBy(col("source").asc)
+  }
+
+  private[graft] val ksSql: String =
+    s"""WITH r AS (SELECT source,
+       |    substr(md5('psi:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS is_ref,
+       |    n_chars AS v
+       |  FROM documents),
+       |cell AS (SELECT source, v,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+       |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+       |  FROM r GROUP BY source, v),
+       |cum AS (SELECT source, v,
+       |    CAST(SUM(c_ref) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum_ref,
+       |    CAST(SUM(c_cur) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum_cur
+       |  FROM cell),
+       |tot AS (SELECT source, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+       |    CAST(SUM(c_cur) AS BIGINT) AS n_cur FROM cell GROUP BY source)
+       |SELECT c.source, t.n_ref AS n_ref_docs, t.n_cur AS n_cur_docs,
+       |  round(CAST(MAX(abs(c.cum_ref * t.n_cur - c.cum_cur * t.n_ref)) AS DOUBLE)
+       |        / (t.n_ref * t.n_cur), 6) AS ks
+       |FROM cum c JOIN tot t USING (source)
+       |WHERE t.n_ref > 0 AND t.n_cur > 0
+       |GROUP BY c.source, t.n_ref, t.n_cur
+       |ORDER BY c.source ASC""".stripMargin
+
   private[graft] val SourceCapK = 10
 
   /** Per-source document cap: keep the `SourceCapK` highest-quality
@@ -220,7 +287,8 @@ object SelectionQueries {
     "q_boilerplate" -> (q_boilerplate _),
     "q_dsir" -> (q_dsir _),
     "q_source_cap" -> (q_source_cap _),
-    "q_psi" -> (q_psi _))
+    "q_psi" -> (q_psi _),
+    "q_ks_drift" -> (q_ks_drift _))
 
   private val boilerplateSql =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -309,5 +377,6 @@ object SelectionQueries {
     "q_boilerplate" -> boilerplateSql,
     "q_dsir" -> dsirSql,
     "q_source_cap" -> sourceCapSql,
-    "q_psi" -> psiSql)
+    "q_psi" -> psiSql,
+    "q_ks_drift" -> ksSql)
 }

@@ -158,6 +158,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.getDouble(1) == exp0)
   }
 
+  test("sorted-neighborhood candidates are exactly the rank-gap<=w pairs") {
+    import graft.operators.SortedNeighborhood
+    val df = Seq("e", "a", "c", "b", "d", "f").zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("name", "id")
+    val cand = SortedNeighborhood.candidatePairs(df, Seq($"name", $"id"), 2)
+      .select("a_name", "b_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expect = Set(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("c", "e"), ("d", "e"), ("d", "f"), ("e", "f"))
+    assert(cand == expect)
+    // the skew-proof property: identical values can't blow candidate
+    // volume — it is EXACTLY n·w − w(w+1)/2 no matter the distribution
+    val dup = Seq.fill(40)("same").zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toDF("name", "id")
+    val c2 = SortedNeighborhood.candidatePairs(dup, Seq($"name", $"id"), 3)
+    assert(c2.count() === 40L * 3 - 3 * 4 / 2)
+  }
+
   // ---- PageRank ----------------------------------------------------
 
   test("integer pagerank matches a hand-computed iteration on a path graph") {

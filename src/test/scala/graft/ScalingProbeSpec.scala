@@ -72,7 +72,11 @@ class ScalingProbeSpec extends SparkSpec {
       buildProbe("lm-stage build")(dir =>
         graft.queries.LmStage.bigramCounts(spark, dir).count()),
       buildProbe("fuzzy-index build")(dir =>
-        graft.queries.DedupStage.customerNameIndex(spark, dir).count())).flatten
+        graft.queries.DedupStage.customerNameIndex(spark, dir).count()),
+      buildProbe("pr-prior-ranks build")(dir =>
+        graft.queries.GraphStage.pagerankPriorRanks(spark, dir).count()),
+      buildProbe("km-prior-state build")(dir =>
+        graft.queries.VectorStage.kmPriorState(spark, dir).count())).flatten
     val failures = stageFailures ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
