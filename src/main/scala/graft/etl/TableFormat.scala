@@ -40,6 +40,28 @@ trait TableFormat {
   def overwrite(table: String, df: DataFrame): Unit =
     tryCommit(table, df, currentVersion(table))
 
+  /** APPEND commit: the next version's logical content is version
+    * `ontoVersion`'s content plus `delta`, committed at
+    * `expectedBase + 1`. The two version arguments are deliberately
+    * separate: `ontoVersion` is the version this writer's READS were
+    * pinned to (a manifest-consistent snapshot), `expectedBase` is
+    * the arbitration point (normally [[currentVersion]]) — so a
+    * writer derives content ONLY from its pinned state while its
+    * commit SUPERSEDES any orphan versions a crashed run left behind
+    * (orphans are never unioned in; they just become dead versions no
+    * manifest references).
+    *
+    * Default implementation is read-union-rewrite through
+    * [[tryCommit]] — correct everywhere but O(history) bytes written
+    * per commit. [[ManifestParquet]] overrides it with the
+    * transactional-format shape: an O(batch) commit that writes ONLY
+    * the delta's files and a new manifest line. */
+  def tryAppend(table: String, delta: DataFrame, ontoVersion: Long,
+      expectedBase: Long): Long =
+    if (ontoVersion <= 0) tryCommit(table, delta, expectedBase)
+    else tryCommit(table,
+      readVersion(table, ontoVersion).unionByName(delta), expectedBase)
+
   /** `MERGE WHEN NOT MATCHED THEN INSERT` under the table's unique
     * constraints (DDL order), with `priority` as the within-batch
     * tie-break: commits the merged state and returns the inserted
@@ -70,7 +92,10 @@ trait TableFormat {
     val inserted = graft.operators.CheckpointBlocks.retire(
       s"mergeInsert.$table", inserted0.localCheckpoint(true))
     if (inserted.isEmpty) inserted
-    else { tryCommit(table, existing.unionByName(inserted), base); inserted }
+    // the merged state IS existing ∪ inserted — commit it as an
+    // APPEND of the survivors onto the version the anti-joins saw,
+    // so a manifest-log backend pays O(inserted), not O(table)
+    else { tryAppend(table, inserted, base, base); inserted }
   }
 
   /** `MERGE WHEN MATCHED AND target.valueCol IS NULL THEN UPDATE` —
@@ -201,4 +226,148 @@ final class CommitLogTable(spark: SparkSession) extends TableFormat {
       log.put(table, versions(table) :+ df.localCheckpoint(true))
       expectedBase + 1
     }
+}
+
+/** The third backend — the one that makes DAILY APPEND COMMITS
+  * O(batch): a table version is a MANIFEST (an immutable text file in
+  * `_log/`) listing the immutable data directories whose union is the
+  * version's content — the Delta/Iceberg commit shape. An append
+  * commit stages ONLY the batch's files and writes a one-more-line
+  * manifest; history's files are never rewritten, so the bytes
+  * written per daily commit are proportional to the batch, not the
+  * corpus (TableFormatSpec asserts it). Overwrites (merge-update,
+  * erasure, compaction) still rewrite — that is what they mean;
+  * deletion vectors would be the next refinement of THIS backend, not
+  * a new seam.
+  *
+  * Layout per table:
+  * {{{
+  *   root/<table>/_log/<v>.manifest   line 1 = schema JSON,
+  *                                    lines 2.. = data dir names
+  *   root/<table>/d-<nonce>/          immutable parquet data dirs
+  * }}}
+  *
+  * Commit protocol: stage data dirs first (uniquely named — racing
+  * writers can never clobber each other's staged files), then
+  * CREATE-EXCLUSIVE the manifest for version N+1 — the exclusive
+  * create is the arbitration point, so the loser of a race fails
+  * loudly with its staged dir left as an orphan no manifest
+  * references (vacuum policy, as with orphan `v=N` dirs in
+  * [[VersionedParquet]]). Reads resolve ONLY through manifests, with
+  * the manifest's own schema (name-based parquet column resolution —
+  * a dir staged with different column ORDER still reads correctly,
+  * and an empty version reads as an empty frame without inference). */
+final class ManifestParquet(spark: SparkSession, root: String) extends TableFormat {
+
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  private def fs =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(table: String) = new Path(root, table)
+  private def logDir(table: String) = new Path(tableDir(table), "_log")
+  private def manifestPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.manifest")
+
+  override def currentVersion(table: String): Long = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  override def read(table: String): DataFrame = {
+    val v = currentVersion(table)
+    require(v > 0, s"table $table does not exist under $root")
+    readVersion(table, v)
+  }
+
+  private def readManifest(table: String, v: Long): (StructType, Seq[String]) = {
+    val in = fs.open(manifestPath(table, v))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n", -1).toSeq
+    (DataType.fromJson(lines.head).asInstanceOf[StructType],
+      lines.tail.filter(_.nonEmpty))
+  }
+
+  override def readVersion(table: String, version: Long): DataFrame = {
+    val (schema, dirs) = readManifest(table, version)
+    val paths = dirs.map(d => new Path(tableDir(table), d).toString)
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Stage `df` as a new immutable data dir; returns its name. The
+    * nonce keeps racing writers' staged files disjoint — arbitration
+    * happens at the manifest, never at the data. */
+  private def stage(table: String, df: DataFrame): String = {
+    val name = s"d-${java.util.UUID.randomUUID().toString.take(13)}"
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(tableDir(table), name).toString)
+    name
+  }
+
+  /** The arbitration point: exclusive-create of the next manifest.
+    * A racer that already committed `next` makes the create fail →
+    * loud commit race, staged data orphaned, committed state
+    * untouched. */
+  private def commitManifest(table: String, next: Long, schema: StructType,
+      dirs: Seq[String]): Long = {
+    fs.mkdirs(logDir(table))
+    val p = manifestPath(table, next)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException |
+                  _: java.io.IOException) =>
+          throw new IllegalStateException(
+            s"commit race on $table v=$next: another writer committed after " +
+              s"the base version this writer read", e)
+      }
+    try out.write((schema.json +: dirs).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
+  override def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long = {
+    val name = stage(table, df)
+    commitManifest(table, expectedBase + 1, df.schema, Seq(name))
+  }
+
+  /** The O(batch) append: stage the delta's files, then commit a
+    * manifest = `ontoVersion`'s dirs + the one new dir. Bytes written
+    * ∝ delta; history's files untouched. */
+  override def tryAppend(table: String, delta: DataFrame, ontoVersion: Long,
+      expectedBase: Long): Long = {
+    if (ontoVersion <= 0) tryCommit(table, delta, expectedBase)
+    else {
+      val (schema, baseDirs) = readManifest(table, ontoVersion)
+      require(
+        delta.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq,
+        s"append to $table: delta schema ${delta.schema.simpleString} does not " +
+          s"match table schema ${schema.simpleString}")
+      val name = stage(table, delta)
+      commitManifest(table, expectedBase + 1, schema, baseDirs :+ name)
+    }
+  }
+
+  /** Small-file maintenance (the flip side of O(batch) appends: a
+    * year of daily commits is 365 data dirs): rewrite the current
+    * content as ONE staged dir and commit a one-dir manifest.
+    * Concurrent pinned readers are untouched — their manifests still
+    * reference the old dirs. */
+  def compact(table: String): Long = {
+    val base = currentVersion(table)
+    require(base > 0, s"table $table does not exist under $root")
+    tryCommit(table, readVersion(table, base), base)
+  }
 }

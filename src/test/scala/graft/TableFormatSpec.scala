@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.etl.{CommitLogTable, TableFormat, VersionedParquet}
+import graft.etl.{CommitLogTable, ManifestParquet, TableFormat, VersionedParquet}
 
 /** MERGE-shaped contract for [[TableFormat]] — the behavior ANY
   * backend must exhibit. The suite runs against BOTH shipped backends
@@ -15,7 +15,9 @@ class TableFormatSpec extends SparkSpec {
   private val backends: Seq[(String, () => TableFormat)] = Seq(
     "versioned-parquet" -> (() => new VersionedParquet(
       spark, java.nio.file.Files.createTempDirectory("tfmt").toString)),
-    "commit-log" -> (() => new CommitLogTable(spark)))
+    "commit-log" -> (() => new CommitLogTable(spark)),
+    "manifest-parquet" -> (() => new ManifestParquet(
+      spark, java.nio.file.Files.createTempDirectory("tfmt_m").toString)))
 
   private def seed(fmt: TableFormat): Unit =
     fmt.overwrite("song",
@@ -115,5 +117,101 @@ class TableFormatSpec extends SparkSpec {
       // anti-joins saw, which the format keeps immutable
       assert(rowsOf(returned) == Seq(Seq("I5", "Five", "u5")))
     }
+
+    test(s"[$backend] tryAppend: next version = pinned content + delta; pinned readers unmoved") {
+      val fmt = freshFormat()
+      seed(fmt) // v1: I1, I2
+      val v1 = fmt.currentVersion("song")
+      val v2 = fmt.tryAppend("song",
+        Seq(("I3", "Three", "u3")).toDF("isrc", "name", "url"), v1, v1)
+      assert(v2 == v1 + 1)
+      assert(rowsOf(fmt.read("song").orderBy("isrc")) == Seq(
+        Seq("I1", "One", "u1"), Seq("I2", "Two", "u2"), Seq("I3", "Three", "u3")))
+      assert(fmt.readVersion("song", v1).count() == 2)
+    }
+
+    test(s"[$backend] tryAppend supersedes an orphan version without absorbing its rows") {
+      val fmt = freshFormat()
+      seed(fmt) // v1 = pinned consistent state
+      val pinned = fmt.currentVersion("song")
+      // a crashed run left an orphan v2 no manifest references
+      fmt.tryCommit("song",
+        Seq(("IX", "Orphan", "ux")).toDF("isrc", "name", "url"), pinned)
+      val orphanTop = fmt.currentVersion("song")
+      // the next healthy run reads PINNED, commits on top of CURRENT:
+      // content = pinned ∪ delta — the orphan's rows must not leak in
+      val v3 = fmt.tryAppend("song",
+        Seq(("I3", "Three", "u3")).toDF("isrc", "name", "url"),
+        pinned, orphanTop)
+      assert(v3 == orphanTop + 1)
+      assert(rowsOf(fmt.readVersion("song", v3).orderBy("isrc")) == Seq(
+        Seq("I1", "One", "u1"), Seq("I2", "Two", "u2"), Seq("I3", "Three", "u3")))
+    }
+
+    test(s"[$backend] a racing tryAppend collides instead of silently losing a day") {
+      val fmt = freshFormat()
+      seed(fmt)
+      val base = fmt.currentVersion("song")
+      fmt.tryAppend("song",
+        Seq(("I3", "Winner", "u3")).toDF("isrc", "name", "url"), base, base)
+      val ex = intercept[IllegalStateException] {
+        fmt.tryAppend("song",
+          Seq(("I4", "Loser", "u4")).toDF("isrc", "name", "url"), base, base)
+      }
+      assert(ex.getMessage.contains("commit race"))
+      assert(fmt.read("song").where(col("name") === "Winner").count() == 1)
+    }
+  }
+
+  // ---- manifest-parquet-specific: the O(batch) commit guarantee ----
+
+  private def dataBytes(root: String): Long =
+    graft.etl.Compaction.dataBytes(spark, root)
+
+  test("[manifest-parquet] an append commit writes O(batch) bytes, not O(history)") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_obatch").toString
+    val fmt = new ManifestParquet(spark, root)
+    // history: 200k rows with a fat payload column
+    val history = spark.range(200000)
+      .select(col("id"), concat(lit("payload-"), md5(col("id").cast("string"))).as("v"))
+    fmt.overwrite("t", history)
+    val historyBytes = dataBytes(root)
+    val before = historyBytes
+    // the daily batch: 50 rows
+    val batch = spark.range(1000000, 1000050)
+      .select(col("id"), concat(lit("payload-"), md5(col("id").cast("string"))).as("v"))
+    val v = fmt.tryAppend("t", batch, fmt.currentVersion("t"), fmt.currentVersion("t"))
+    val appended = dataBytes(root) - before
+    assert(appended > 0, "the append must write the batch's files")
+    assert(appended < historyBytes / 10,
+      s"append wrote $appended bytes against $historyBytes of history — " +
+        "an O(batch) commit must not rewrite history")
+    assert(fmt.readVersion("t", v).count() == 200050)
+  }
+
+  test("[manifest-parquet] compact folds N data dirs into one; pinned readers keep theirs") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_compact").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id"))
+    for (day <- 1 to 5) {
+      val cur = fmt.currentVersion("t")
+      fmt.tryAppend("t", spark.range(day * 100, day * 100 + 10).toDF("id"), cur, cur)
+    }
+    val preCompact = fmt.currentVersion("t")
+    val rows = rowsOf(fmt.read("t").orderBy("id"))
+    val v = fmt.compact("t")
+    assert(rowsOf(fmt.readVersion("t", v).orderBy("id")) == rows)
+    // compacted version reads from a single data dir: appending once
+    // more only references 2 dirs' worth of files
+    assert(rowsOf(fmt.readVersion("t", preCompact).orderBy("id")) == rows,
+      "pinned pre-compact version must still resolve")
+  }
+
+  test("[manifest-parquet] an empty version reads back with its schema, no inference") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_empty").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(3).toDF("id").limit(0))
+    assert(fmt.read("t").schema.fieldNames.toSeq == Seq("id"))
+    assert(fmt.read("t").isEmpty)
   }
 }
