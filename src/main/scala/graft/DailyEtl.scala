@@ -6,7 +6,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Load, VersionedParquet}
+import graft.etl.{Load, ManifestStore, VersionedParquet}
 import graft.ingest.Sources
 import graft.model.Music
 import graft.model.Music.MusicDb
@@ -70,41 +70,43 @@ object DailyEtl {
       spark.emptyDataset[Music.Ranking].toDF())
   }
 
-  /** Cross-table atomicity rides a MANIFEST table committed LAST:
-    * the manifest pins the exact (table → version) quadruple of one
-    * consistent daily state, and reads always go through it. A crash
-    * anywhere mid-persist leaves at worst ORPHAN table versions the
-    * manifest never points to — the next run reads the previous
-    * complete state (or day-1 empty, if no manifest ever committed)
-    * and its own commit simply supersedes the orphans. Without this,
-    * four independent sequential commits could tear: a day-3 read of
-    * artist@v2 + song@v1 is FK-inconsistent forever.
+  /** Cross-table atomicity rides [[graft.etl.ManifestStore]] (shared
+    * with [[CorpusEtl]]): a MANIFEST table committed LAST pins the
+    * exact (table → version) quadruple of one consistent daily state,
+    * and reads always go through it. A crash anywhere mid-persist
+    * leaves at worst ORPHAN table versions the manifest never points
+    * to — the next run reads the previous complete state (or day-1
+    * empty, if no manifest ever committed) and its own commit simply
+    * supersedes the orphans. Without this, four independent
+    * sequential commits could tear: a day-3 read of artist@v2 +
+    * song@v1 is FK-inconsistent forever.
     *
     * @return the consistent state plus the manifest version it was
     *   read at — [[persist]] commits against exactly that base, so a
     *   concurrent second run (double-fired cron, manual backfill
     *   racing the schedule) fails its commit LOUDLY instead of
     *   silently overwriting the winner's day (lost update). */
+  private def storeOf(spark: SparkSession, fmt: VersionedParquet) =
+    new ManifestStore(spark, fmt, tableNames)
+
   private def loadDb(spark: SparkSession, fmt: VersionedParquet): (MusicDb, Long) = {
-    val base = fmt.currentVersion("manifest")
+    val store = storeOf(spark, fmt)
+    val base = store.base
     if (base > 0) {
-      val pinned = fmt.read("manifest").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      def tbl(n: String) = fmt.readVersion(n, pinned(n))
+      val pinned = store.pinned(base)
+      def tbl(n: String) = store.readPinned(pinned, n)
       (MusicDb(tbl("artist"), tbl("song"), tbl("artist_song_map"), tbl("ranking")), base)
     } else (emptyDb(spark), base) // day 1: nothing committed yet
   }
 
   private def persist(spark: SparkSession, fmt: VersionedParquet, db: MusicDb,
       manifestBase: Long): Unit = {
-    import spark.implicits._
+    // the manifest pins exactly the versions these commits RETURN —
+    // never a re-listed currentVersion, which could observe a
+    // concurrent writer's orphan (ManifestStore invariant 2)
     val versions = tableNames.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
-      .map { case (n, df) => fmt.overwrite(n, df); (n, fmt.currentVersion(n)) }
-    // optimistic-concurrency: the manifest commits against the version
-    // this run's READS were based on; losing the race leaves only
-    // orphan table versions the manifest never points to
-    fmt.tryCommit("manifest", versions.toDF("table_name", "version"), manifestBase)
-    ()
+      .map { case (n, df) => n -> fmt.tryCommit(n, df, fmt.currentVersion(n)) }
+    storeOf(spark, fmt).commit(versions.toMap, manifestBase)
   }
 
   /** One daily run, fetcher-injected (specs pass [[Sources

@@ -350,9 +350,11 @@ final class ManifestParquet(spark: SparkSession, root: String) extends TableForm
     if (ontoVersion <= 0) tryCommit(table, delta, expectedBase)
     else {
       val (schema, baseDirs) = readManifest(table, ontoVersion)
+      // name+type check, nullability-insensitive (catalogString drops
+      // containsNull/nullable, which rewrites legitimately flip)
       require(
-        delta.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq ==
-          schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq,
+        delta.schema.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq,
         s"append to $table: delta schema ${delta.schema.simpleString} does not " +
           s"match table schema ${schema.simpleString}")
       val name = stage(table, delta)

@@ -77,6 +77,13 @@ object Curation {
       evalShingles = TextOps.shingleRows(evalDocs, cfg.shingleN)
         .select("shingle").distinct())
 
+  /** What one [[curateFoldDelta]] batch ADDS to the fold state — the
+    * exact frames an O(batch) append commit persists
+    * ([[graft.etl.ManifestParquet]]): the batch's content hashes and
+    * its LSH band rows. `state ∪ delta` is the next [[FoldState]];
+    * the eval shingle set never changes (pinned at init). */
+  final case class FoldDelta(hashes: DataFrame, bandIndex: DataFrame)
+
   /** INCREMENTAL curation — one day's batch through the same funnel
     * as [[curate]], against [[FoldState]] instead of the whole
     * corpus: the shape that makes curation affordable at 100 TB,
@@ -105,6 +112,18 @@ object Curation {
     * through their commit, so nothing is shingled twice. */
   def curateFold(batch: DataFrame, state: FoldState,
       cfg: Config = Config()): (DataFrame, FoldState) = {
+    val (flags, delta) = curateFoldDelta(batch, state, cfg)
+    (flags, FoldState(
+      hashes = state.hashes.unionByName(delta.hashes),
+      bandIndex = state.bandIndex.unionByName(delta.bandIndex),
+      evalShingles = state.evalShingles))
+  }
+
+  /** As [[curateFold]], returning the state DELTA instead of the
+    * unioned next state — what a store that can APPEND (bytes ∝
+    * batch) wants to persist. [[curateFold]] is `state ∪ delta`. */
+  def curateFoldDelta(batch: DataFrame, state: FoldState,
+      cfg: Config = Config()): (DataFrame, FoldDelta) = {
     val isEval = col("doc_id") % cfg.evalModulus === 0
 
     val stats = TextOps.qualityScore(batch)
@@ -169,10 +188,7 @@ object Curation {
           col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .orderBy(col("doc_id").asc)
 
-    (flags, FoldState(
-      hashes = state.hashes.unionByName(batchHashes),
-      bandIndex = state.bandIndex.unionByName(br),
-      evalShingles = state.evalShingles))
+    (flags, FoldDelta(hashes = batchHashes, bandIndex = br))
   }
 
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {

@@ -5,15 +5,19 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.etl.VersionedParquet
+import graft.etl.{TableFormat, VersionedParquet}
 import graft.text.Curation
 
 /** The store-backed daily corpus fold: batch-by-batch [[CorpusEtl]]
   * over a temp store must reproduce the one-shot [[Curation.curate]]
   * verdicts bit-for-bit (ascending-id batches, benchmark pinned from
   * the full corpus's eval slice — the `q_curate_incremental`
-  * equivalence, driven through the real manifest/commit path), and
-  * the manifest must make racing runs loud. */
+  * equivalence, driven through the real manifest/commit path), on
+  * BOTH the O(batch) manifest-log backend (the default) and the
+  * versioned-parquet backend — the pipeline is backend-agnostic above
+  * the [[graft.etl.TableFormat]] seam. The manifest must make racing
+  * runs loud, phantom half-days invisible, and reused batch ids
+  * impossible. */
 class CorpusEtlSpec extends SparkSpec {
   import spark.implicits._
 
@@ -23,33 +27,59 @@ class CorpusEtlSpec extends SparkSpec {
   private val docs: DataFrame =
     graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
 
+  private def fmtOf(root: String): TableFormat =
+    CorpusEtl.DefaultBackend(spark, root)
+
   private def flagRows(df: DataFrame) = df
     .select("doc_id", "n_tokens", "quality", "predicted", "is_eval",
       "is_exact_dup", "is_near_dup", "is_contaminated", "sampled_in", "kept")
     .orderBy("doc_id").collect().toSeq
 
-  test("two-day fold over the store == one-shot curate over the union") {
+  private val backends: Seq[(String, CorpusEtl.Backend)] = Seq(
+    "manifest-parquet" -> CorpusEtl.DefaultBackend,
+    "versioned-parquet" -> ((s, r) => new VersionedParquet(s, r)))
+
+  for ((name, backend) <- backends)
+    test(s"[$name] two-day fold over the store == one-shot curate over the union") {
+      val root = freshRoot()
+      val cfg = Curation.Config()
+      val mid = docs.agg(max($"doc_id")).head().getLong(0) / 2
+      CorpusEtl.init(spark, root,
+        docs.where($"doc_id" % cfg.evalModulus === 0), cfg, backend)
+      val a1 = CorpusEtl.runBatch(spark, root, docs.where($"doc_id" <= mid), 1L, cfg, backend)
+      val a2 = CorpusEtl.runBatch(spark, root, docs.where($"doc_id" > mid), 2L, cfg, backend)
+
+      val fmt = backend(spark, root)
+      val ledger = fmt.read("corpus_flags")
+      assert(flagRows(ledger) == flagRows(Curation.curate(docs, cfg)))
+
+      // the audit is the ledger's arithmetic
+      assert(a1.nIn + a2.nIn == docs.count())
+      assert(a1.nKept + a2.nKept ==
+        ledger.where($"kept").count())
+
+      // the kept table is exactly the ledger's kept set, text attached
+      val kept = fmt.read("corpus_kept")
+      assert(kept.select("doc_id").orderBy("doc_id").as[Long].collect().toSeq ==
+        ledger.where($"kept").orderBy("doc_id").select("doc_id").as[Long].collect().toSeq)
+    }
+
+  test("a daily commit writes O(batch) bytes against a much larger history") {
     val root = freshRoot()
     val cfg = Curation.Config()
-    val mid = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 9 / 10
     CorpusEtl.init(spark, root,
       docs.where($"doc_id" % cfg.evalModulus === 0), cfg)
-    val a1 = CorpusEtl.runBatch(spark, root, docs.where($"doc_id" <= mid), 1L, cfg)
-    val a2 = CorpusEtl.runBatch(spark, root, docs.where($"doc_id" > mid), 2L, cfg)
-
-    val fmt = new VersionedParquet(spark, root)
-    val ledger = fmt.read("corpus_flags")
-    assert(flagRows(ledger) == flagRows(Curation.curate(docs, cfg)))
-
-    // the audit is the ledger's arithmetic
-    assert(a1.nIn + a2.nIn == docs.count())
-    assert(a1.nKept + a2.nKept ==
-      ledger.where($"kept").count())
-
-    // the kept table is exactly the ledger's kept set, text attached
-    val kept = fmt.read("corpus_kept")
-    assert(kept.select("doc_id").orderBy("doc_id").as[Long].collect().toSeq ==
-      ledger.where($"kept").orderBy("doc_id").select("doc_id").as[Long].collect().toSeq)
+    CorpusEtl.runBatch(spark, root, docs.where($"doc_id" <= cut), 1L, cfg)
+    val before = graft.etl.Compaction.dataBytes(spark, root)
+    CorpusEtl.runBatch(spark, root, docs.where($"doc_id" > cut), 2L, cfg)
+    val appended = graft.etl.Compaction.dataBytes(spark, root) - before
+    assert(appended > 0)
+    // day 2 is ~10% of the corpus; an O(history) commit would write
+    // ≥2× the history (flags + band index + hashes rewritten in full)
+    assert(appended < before / 2,
+      s"day-2 commit wrote $appended bytes over a $before-byte store — " +
+        "append commits must track the batch, not the corpus")
   }
 
   test("cross-batch duplicates are caught through the committed state") {
@@ -69,8 +99,7 @@ class CorpusEtlSpec extends SparkSpec {
     CorpusEtl.runBatch(spark, root, base, 1L, cfg)
     val a2 = CorpusEtl.runBatch(spark, root, day2, 2L, cfg)
     assert(a2.nExactDup == 1L && a2.nNearDup >= 1L)
-    val fmt = new VersionedParquet(spark, root)
-    val f = fmt.read("corpus_flags").where($"batch_id" === 2L)
+    val f = fmtOf(root).read("corpus_flags").where($"batch_id" === 2L)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(f(20L).getAs[Boolean]("is_exact_dup"))
     assert(f(21L).getAs[Boolean]("is_near_dup"))
@@ -89,7 +118,7 @@ class CorpusEtlSpec extends SparkSpec {
     CorpusEtl.runBatch(spark, root, day1, 1L, cfg)
     CorpusEtl.forget(spark, root, Seq(10L).toDF("doc_id"))
 
-    val fmt = new VersionedParquet(spark, root)
+    val fmt = fmtOf(root)
     for (t <- Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept"))
       assert(fmt.read(t).where($"doc_id" === 10L).isEmpty, s"doc 10 survives in $t")
     assert(fmt.read("corpus_flags").where($"doc_id" === 11L).count() == 1)
@@ -121,7 +150,7 @@ class CorpusEtlSpec extends SparkSpec {
     CorpusEtl.runBatch(spark, root,
       Seq((40L, textX, "en", "web", 60L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"), 2L, cfg)
-    val fmt = new VersionedParquet(spark, root)
+    val fmt = fmtOf(root)
     val f40 = fmt.read("corpus_flags").where($"doc_id" === 40L).head()
     assert(f40.getAs[Boolean]("is_exact_dup"),
       "doc 31's surviving probe row must still block new copies")
@@ -131,6 +160,65 @@ class CorpusEtlSpec extends SparkSpec {
     val asOfDay1 = CorpusEtl.tablesAsOf(spark, root, 2L)
     assert(asOfDay1("corpus_flags").where($"doc_id" === 30L).count() == 1)
     assert(fmt.read("corpus_flags").where($"doc_id" === 30L).isEmpty)
+  }
+
+  test("a reused batch_id is rejected before anything commits") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    val day = Seq((10L, "some perfectly ordinary document text for the ledger", "en", "web", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.init(spark, root, day.limit(0), cfg)
+    CorpusEtl.runBatch(spark, root, day, 3L, cfg)
+    val fmt = fmtOf(root)
+    val vBefore = fmt.currentVersion("corpus_flags")
+    for (bad <- Seq(3L, 2L)) {
+      val ex = intercept[IllegalArgumentException] {
+        CorpusEtl.runBatch(spark, root,
+          Seq((20L, "another document entirely different from the first", "en", "web", 50L))
+            .toDF("doc_id", "text", "lang", "source", "n_chars"), bad, cfg)
+      }
+      assert(ex.getMessage.contains("conflate"))
+    }
+    assert(fmt.currentVersion("corpus_flags") == vBefore,
+      "a rejected batch must not mint table versions")
+  }
+
+  test("a crashed run's orphan versions never leak a phantom half-day") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    val day1 = Seq((10L, "the only legitimately committed document in this store", "en", "web", 54L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.init(spark, root, day1.limit(0), cfg)
+    CorpusEtl.runBatch(spark, root, day1, 1L, cfg)
+
+    // simulate a run that crashed after committing flags but before
+    // its manifest: orphan corpus_flags/content_hashes versions exist
+    // that no manifest references
+    val fmt = fmtOf(root)
+    val phantom = Seq((666L, "phantom row from a crashed half-committed run", "en", "web", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (pFlags, _) = Curation.curateFoldDelta(phantom,
+      Curation.FoldState(
+        fmt.read("content_hashes"), fmt.read("band_index"), fmt.read("eval_shingles")), cfg)
+    fmt.tryAppend("corpus_flags", pFlags.withColumn("batch_id", lit(2L)),
+      fmt.currentVersion("corpus_flags"), fmt.currentVersion("corpus_flags"))
+    fmt.tryAppend("content_hashes",
+      phantom.select(md5($"text").as("content_md5"), $"doc_id"),
+      fmt.currentVersion("content_hashes"), fmt.currentVersion("content_hashes"))
+
+    // the next healthy day reads PINNED state: the phantom's ledger
+    // row must not appear, and its hash must not block anything
+    val day2 = Seq((20L, "phantom row from a crashed half-committed run", "en", "web", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.runBatch(spark, root, day2, 2L, cfg)
+    val ledger = fmt.read("corpus_flags")
+    assert(ledger.where($"doc_id" === 666L).isEmpty,
+      "the orphan's ledger row leaked into the committed state")
+    assert(!ledger.where($"doc_id" === 20L).head()
+      .getAs[Boolean]("is_exact_dup"),
+      "the orphan's probe rows must not judge the next day")
+    // and the ledger arithmetic still holds
+    assert(ledger.count() == 2)
   }
 
   test("init refuses a live store; a racing day fails its manifest commit") {
@@ -143,7 +231,7 @@ class CorpusEtlSpec extends SparkSpec {
     // simulate the loser of a double-fired day: bump the manifest
     // under a run's feet, then its commit (against the stale base)
     // must fail loudly rather than silently overwrite
-    val fmt = new VersionedParquet(spark, root)
+    val fmt = fmtOf(root)
     val stale = fmt.currentVersion("manifest")
     fmt.tryCommit("manifest", fmt.read("manifest"), stale)
     intercept[Exception] {
