@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Execute the FULL declared query and return its row count.
+    *
+    * NOT `df.count()`: a count() rewrites the logical plan, and the
+    * optimizer then legally deletes every subtree that cannot change
+    * the row count — outer joins whose build side has provably-unique
+    * keys, and the column-pruned Generates feeding them. For
+    * q_curate_incremental that removed 15 of 21 joins and ALL the
+    * shingle explodes: count() timed 1.0 s where the real query runs
+    * 2.5 s at sf0.01 (round-10 finding; the flat sf1 scaling ratio
+    * exposed it). `toRdd.count()` runs the exact physical plan the
+    * query declares — every join, every explode, the final sort —
+    * and counts InternalRows outside Catalyst's reach. */
+  def execute(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the real core count (the target box is local[32]);
@@ -104,7 +119,7 @@ object Bench {
     for (rep <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { execute(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
           failed += name
@@ -128,7 +143,7 @@ object Bench {
       if (ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) >= 2.0) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          execute(fn(spark, sfDir))
           val sec = (System.nanoTime() - t0) / 1e9
           retimed(name) = sec
           ts += sec

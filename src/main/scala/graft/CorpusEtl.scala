@@ -203,8 +203,18 @@ object CorpusEtl {
     * commits supersede any orphans. On the manifest-log backend the
     * rewrite is the erasure cost by design (deletion vectors would
     * refine it); old versions' files remain until vacuum. */
+  /** @param invalidateSnapshots snapshot dirs whose STAGED artifacts
+    *   (dedup band indexes, cluster labelings — [[graft.queries
+    *   .StageStore]]) were derived from the forgotten documents: the
+    *   forget bumps each dir's erasure epoch, so every pre-erasure
+    *   staged artifact is orphaned and the next resolve rebuilds from
+    *   the (caller-rewritten) source files. Without this, a
+    *   warehouse-staged artifact built before the forget would keep
+    *   serving the forgotten rows until someone happened to rebuild
+    *   it (CorpusEtlSpec's resolve-after-forget case). */
   def forget(spark: SparkSession, storeRoot: String, docIds: DataFrame,
-      backend: Backend = DefaultBackend): Unit = {
+      backend: Backend = DefaultBackend,
+      invalidateSnapshots: Seq[String] = Nil): Unit = {
     val fmt = backend(spark, storeRoot)
     val store = storeOf(spark, fmt)
     val base = store.base
@@ -217,6 +227,8 @@ object CorpusEtl {
         fmt.currentVersion(t))
     }.toMap + ("eval_shingles" -> pinned("eval_shingles"))
     store.commit(versions, base)
+    invalidateSnapshots.foreach(d =>
+      graft.queries.StageStore.bumpErasureEpoch(spark, d))
   }
 
   def main(args: Array[String]): Unit = {

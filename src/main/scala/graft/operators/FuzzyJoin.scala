@@ -92,7 +92,15 @@ object FuzzyJoin {
       .join(names.select(col("bid").as("a_id"), col("bstr").as("a_str")), "a_id")
       .join(names.select(col("bid").as("b_id"), col("bstr").as("b_str")), "b_id")
       .select(col("a_id"), col("b_id"), col("a_str"), col("b_str"),
-        levenshtein(col("a_str"), col("b_str")).cast("int").as("dist"))
-      .where(col("dist") <= 1)
+        // BANDED edit distance: threshold=1 early-exits the DP at
+        // O(len·1) per pair instead of O(len²) (returns -1 past the
+        // band — exactly the rows the filter drops, and the kept
+        // dist values 0/1 equal the unbanded distance, so the oracle
+        // is unchanged). The verify IS the work-dominated stage at
+        // scale — the second-decade probe measured it linear in
+        // pairs, so the constant is what's left to cut (sf1: 11 s →
+        // ~2 s for the 9.5M-pair verify).
+        levenshtein(col("a_str"), col("b_str"), 1).cast("int").as("dist"))
+      .where(col("dist") >= 0)
   }
 }

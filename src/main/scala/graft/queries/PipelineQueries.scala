@@ -55,8 +55,10 @@ object PipelineQueries {
       Tables.table(spark, dir, "customer").select(col("c_name"), col("c_custkey")),
       Seq(col("c_name"), col("c_custkey")), SnWindow)
       .select(col("a_c_name").as("name_a"), col("b_c_name").as("name_b"),
-        levenshtein(col("a_c_name"), col("b_c_name")).cast("int").as("dist"))
-      .where(col("dist") <= 1)
+        // banded threshold verify, as in FuzzyJoin: O(len) per pair,
+        // kept dist values equal the unbanded distance
+        levenshtein(col("a_c_name"), col("b_c_name"), 1).cast("int").as("dist"))
+      .where(col("dist") >= 0)
       .orderBy(col("name_a").asc, col("name_b").asc)
 
   /** Deterministic shuffle → 16 hash shards → greedy token-budget
@@ -925,8 +927,11 @@ object PipelineQueries {
 
   /** Unrolled power-iteration CTE chain mirroring
     * [[PageRank.integerPageRank]] — integer ops only, so the chain is
-    * bit-exact. DuckDB `//` is floor division and Spark `div`
-    * truncates, identical on the non-negative masses here. */
+    * bit-exact. DuckDB `//` truncates toward zero on integers —
+    * same as Spark `div` and Scala `/` (the three only agree BECAUSE
+    * none floors; [[graft.vector.DistributedKMeans]]'s negative-sum
+    * case depends on it — `-7 // 2 = -3` in DuckDB, not `-4`);
+    * masses here are non-negative so any convention would do. */
   // shared head for the PageRank replays: the part–supplier bipartite
   // edge list (both directions) with `r`, the encoded-id sum mod 3
   // (2·pk + 2·sk + 1 — direction-invariant), which the warm-start

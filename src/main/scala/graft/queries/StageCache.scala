@@ -43,6 +43,61 @@ private[graft] object StageStore {
 
   def tableName(dir: String, what: String): String =
     s"stage_v$FormatVersion|$dir|$what".replaceAll("[^A-Za-z0-9._-]", "_")
+
+  // ---- erasure epochs -------------------------------------------------
+  //
+  // "A corpus snapshot is immutable" has one legal exception:
+  // right-to-be-forgotten erasure edits the snapshot in place. Every
+  // staged artifact built from the PRE-erasure snapshot then still
+  // carries the forgotten rows until rebuilt — so erasure must
+  // invalidate them. The mechanism is an EPOCH per snapshot dir that
+  // participates in both the in-session memo key and the persisted
+  // table name: bumping it orphans every older artifact (never
+  // resolved again — vacuum policy, like orphan store versions) and
+  // the next resolve rebuilds from the now-erased source.
+  // [[graft.CorpusEtl.forget]] bumps it for the snapshot dirs the
+  // caller names. Persisted per-warehouse as a one-line epoch file, so
+  // cold sessions see it; within a session the memory map is the
+  // source of truth (seeded from the file on first touch).
+
+  private val erasureEpochs = new ConcurrentHashMap[String, java.lang.Long]()
+  private val epochSeeded = new ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def epochPath(root: String, dir: String) =
+    new org.apache.hadoop.fs.Path(root,
+      s"_erasure_epoch_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+
+  def erasureEpoch(spark: SparkSession, dir: String): Long = {
+    val sessionKey = s"${spark.sparkContext.applicationId}|$dir"
+    if (epochSeeded.putIfAbsent(sessionKey, true) == null)
+      rootFor(dir).foreach { root =>
+        val p = epochPath(root, dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          val persisted =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          erasureEpochs.merge(dir, persisted, (a, b) => math.max(a, b))
+        }
+      }
+    Option(erasureEpochs.get(dir)).map(_.longValue).getOrElse(0L)
+  }
+
+  /** Called by an erasure (after the snapshot's files are rewritten):
+    * invalidates every staged artifact of `dir`, in this session and
+    * in the warehouse. Returns the new epoch. */
+  def bumpErasureEpoch(spark: SparkSession, dir: String): Long = {
+    val next = erasureEpoch(spark, dir) + 1
+    erasureEpochs.put(dir, next)
+    rootFor(dir).foreach { root =>
+      val p = epochPath(root, dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    }
+    next
+  }
 }
 
 /** The single enumeration of every PERSISTABLE staged artifact across
@@ -206,7 +261,13 @@ private[graft] final class StageCache {
   def apply(spark: SparkSession, dir: String, what: String,
       persistable: Boolean = true)(
       build: => DataFrame): DataFrame = {
-    val key = s"${spark.sparkContext.applicationId}|$dir|$what"
+    // the snapshot's erasure epoch rides the memo key AND the
+    // persisted table name: a forget bumps it, so pre-erasure
+    // artifacts (memoized or committed) are never resolved again and
+    // the next request rebuilds from the erased source
+    val epoch = StageStore.erasureEpoch(spark, dir)
+    val what2 = if (epoch == 0) what else s"$what|fe$epoch"
+    val key = s"${spark.sparkContext.applicationId}|$dir|$what2"
     cache.computeIfAbsent(key, _ => new Cell(() => {
       val t0 = System.nanoTime()
       val resolved = StageStore.rootFor(dir).filter(_ => persistable) match {
@@ -215,7 +276,7 @@ private[graft] final class StageCache {
           build
         case Some(root) =>
           val fmt = new VersionedParquet(spark, root)
-          val tbl = StageStore.tableName(dir, what)
+          val tbl = StageStore.tableName(dir, what2)
           // the store read is MATERIALIZED once per session: a memoized
           // lazy scan would re-read parquet on every consuming query
           // execution (measured +8 s across the sf0.1 suite), where the

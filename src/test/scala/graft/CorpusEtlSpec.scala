@@ -221,6 +221,50 @@ class CorpusEtlSpec extends SparkSpec {
     assert(ledger.count() == 2)
   }
 
+  test("forget invalidates warehouse-staged artifacts: resolve-after-forget never surfaces forgotten ids") {
+    import graft.queries.{DedupStage, StageStore}
+    val snapDir = freshRoot() // the corpus snapshot the stage reads
+    val warehouse = freshRoot() // staged-artifact store
+    val storeRoot = freshRoot() // the CorpusEtl store
+    val cfg = Curation.Config()
+    val day1 = Seq(
+      (1L, "erase this very distinctive document from every derived artifact", "en", "web", 64L),
+      (2L, "an entirely different document about music charts and rankings here", "en", "web", 67L),
+      (3L, "completely unrelated content with many unique words in this row", "en", "web", 63L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    day1.write.mode("overwrite").parquet(s"$snapDir/documents.parquet")
+    StageStore.setForTesting(snapDir, warehouse)
+    try {
+      // a staged artifact built BEFORE the forget carries doc 1
+      val before = DedupStage.corpusSliceBandIndex(spark, snapDir)
+      assert(before.where($"doc_id" === 1L).count() > 0)
+      val buildsBefore = DedupStage.buildCount
+
+      // the erasure: rewrite the snapshot's files without doc 1 (the
+      // caller's storage op), clean the CorpusEtl store, and name the
+      // snapshot dir so its staged artifacts are invalidated
+      CorpusEtl.init(spark, storeRoot, day1.limit(0), cfg)
+      CorpusEtl.runBatch(spark, storeRoot, day1, 1L, cfg)
+      day1.where($"doc_id" =!= 1L)
+        .write.mode("overwrite").parquet(s"$snapDir/documents.parquet")
+      CorpusEtl.forget(spark, storeRoot, Seq(1L).toDF("doc_id"),
+        invalidateSnapshots = Seq(snapDir))
+
+      // SAME session, no cache clear: the epoch bump alone must force
+      // a rebuild from the erased source — the stale warehouse table
+      // and the stale memo are both orphaned by the key change
+      val after = DedupStage.corpusSliceBandIndex(spark, snapDir)
+      assert(after.where($"doc_id" === 1L).isEmpty,
+        "a staged artifact served the forgotten document after the forget")
+      assert(after.where($"doc_id" === 2L).count() > 0)
+      assert(DedupStage.buildCount == buildsBefore + 1,
+        "the post-forget resolve must REBUILD, not read the stale store table")
+    } finally {
+      StageStore.clearForTesting(snapDir)
+      DedupStage.clearForTesting()
+    }
+  }
+
   test("init refuses a live store; a racing day fails its manifest commit") {
     val root = freshRoot()
     val cfg = Curation.Config()

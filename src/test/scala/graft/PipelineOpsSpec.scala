@@ -215,10 +215,23 @@ class PipelineOpsSpec extends SparkSpec {
     val partial = PageRank.integerPageRankOver(edges, deg, 1,
       init = Some(Seq(("a", 42L)).toDF("node", "mass")))
     val uniform1 = PageRank.integerPageRankOver(edges, deg, 1)
-    // "a" is a degree-2 corner feeding b and c with 21 units each —
-    // every OTHER node's round-1 input differs from uniform only in
-    // a's contribution
-    assert(partial.count() === uniform1.count())
+    // hand-computed round 1: a (degree 1) sends 42 div 1 = 42 to its
+    // only neighbor b; every unseeded node sends its uniform share
+    // (b: 1000000 div 3 = 333333, c/d: 500000). So
+    //   a: 150000 + 85·333333 div 100                    = 433333
+    //   b: 150000 + 85·(42 + 500000 + 500000) div 100    = 1000035
+    //   c: 150000 + 85·(333333 + 500000) div 100         = 858333
+    //   d: same inputs as c                              = 858333
+    assertSameRows(
+      partial.orderBy("node").select("node", "degree", "mass"), Seq(
+        Seq("a", 1L, 433333L), Seq("b", 3L, 1000035L),
+        Seq("c", 2L, 858333L), Seq("d", 2L, 858333L)))
+    // vs uniform, the ONLY divergence is b — the sole node fed by the
+    // seeded a; everyone else's round-1 inputs came from unseeded
+    // (uniform-started) neighbors
+    val diff = partial.as("p").join(uniform1.as("u"), "node")
+      .where($"p.mass" =!= $"u.mass").select("node")
+    assert(rowsOf(diff) == Seq(Seq("b")))
   }
 
   test("integer pagerank is invariant to partitioning and edge order") {

@@ -80,7 +80,7 @@ class ScalingProbeSpec extends SparkSpec {
     val failures = stageFailures ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        Bench.execute(SparkEntry.queries(name)(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }.min
       val ts = minOf2(small)
@@ -93,4 +93,123 @@ class ScalingProbeSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("; "))
   }
+
+  /** ONE MORE DECADE (sf0.1 → a derived sf1): the sf0.01→0.1 probe's
+    * worst ratios (q_dedup_minhash 4.5, q_fuzzy_join ~3.9,
+    * q_containment_prefix 2.9) deserve a second decade before the
+    * scaling claim is believed toward 100×. The sf1 slice is
+    * DERIVED from sf0.1 — 10 replicas with per-replica token/tag
+    * perturbation chosen so each replica preserves the original's
+    * intra-replica similarity structure exactly while sharing ZERO
+    * matches across replicas (disjoint shingle vocabularies; customer
+    * tags pairwise edit distance 3 ≫ the dist-1 threshold): true
+    * pairs, candidates, and rows all scale by exactly 10, so the
+    * measured ratio isolates the ENGINE's scaling, not a workload
+    * shape change.
+    *
+    * The bound here is ≤12, NOT the first tier's ≤5 — deliberately.
+    * At the first decade the small side is fixed-overhead-dominated,
+    * which halves apparent ratios; at the second decade real work
+    * dominates BOTH sides, and the ideal for a work-dominated
+    * operator is LINEAR — ratio ≈ 10 for 10× rows (measured stage by
+    * stage for q_fuzzy_join: candidates 977k→9.77M, true pairs
+    * 262k→2.62M, each stage's wall ∝ rows). Linear-in-rows is
+    * exactly what survives a 1000-executor scale-out; what this tier
+    * must catch is SUPERLINEAR collapse — a lost equi-key or a
+    * broadcast gone nested-loop reads ~100×, far outside 12. */
+  test("one decade up: heavyweights scale linearly (<=12x for 10x rows) from sf0.1 to a derived sf1") {
+    assume(sys.env.contains("GRAFT_SLOW"),
+      "slow probe — run with GRAFT_SLOW=1 at round close")
+    val sf1 = DecadeSlice.ensure(spark, big)
+
+    def buildProbe(label: String)(build: String => Unit): Option[String] = {
+      def timed(dir: String): Double = {
+        val t0 = System.nanoTime()
+        build(dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = timed(big)
+      val tb = timed(sf1)
+      val ratio = tb / math.max(ts, 0.1)
+      info(f"$label%-22s sf0.1=$ts%6.2f s  sf1=$tb%6.2f s  ratio=$ratio%4.1f")
+      if (ratio > 12.0) Some(f"$label scales $ratio%.1fx for 10x rows at the second decade")
+      else None
+    }
+    val stageFailures = Seq(
+      buildProbe("fuzzy-index build")(dir =>
+        graft.queries.DedupStage.customerNameIndex(spark, dir).count()),
+      buildProbe("prefix-index build")(dir =>
+        graft.queries.DedupStage.prefixIndex(spark, dir).count())).flatten
+
+    val decadeHeavyweights =
+      Seq("q_dedup_minhash", "q_fuzzy_join", "q_containment_prefix",
+        "q_curate_incremental")
+    val failures = stageFailures ++ decadeHeavyweights.flatMap { name =>
+      def minOf2(dir: String): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.execute(SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val ts = minOf2(big)
+      val tb = minOf2(sf1)
+      val ratio = tb / math.max(ts, 0.1)
+      info(f"$name%-22s sf0.1=$ts%6.2f s  sf1=$tb%6.2f s  ratio=$ratio%4.1f")
+      if (ratio > 12.0)
+        Some(f"$name scales $ratio%.1fx for 10x rows at the second decade")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}
+
+/** Builder for the derived-sf1 slice (see the decade test's scaladoc
+  * for the perturbation invariants). Written once to /tmp and marked
+  * with a _READY sentinel; delete the dir to regenerate. */
+object DecadeSlice {
+  val root = "/tmp/graft_sf1"
+
+  def ensure(spark: org.apache.spark.sql.SparkSession, srcDir: String): String =
+    synchronized {
+      import org.apache.spark.sql.functions._
+      if (!new java.io.File(root, "_READY").exists()) {
+        val reps = 10
+        val offset = 100000000L
+
+        // documents: suffix EVERY token with the replica id — each
+        // replica is an isomorphic copy over a disjoint vocabulary
+        // (no shingle survives across replicas), so near-dup truth
+        // scales by exactly `reps`
+        val docs = graft.io.Tables.table(spark, srcDir, "documents")
+        docs.crossJoin(broadcast(spark.range(reps).toDF("rep")))
+          .select(
+            (col("doc_id") + col("rep") * offset).as("doc_id"),
+            array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit("x"), col("rep"))), " ").as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$root/documents.parquet")
+
+        // customers: per-replica 3-char tags, pairwise edit distance 3
+        // — intra-replica distances unchanged, zero cross-replica
+        // dist-1 pairs
+        val tags = Seq("aa0", "bb1", "cc2", "dd3", "ee4",
+          "ff5", "gg6", "hh7", "ii8", "jj9")
+        import spark.implicits._
+        val tagDf = tags.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+          .toDF("tag", "rep")
+        graft.io.Tables.table(spark, srcDir, "customer")
+          .crossJoin(broadcast(tagDf))
+          .select(
+            (col("c_custkey") + col("rep") * offset).as("c_custkey"),
+            concat(col("c_name"), lit(" "), col("tag")).as("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$root/customer.parquet")
+
+        new java.io.File(root, "_READY").createNewFile()
+      }
+      root
+    }
 }
