@@ -171,6 +171,20 @@ object CorpusEtl {
     Audit(batchId, nz(0), nz(1), nz(2), nz(3), nz(4), nz(5), nz(6))
   }
 
+  /** Highest committed batch_id (0 right after init) — what a
+    * replaying micro-batch sink checks before folding
+    * ([[graft.streaming.StreamingCuration.corpusFoldSink]]'s
+    * exactly-once skip). */
+  def lastBatchId(spark: SparkSession, storeRoot: String,
+      backend: Backend = DefaultBackend): Long = {
+    val fmt = backend(spark, storeRoot)
+    val store = storeOf(spark, fmt)
+    val base = store.base
+    require(base > 0, "store has no manifest — run `CorpusEtl init` first")
+    store.readPinned(store.pinned(base), "corpus_flags")
+      .agg(coalesce(max(col("batch_id")), lit(0L))).head().getLong(0)
+  }
+
   /** Point-in-time read: every store table as pinned by `manifestVersion`
     * — "what did the funnel know after day N" for audits and
     * backfills. Committed versions are immutable, so this is safe

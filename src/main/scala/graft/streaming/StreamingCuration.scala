@@ -44,4 +44,44 @@ object StreamingCuration {
           col("predicted_lang") =!= "und")
       .select("doc_id", "ts", "content_md5", "n_tokens", "quality")
   }
+
+  /** The FULL funnel at streaming cadence: each micro-batch of
+    * `documents`-schema rows folds through [[graft.CorpusEtl
+    * .runBatch]] — gates, exact/near dedup against the persisted
+    * probe indexes, decontamination against the pinned benchmark —
+    * and commits through the store's manifest, exactly as the daily
+    * batch main does. The stream IS the batch pipeline at a faster
+    * clock: one code path, one store, one audit ledger
+    * (StreamingSpec proves any micro-batch split of the corpus is
+    * bit-equal to the batch fold, which `q_curate_incremental`'s
+    * oracle already pins to one-shot [[graft.text.Curation.curate]]).
+    *
+    * Exactly-once under replay: foreachBatch is at-least-once, so a
+    * recovered batch id that is already committed is SKIPPED (the
+    * ledger's batch_id high-water mark is the dedup key — same
+    * pattern as the ranking sink); a skipped replay never re-appends
+    * and never trips the fresh-batch-id guard. Batch ids are the
+    * streaming engine's epoch + 1 (epochs are 0-based, the store's
+    * init ledger owns 0).
+    *
+    * The store commit is the checkpoint: no in-memory state spans
+    * micro-batches, so a crash resumes from the last committed
+    * manifest with nothing to rebuild. */
+  def corpusFoldSink(
+      docs: DataFrame, // streaming, documents schema
+      storeRoot: String,
+      cfg: graft.text.Curation.Config = graft.text.Curation.Config())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val batchId = epoch + 1
+        if (batchId <= graft.CorpusEtl.lastBatchId(spark, storeRoot)) ()
+        else if (batch.isEmpty) ()
+        else {
+          graft.CorpusEtl.runBatch(spark, storeRoot, batch, batchId, cfg)
+          ()
+        }
+      }
 }

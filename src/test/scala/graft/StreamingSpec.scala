@@ -13,6 +13,8 @@ import graft.streaming.StreamingCharts.{Appearance, Streak}
   * instance. */
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
 /** Streaming semantics: watermarked daily aggregation, cross-batch
   * dedup, keyed streak state, and batch/stream parity of the ranking
   * pipeline. */
@@ -600,5 +602,85 @@ class StreamingSpec extends SparkSpec {
     val estB = HllSketch.estimate(batchSketch, Seq("platform"))
       .as[(String, Long, Double)].collect().toSet
     assert(estS === estB && estS.nonEmpty)
+  }
+
+  test("streaming corpus fold through the store == the batch fold, under any micro-batch split") {
+    import graft.text.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = Curation.Config()
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .as[Doc].collect().toSeq.sortBy(_.doc_id)
+    val evalDocs = docs.filter(_.doc_id % cfg.evalModulus == 0)
+
+    def ledgerRows(root: String) =
+      CorpusEtl.DefaultBackend(spark, root).read("corpus_flags")
+        .select("doc_id", "n_tokens", "quality", "predicted", "is_eval",
+          "is_exact_dup", "is_near_dup", "is_contaminated", "sampled_in", "kept")
+        .orderBy("doc_id").collect().toSeq
+
+    // batch reference: the two-day CorpusEtl fold (whose oracle —
+    // q_curate_incremental — already pins it to one-shot curate)
+    val batchRoot = java.nio.file.Files.createTempDirectory("graft_sfold_b").toString
+    CorpusEtl.init(spark, batchRoot, evalDocs.toDF(), cfg)
+    val mid = docs.map(_.doc_id).max / 2
+    CorpusEtl.runBatch(spark, batchRoot, docs.filter(_.doc_id <= mid).toDF(), 1L, cfg)
+    CorpusEtl.runBatch(spark, batchRoot, docs.filter(_.doc_id > mid).toDF(), 2L, cfg)
+
+    // streaming run: same corpus through foreachBatch micro-batches
+    // with a DIFFERENT (finer, uneven) ascending-id split
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft_sfold_s").toString
+    CorpusEtl.init(spark, streamRoot, evalDocs.toDF(), cfg)
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.StreamingCuration
+      .corpusFoldSink(in.toDF(), streamRoot, cfg).start()
+    val cuts = Seq(docs.size / 5, docs.size / 2, docs.size * 4 / 5, docs.size)
+    var from = 0
+    for (to <- cuts if to > from) {
+      in.addData(docs.slice(from, to): _*)
+      q.processAllAvailable()
+      from = to
+    }
+    q.stop()
+
+    assert(ledgerRows(streamRoot) == ledgerRows(batchRoot),
+      "micro-batch fold must be bit-equal to the daily batch fold")
+    // the stream committed more (smaller) batches; the kept SET is
+    // identical and the audit ledger's arithmetic still closes
+    val fmt = CorpusEtl.DefaultBackend(spark, streamRoot)
+    assert(fmt.read("corpus_flags").count() == docs.size)
+  }
+
+  test("corpus fold sink skips an already-committed micro-batch id (at-least-once replay)") {
+    import graft.text.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = Curation.Config()
+    val root = java.nio.file.Files.createTempDirectory("graft_sfold_r").toString
+    val day = Seq(
+      Doc(10L, "one perfectly ordinary document with enough words to pass the gates", "en", "web", 67L),
+      Doc(11L, "another entirely different document about music charts and rankings", "en", "web", 66L))
+    CorpusEtl.init(spark, root, day.take(0).toDF(), cfg)
+
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.StreamingCuration
+      .corpusFoldSink(in.toDF(), root, cfg).start()
+    in.addData(day: _*)
+    q.processAllAvailable()
+    q.stop()
+    val fmt = CorpusEtl.DefaultBackend(spark, root)
+    val n1 = fmt.read("corpus_flags").count()
+    val v1 = fmt.currentVersion("corpus_flags")
+
+    // replay epoch 0 against the SAME store (a recovered sink
+    // re-delivers the batch): the committed high-water mark must make
+    // it a no-op — no duplicate ledger rows, no new version
+    val in2 = MemoryStream[Doc]
+    val q2 = graft.streaming.StreamingCuration
+      .corpusFoldSink(in2.toDF(), root, cfg).start()
+    in2.addData(day: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(fmt.read("corpus_flags").count() == n1)
+    assert(fmt.currentVersion("corpus_flags") == v1,
+      "a replayed batch must not mint table versions")
   }
 }
