@@ -212,11 +212,15 @@ object CorpusEtl {
     * forgotten one stays dropped (its ledger row never referenced the
     * winner); (3) FUTURE arrivals of the forgotten content are judged
     * fresh — the probe rows are gone, which is exactly what erasure
-    * means. Scale: four anti-joins against a (typically tiny)
-    * broadcast forget-set, reading PINNED versions; the rewrite
-    * commits supersede any orphans. On the manifest-log backend the
-    * rewrite is the erasure cost by design (deletion vectors would
-    * refine it); old versions' files remain until vacuum. */
+    * means. Scale: the erasure rides [[graft.etl.TableFormat
+    * .tryDeleteRows]] — on the default manifest-log backend that is a
+    * DELETION-VECTOR commit writing O(forget-set) bytes per table
+    * (the key set plus a tombstone manifest line; never a history
+    * rewrite), on versioned-parquet it is the anti-join rewrite.
+    * Logical first, physical on maintenance cadence: [[compactStore]]
+    * materializes the tombstones and [[vacuumStore]] removes the
+    * pre-forget versions' bytes from disk (CorpusEtlSpec's
+    * erasure-receipt case drives the full sequence). */
   /** @param invalidateSnapshots snapshot dirs whose STAGED artifacts
     *   (dedup band indexes, cluster labelings — [[graft.queries
     *   .StageStore]]) were derived from the forgotten documents: the
@@ -234,16 +238,41 @@ object CorpusEtl {
     val base = store.base
     require(base > 0, "store has no manifest — run `CorpusEtl init` first")
     val pinned = store.pinned(base)
-    val ids = broadcast(docIds.select("doc_id").distinct())
+    val ids = docIds.select("doc_id")
     val versions = appendTables.map { t =>
-      t -> fmt.tryCommit(t,
-        store.readPinned(pinned, t).join(ids, Seq("doc_id"), "left_anti"),
-        fmt.currentVersion(t))
+      t -> fmt.tryDeleteRows(t, ids, pinned(t), fmt.currentVersion(t))
     }.toMap + ("eval_shingles" -> pinned("eval_shingles"))
     store.commit(versions, base)
     invalidateSnapshots.foreach(d =>
       graft.queries.StageStore.bumpErasureEpoch(spark, d))
   }
+
+  /** Maintenance: materialize every table's tombstones and fold its
+    * data dirs to one (read plans back to a single scan), then commit
+    * a manifest pinning the compacted versions. Pinned readers of
+    * older manifests are untouched. */
+  def compactStore(spark: SparkSession, storeRoot: String,
+      backend: Backend = DefaultBackend): Unit = {
+    val fmt = backend(spark, storeRoot) match {
+      case m: ManifestParquet => m
+      case other => throw new UnsupportedOperationException(
+        s"compactStore requires the manifest-log backend, got ${other.getClass.getSimpleName}")
+    }
+    val store = storeOf(spark, fmt)
+    val base = store.base
+    require(base > 0, "store has no manifest — run `CorpusEtl init` first")
+    val versions = allTables.map(t => t -> fmt.compact(t)).toMap
+    store.commit(versions, base)
+  }
+
+  /** Maintenance: drop store states older than manifest version
+    * `retainManifest` and reclaim their bytes — the erasure horizon
+    * (see [[forget]]). Returns per-table reclamation stats. */
+  def vacuumStore(spark: SparkSession, storeRoot: String,
+      retainManifest: Long, olderThanMs: Long = 0L,
+      backend: Backend = DefaultBackend): Map[String, graft.etl.VacuumStats] =
+    storeOf(spark, backend(spark, storeRoot))
+      .vacuumTo(retainManifest, olderThanMs)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -268,10 +297,21 @@ object CorpusEtl {
       case Seq("forget", storeRoot, idsParquet) =>
         forget(spark, storeRoot, spark.read.parquet(idsParquet))
         println(s"[corpus-etl] forgot the docs in $idsParquet from $storeRoot")
+      case Seq("compact", storeRoot) =>
+        compactStore(spark, storeRoot)
+        println(s"[corpus-etl] compacted $storeRoot (tombstones materialized)")
+      case Seq("vacuum", storeRoot, retainManifest) =>
+        val stats = vacuumStore(spark, storeRoot, retainManifest.toLong)
+        val (d, b) = stats.values
+          .foldLeft((0L, 0L))((a, s) => (a._1 + s.dirsDeleted, a._2 + s.bytesDeleted))
+        println(s"[corpus-etl] vacuumed $storeRoot to manifest $retainManifest: " +
+          s"$d dirs, $b bytes reclaimed")
       case _ => sys.error(
         "usage: CorpusEtl init <storeRoot> <evalDocsParquet> | " +
           "CorpusEtl run <storeRoot> <batchParquet> <batchId> | " +
-          "CorpusEtl forget <storeRoot> <docIdsParquet>")
+          "CorpusEtl forget <storeRoot> <docIdsParquet> | " +
+          "CorpusEtl compact <storeRoot> | " +
+          "CorpusEtl vacuum <storeRoot> <retainManifestVersion>")
     }
     spark.stop()
   }

@@ -69,6 +69,32 @@ final class ManifestStore(
     val p = pinned(v)
     tables.map(t => t -> readPinned(p, t)).toMap
   }
+
+  /** Store-wide retention: keep manifest versions `retainManifest..`
+    * and vacuum every table down to the oldest version any RETAINED
+    * manifest still pins (a table whose pin never moves — the
+    * benchmark pinned at init — is never touched). Orphan table
+    * versions above the watermark survive until the pins move past
+    * them; orphan DIRS (crashed commits) go subject to the
+    * `olderThanMs` in-flight guard. This is the store's erasure
+    * horizon: a [[graft.CorpusEtl.forget]] becomes physical once
+    * every pre-forget manifest falls below `retainManifest` and the
+    * tables have been compacted past their tombstones. */
+  def vacuumTo(retainManifest: Long, olderThanMs: Long = 0L): Map[String, VacuumStats] = {
+    val v = fmt match {
+      case x: Vacuumable => x
+      case _ => throw new UnsupportedOperationException(
+        s"backend ${fmt.getClass.getSimpleName} does not support vacuum")
+    }
+    val cur = base
+    require(retainManifest >= 1 && retainManifest <= cur,
+      s"retainManifest $retainManifest outside committed manifests 1..$cur")
+    val retainedPins = (retainManifest to cur).map(pinned)
+    val perTable = tables.map { t =>
+      t -> v.vacuum(t, retainedPins.map(_(t)).min, olderThanMs)
+    }.toMap
+    perTable + (Manifest -> v.vacuum(Manifest, retainManifest, olderThanMs))
+  }
 }
 
 object ManifestStore {

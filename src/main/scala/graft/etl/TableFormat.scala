@@ -62,6 +62,31 @@ trait TableFormat {
     else tryCommit(table,
       readVersion(table, ontoVersion).unionByName(delta), expectedBase)
 
+  /** DELETE-by-key commit: the next version's logical content is
+    * version `ontoVersion`'s content minus every row whose value in
+    * `keys`' single column appears in `keys` — the erasure primitive
+    * (right-to-be-forgotten). Version arguments as in [[tryAppend]]:
+    * reads pinned to `ontoVersion`, arbitration at `expectedBase`.
+    *
+    * Default implementation is the read-anti-join-rewrite through
+    * [[tryCommit]] — correct everywhere but O(history) bytes written.
+    * [[ManifestParquet]] overrides it with a DELETION-VECTOR commit:
+    * stage only the key set and append a tombstone entry to the
+    * manifest, so erasing k documents from a year of history writes
+    * O(k) bytes ([[ManifestParquet.compact]] later materializes the
+    * subtraction and drops the tombstone). An empty key set still
+    * mints a version — callers that want no-op elision guard before
+    * calling. */
+  def tryDeleteRows(table: String, keys: DataFrame, ontoVersion: Long,
+      expectedBase: Long): Long = {
+    val keyCol = TableFormat.deleteKeyCol(keys)
+    require(ontoVersion > 0, s"table $table does not exist")
+    tryCommit(table,
+      readVersion(table, ontoVersion)
+        .join(keys.dropDuplicates(keyCol), Seq(keyCol), "left_anti"),
+      expectedBase)
+  }
+
   /** `MERGE WHEN NOT MATCHED THEN INSERT` under the table's unique
     * constraints (DDL order), with `priority` as the within-batch
     * tie-break: commits the merged state and returns the inserted
@@ -119,6 +144,38 @@ trait TableFormat {
   }
 }
 
+object TableFormat {
+  /** The key column of a delete set: its single column, by contract. */
+  private[etl] def deleteKeyCol(keys: DataFrame): String = {
+    require(keys.schema.fields.length == 1,
+      s"a delete key set must have exactly one column, " +
+        s"got ${keys.schema.fieldNames.mkString(", ")}")
+    keys.schema.fieldNames.head
+  }
+}
+
+/** What [[Vacuumable.vacuum]] reclaimed. */
+final case class VacuumStats(
+    dirsDeleted: Long, bytesDeleted: Long, manifestsDeleted: Long)
+
+/** Physical reclamation — the file-backed backends implement it; the
+  * in-memory commit log has nothing to reclaim. Vacuum is the OTHER
+  * half of erasure: [[TableFormat.tryDeleteRows]] makes forgotten rows
+  * unreadable through every retained version, vacuum makes their
+  * BYTES leave the disk once the versions that carried them age out
+  * of the retention window. */
+trait Vacuumable {
+  /** Drop every version of `table` below `retainFrom` and physically
+    * delete the files only those versions referenced, plus orphan
+    * dirs no retained version references (crashed commits, race
+    * losers). `olderThanMs` is the in-flight-writer guard: a dir
+    * younger than this is never deleted even if unreferenced, because
+    * it may be a commit's staged-but-not-yet-published data (the
+    * Delta/Iceberg retention-threshold shape). Run with the default 0
+    * only when no writer is in flight. */
+  def vacuum(table: String, retainFrom: Long, olderThanMs: Long = 0L): VacuumStats
+}
+
 /** The default backend: one directory per table holding immutable
   * `v=N` parquet version dirs. Commit protocol: write to a hidden
   * `_tmp` dir, then a filesystem `rename` to `v=N+1` — the rename is
@@ -128,10 +185,39 @@ trait TableFormat {
   * concurrent readers never see a torn table); retention of old
   * versions is the deployment's vacuum policy, out of scope here.
   */
-final class VersionedParquet(spark: SparkSession, root: String) extends TableFormat {
+final class VersionedParquet(spark: SparkSession, root: String)
+    extends TableFormat with Vacuumable {
 
   private def fs =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Delete `v=N` dirs below `retainFrom` plus stale `_tmp_*` staging
+    * dirs from crashed commits. Every version dir is self-contained
+    * (no sharing across versions), so "referenced by a retained
+    * version" is simply N >= retainFrom. */
+  override def vacuum(table: String, retainFrom: Long,
+      olderThanMs: Long = 0L): VacuumStats = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table does not exist under $root")
+    require(retainFrom >= 1 && retainFrom <= cur,
+      s"retainFrom $retainFrom outside committed versions 1..$cur of $table")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var dirs = 0L; var bytes = 0L; var versions = 0L
+    for (st <- fs.listStatus(tableDir(table)).toSeq) {
+      val name = st.getPath.getName
+      val isVersion = name.startsWith("v=")
+      val dead =
+        if (isVersion) name.stripPrefix("v=").toLong < retainFrom
+        else st.getModificationTime <= cutoff // orphan _tmp staging dir
+      if (dead) {
+        bytes += fs.getContentSummary(st.getPath).getLength
+        dirs += 1
+        if (isVersion) versions += 1
+        fs.delete(st.getPath, true)
+      }
+    }
+    VacuumStats(dirs, bytes, versions)
+  }
 
   private def tableDir(table: String) = new Path(root, table)
 
@@ -243,9 +329,22 @@ final class CommitLogTable(spark: SparkSession) extends TableFormat {
   * Layout per table:
   * {{{
   *   root/<table>/_log/<v>.manifest   line 1 = schema JSON,
-  *                                    lines 2.. = data dir names
-  *   root/<table>/d-<nonce>/          immutable parquet data dirs
+  *                                    lines 2.. = ordered entries:
+  *                                      d-<nonce>          data dir
+  *                                      !<keyCol>:d-<nonce> tombstone
+  *   root/<table>/d-<nonce>/          immutable parquet dirs (data,
+  *                                    or a tombstone's key set)
   * }}}
+  *
+  * A TOMBSTONE entry (the deletion-vector shape) subtracts every row
+  * whose `keyCol` value appears in its key-set dir from the entries
+  * ABOVE it — order matters, so a later append of a previously
+  * deleted key is NOT re-deleted (erasure then re-arrival is a
+  * first-class sequence for the corpus store). [[tryDeleteRows]]
+  * therefore commits O(keys) bytes where the rewrite default commits
+  * O(history); [[compact]] materializes the subtraction and drops the
+  * tombstones; [[vacuum]] makes the erasure PHYSICAL once the
+  * pre-delete versions age out of retention.
   *
   * Commit protocol: stage data dirs first (uniquely named — racing
   * writers can never clobber each other's staged files), then
@@ -257,9 +356,11 @@ final class CommitLogTable(spark: SparkSession) extends TableFormat {
   * the manifest's own schema (name-based parquet column resolution —
   * a dir staged with different column ORDER still reads correctly,
   * and an empty version reads as an empty frame without inference). */
-final class ManifestParquet(spark: SparkSession, root: String) extends TableFormat {
+final class ManifestParquet(spark: SparkSession, root: String)
+    extends TableFormat with Vacuumable {
 
   import org.apache.spark.sql.types.{DataType, StructType}
+  import ManifestParquet.{DataEntry, Entry, TombstoneEntry, parseEntry}
 
   private def fs =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -295,13 +396,48 @@ final class ManifestParquet(spark: SparkSession, root: String) extends TableForm
       lines.tail.filter(_.nonEmpty))
   }
 
+  /** The version's raw manifest entry lines, in commit order —
+    * operational introspection (and the specs' receipt that compact
+    * dropped the tombstones). */
+  def manifestEntries(table: String, version: Long): Seq[String] =
+    readManifest(table, version)._2
+
   override def readVersion(table: String, version: Long): DataFrame = {
-    val (schema, dirs) = readManifest(table, version)
-    val paths = dirs.map(d => new Path(tableDir(table), d).toString)
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    val (schema, lines) = readManifest(table, version)
+    def path(d: String) = new Path(tableDir(table), d).toString
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def scan(dirs: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(dirs.map(path): _*)
+    val entries = lines.map(parseEntry)
+    // common case — no tombstones — stays the single multi-path scan
+    if (entries.forall(_.isInstanceOf[DataEntry])) {
+      if (entries.isEmpty) empty
+      else scan(entries.collect { case DataEntry(d) => d })
+    } else {
+      // ordered fold: a tombstone anti-joins the content ABOVE it, so
+      // a later re-append of a deleted key survives. Consecutive data
+      // entries collapse into one scan; plan depth = tombstone count
+      // (bounded by forget frequency; compact() resets it to zero).
+      var acc = empty
+      var pending = Vector.empty[String]
+      def flush(): Unit =
+        if (pending.nonEmpty) {
+          acc = if (acc eq empty) scan(pending) else acc.unionByName(scan(pending))
+          pending = Vector.empty
+        }
+      entries.foreach {
+        case DataEntry(d) => pending :+= d
+        case TombstoneEntry(keyCol, d) =>
+          flush()
+          val keys = spark.read
+            .schema(StructType(Seq(schema(keyCol)).map(_.copy(nullable = true))))
+            .parquet(path(d))
+          acc = acc.join(keys, Seq(keyCol), "left_anti")
+      }
+      flush()
+      acc
+    }
   }
 
   /** Stage `df` as a new immutable data dir; returns its name. The
@@ -362,14 +498,92 @@ final class ManifestParquet(spark: SparkSession, root: String) extends TableForm
     }
   }
 
+  /** The O(keys) erasure: stage the distinct key set as its own dir
+    * and commit a manifest = `ontoVersion`'s entries + one tombstone
+    * line. Bytes written ∝ keys — erasing k documents from a year of
+    * history never rewrites the year ([[compact]] materializes the
+    * subtraction later, on maintenance cadence, not on the erasure's
+    * critical path). */
+  override def tryDeleteRows(table: String, keys: DataFrame,
+      ontoVersion: Long, expectedBase: Long): Long = {
+    val keyCol = TableFormat.deleteKeyCol(keys)
+    require(ontoVersion > 0, s"table $table does not exist under $root")
+    val (schema, baseLines) = readManifest(table, ontoVersion)
+    require(schema.fieldNames.contains(keyCol),
+      s"delete from $table: key column $keyCol is not in the table " +
+        s"schema ${schema.fieldNames.mkString(", ")}")
+    require(
+      keys.schema.head.dataType.catalogString == schema(keyCol).dataType.catalogString,
+      s"delete from $table: key column $keyCol is " +
+        s"${keys.schema.head.dataType.catalogString} but the table's is " +
+        s"${schema(keyCol).dataType.catalogString}")
+    val name = stage(table, keys.dropDuplicates(keyCol))
+    commitManifest(table, expectedBase + 1, schema,
+      baseLines :+ s"!$keyCol:$name")
+  }
+
   /** Small-file maintenance (the flip side of O(batch) appends: a
     * year of daily commits is 365 data dirs): rewrite the current
     * content as ONE staged dir and commit a one-dir manifest.
     * Concurrent pinned readers are untouched — their manifests still
-    * reference the old dirs. */
+    * reference the old dirs. Also the tombstone materializer: the
+    * rewrite applies every deletion vector, so the compacted manifest
+    * carries no tombstone entries and read plans are one scan again. */
   def compact(table: String): Long = {
     val base = currentVersion(table)
     require(base > 0, s"table $table does not exist under $root")
     tryCommit(table, readVersion(table, base), base)
   }
+
+  /** Drop manifests below `retainFrom` and physically delete every
+    * dir (data or tombstone key set) referenced ONLY by them, plus
+    * unreferenced orphans older than `olderThanMs` (crashed commits'
+    * staged dirs — the age gate keeps an in-flight commit's
+    * staged-but-unpublished dir safe). This is what turns a logical
+    * erasure physical: after the pre-delete manifests age out and
+    * compact() has materialized the subtraction, no retained manifest
+    * references the forgotten rows' files, and vacuum removes the
+    * bytes (CorpusEtlSpec's erasure receipt). */
+  override def vacuum(table: String, retainFrom: Long,
+      olderThanMs: Long = 0L): VacuumStats = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"table $table does not exist under $root")
+    require(retainFrom >= 1 && retainFrom <= cur,
+      s"retainFrom $retainFrom outside committed versions 1..$cur of $table")
+    val versions = fs.listStatus(logDir(table)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
+    val (drop, keep) = versions.partition(_ < retainFrom)
+    val referenced: Set[String] = keep.flatMap(v =>
+      readManifest(table, v)._2.map(l => parseEntry(l).dir)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var dirs = 0L; var bytes = 0L
+    for (st <- fs.listStatus(tableDir(table)).toSeq
+         if st.getPath.getName != "_log"
+         if !referenced.contains(st.getPath.getName)
+         if st.getModificationTime <= cutoff) {
+      bytes += fs.getContentSummary(st.getPath).getLength
+      dirs += 1
+      fs.delete(st.getPath, true)
+    }
+    drop.foreach(v => fs.delete(manifestPath(table, v), false))
+    VacuumStats(dirs, bytes, drop.size.toLong)
+  }
+}
+
+object ManifestParquet {
+  /** One manifest line, parsed. Tombstones are `!<keyCol>:<dir>`;
+    * anything else is a data dir (dir nonces never contain `!` or
+    * `:`, and pre-tombstone manifests parse unchanged). */
+  sealed trait Entry { def dir: String }
+  final case class DataEntry(dir: String) extends Entry
+  final case class TombstoneEntry(keyCol: String, dir: String) extends Entry
+
+  private[etl] def parseEntry(line: String): Entry =
+    if (line.startsWith("!")) {
+      val sep = line.indexOf(':')
+      require(sep > 1, s"malformed tombstone manifest entry: $line")
+      TombstoneEntry(line.substring(1, sep), line.substring(sep + 1))
+    } else DataEntry(line)
 }

@@ -137,6 +137,72 @@ class CorpusEtlSpec extends SparkSpec {
     assert(f(21L).getAs[Boolean]("is_near_dup"))
   }
 
+  test("forget commits O(forget-set) bytes on the manifest backend — a deletion vector, not a history rewrite") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    CorpusEtl.init(spark, root,
+      docs.where($"doc_id" % cfg.evalModulus === 0), cfg)
+    CorpusEtl.runBatch(spark, root, docs, 1L, cfg)
+    val before = graft.etl.Compaction.dataBytes(spark, root)
+    val victims = docs.select("doc_id").orderBy("doc_id").limit(3)
+    CorpusEtl.forget(spark, root, victims)
+    val written = graft.etl.Compaction.dataBytes(spark, root) - before
+    assert(written > 0, "the forget must stage its key sets")
+    assert(written < before / 10,
+      s"forget wrote $written bytes over a $before-byte store — erasure " +
+        "must cost O(forget-set), not a rewrite of all four tables")
+    // and it still erases: no read surfaces the victims
+    val fmt = fmtOf(root)
+    val ids = victims.as[Long].collect().toSeq
+    for (t <- Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept"))
+      assert(fmt.read(t).where($"doc_id".isin(ids: _*)).isEmpty, s"victim survives in $t")
+  }
+
+  test("physical erasure receipt: forget + compact + vacuum leaves no file on disk carrying the forgotten doc") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    val day1 = Seq(
+      (10L, "erase every physical trace of this very distinctive document text", "en", "web", 66L),
+      (11L, "an entirely different document about music charts and rankings here", "en", "web", 67L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.init(spark, root, day1.limit(0), cfg)
+    CorpusEtl.runBatch(spark, root, day1, 1L, cfg)
+    CorpusEtl.forget(spark, root, Seq(10L).toDF("doc_id"))
+
+    // logical erasure: current reads clean, but the PRE-forget state
+    // (manifest v2) still time-travels to doc 10 — its bytes are
+    // still on disk, which is exactly what vacuum is for
+    assert(CorpusEtl.tablesAsOf(spark, root, 2L)("corpus_flags")
+      .where($"doc_id" === 10L).count() == 1)
+
+    CorpusEtl.compactStore(spark, root) // materialize the tombstones
+    val fmt = fmtOf(root)
+    CorpusEtl.vacuumStore(spark, root, fmt.currentVersion("manifest"))
+
+    // the receipt: every parquet dir still on disk, read DIRECTLY
+    // (bypassing all manifests), carries no row of doc 10
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept");
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(root, t))
+         if st.getPath.getName != "_log") {
+      val raw = spark.read.parquet(st.getPath.toString)
+      assert(raw.columns.contains("doc_id"), s"unexpected dir layout in $t")
+      assert(raw.where($"doc_id" === 10L).isEmpty,
+        s"file bytes for doc 10 survive vacuum in $t/${st.getPath.getName}")
+    }
+    // the pre-forget manifests are gone with their files
+    intercept[Exception] {
+      CorpusEtl.tablesAsOf(spark, root, 2L)("corpus_flags").collect()
+    }
+    // the surviving doc and the store's function are intact
+    assert(fmt.read("corpus_flags").select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    CorpusEtl.runBatch(spark, root,
+      Seq((20L, "a brand new document arriving after the maintenance pass", "en", "web", 57L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), 2L, cfg)
+    assert(fmt.read("corpus_flags").count() == 2)
+  }
+
   test("forgetting one copy never unblocks its surviving exact copies") {
     val root = freshRoot()
     val cfg = Curation.Config()

@@ -161,6 +161,43 @@ class TableFormatSpec extends SparkSpec {
       assert(ex.getMessage.contains("commit race"))
       assert(fmt.read("song").where(col("name") === "Winner").count() == 1)
     }
+
+    test(s"[$backend] tryDeleteRows removes exactly the keyed rows; pinned readers unmoved") {
+      val fmt = freshFormat()
+      seed(fmt) // I1, I2
+      val v1 = fmt.currentVersion("song")
+      val v2 = fmt.tryDeleteRows("song",
+        Seq("I1", "I9").toDF("isrc"), v1, v1) // I9 absent: deleting it is a no-op
+      assert(v2 == v1 + 1)
+      assert(rowsOf(fmt.read("song")) == Seq(Seq("I2", "Two", "u2")))
+      assert(fmt.readVersion("song", v1).count() == 2,
+        "the pre-delete version must still show the erased row")
+    }
+
+    test(s"[$backend] a key re-appended after its delete is NOT re-deleted") {
+      val fmt = freshFormat()
+      seed(fmt) // I1, I2
+      val v1 = fmt.currentVersion("song")
+      val v2 = fmt.tryDeleteRows("song", Seq("I1").toDF("isrc"), v1, v1)
+      val v3 = fmt.tryAppend("song",
+        Seq(("I1", "One-again", "u1b")).toDF("isrc", "name", "url"), v2, v2)
+      assert(rowsOf(fmt.readVersion("song", v3).orderBy("isrc")) == Seq(
+        Seq("I1", "One-again", "u1b"), Seq("I2", "Two", "u2")),
+        "erasure applies to history, not to a fresh re-arrival of the key")
+    }
+
+    test(s"[$backend] a racing tryDeleteRows collides instead of silently clobbering") {
+      val fmt = freshFormat()
+      seed(fmt)
+      val base = fmt.currentVersion("song")
+      fmt.tryAppend("song",
+        Seq(("I3", "Racer", "u3")).toDF("isrc", "name", "url"), base, base)
+      val ex = intercept[IllegalStateException] {
+        fmt.tryDeleteRows("song", Seq("I1").toDF("isrc"), base, base)
+      }
+      assert(ex.getMessage.contains("commit race"))
+      assert(fmt.read("song").count() == 3)
+    }
   }
 
   // ---- manifest-parquet-specific: the O(batch) commit guarantee ----
@@ -205,6 +242,120 @@ class TableFormatSpec extends SparkSpec {
     // more only references 2 dirs' worth of files
     assert(rowsOf(fmt.readVersion("t", preCompact).orderBy("id")) == rows,
       "pinned pre-compact version must still resolve")
+  }
+
+  test("[manifest-parquet] a delete commit writes O(keys) bytes, not O(history)") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_odelete").toString
+    val fmt = new ManifestParquet(spark, root)
+    val history = spark.range(200000)
+      .select(col("id"), concat(lit("payload-"), md5(col("id").cast("string"))).as("v"))
+    fmt.overwrite("t", history)
+    val historyBytes = dataBytes(root)
+    val v1 = fmt.currentVersion("t")
+    val v2 = fmt.tryDeleteRows("t",
+      spark.range(100, 150).toDF("id"), v1, v1)
+    val written = dataBytes(root) - historyBytes
+    assert(written > 0, "the delete must stage its key set")
+    assert(written < historyBytes / 10,
+      s"delete wrote $written bytes against $historyBytes of history — " +
+        "a deletion-vector commit must not rewrite history")
+    assert(fmt.readVersion("t", v2).count() == 199950)
+    assert(fmt.readVersion("t", v2).where(col("id") === 120).isEmpty)
+    assert(fmt.readVersion("t", v1).count() == 200000)
+  }
+
+  test("[manifest-parquet] compact materializes tombstones: one data entry, erased rows gone from the new files") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_dvcompact").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(100).toDF("id"))
+    val v1 = fmt.currentVersion("t")
+    val v2 = fmt.tryDeleteRows("t", spark.range(10).toDF("id"), v1, v1)
+    assert(fmt.manifestEntries("t", v2).exists(_.startsWith("!id:")),
+      "the delete version's manifest must carry a tombstone entry")
+    val v3 = fmt.compact("t")
+    val entries = fmt.manifestEntries("t", v3)
+    assert(entries.size == 1 && !entries.head.startsWith("!"),
+      s"a compacted manifest must be one data entry, got $entries")
+    assert(fmt.readVersion("t", v3).count() == 90)
+    // the compacted data dir itself no longer contains the erased rows
+    val dataDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "t"), entries.head).toString
+    assert(spark.read.parquet(dataDir).where(col("id") < 10).isEmpty,
+      "compaction must write files without the tombstoned rows")
+  }
+
+  test("[manifest-parquet] delete key column must exist with the table's type") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_dvtype").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id"))
+    val v = fmt.currentVersion("t")
+    intercept[IllegalArgumentException] {
+      fmt.tryDeleteRows("t", Seq("x").toDF("nope"), v, v)
+    }
+    intercept[IllegalArgumentException] {
+      fmt.tryDeleteRows("t", Seq("x").toDF("id"), v, v) // string vs bigint
+    }
+    intercept[IllegalArgumentException] {
+      fmt.tryDeleteRows("t", spark.range(3).select(col("id"), col("id").as("b")), v, v)
+    }
+  }
+
+  test("[manifest-parquet] vacuum drops old manifests and their exclusive dirs; retained versions still read") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_vac").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id")) // v1
+    for (day <- 1 to 4) {
+      val cur = fmt.currentVersion("t")
+      fmt.tryAppend("t", spark.range(day * 100, day * 100 + 10).toDF("id"), cur, cur)
+    } // v2..v5, sharing v1's dir
+    val rowsBefore = rowsOf(fmt.read("t").orderBy("id"))
+    val vCompact = fmt.compact("t") // v6: one fresh dir
+    val stats = fmt.vacuum("t", vCompact)
+    // v1..v5's five data dirs are referenced by no retained manifest
+    assert(stats.manifestsDeleted == 5 && stats.dirsDeleted == 5 && stats.bytesDeleted > 0)
+    assert(rowsOf(fmt.read("t").orderBy("id")) == rowsBefore)
+    assert(fmt.currentVersion("t") == vCompact)
+    intercept[Exception] { fmt.readVersion("t", 1) } // dropped manifest
+    // idempotent: nothing left to reclaim
+    assert(fmt.vacuum("t", vCompact) == graft.etl.VacuumStats(0, 0, 0))
+    // and the table still accepts commits after vacuum
+    val cur = fmt.currentVersion("t")
+    fmt.tryAppend("t", spark.range(900, 910).toDF("id"), cur, cur)
+    assert(fmt.read("t").count() == rowsBefore.size + 10)
+  }
+
+  test("[manifest-parquet] vacuum keeps dirs shared with retained manifests and respects the age gate") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_vac2").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id")) // v1: dir A
+    val v1 = fmt.currentVersion("t")
+    fmt.tryAppend("t", spark.range(100, 110).toDF("id"), v1, v1) // v2: dirs A+B
+    // retain from v2: v1's manifest goes, but dir A is shared with v2
+    val stats = fmt.vacuum("t", 2)
+    assert(stats.manifestsDeleted == 1 && stats.dirsDeleted == 0,
+      "a dir referenced by a retained manifest must survive")
+    assert(fmt.read("t").count() == 20)
+    // an unreferenced orphan (crashed commit's staged dir) younger
+    // than the age gate survives; with the gate at 0 it goes
+    val orphan = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "t"), "d-orphancrash")
+    spark.range(5).toDF("id").write.parquet(orphan.toString)
+    assert(fmt.vacuum("t", 2, olderThanMs = 3600L * 1000).dirsDeleted == 0,
+      "an in-flight-age dir must never be vacuumed")
+    assert(fmt.vacuum("t", 2).dirsDeleted == 1,
+      "an aged-out unreferenced orphan must be reclaimed")
+  }
+
+  test("[versioned-parquet] vacuum drops version dirs below the watermark") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_vacv").toString
+    val fmt = new VersionedParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id"))
+    fmt.overwrite("t", spark.range(20).toDF("id"))
+    fmt.overwrite("t", spark.range(30).toDF("id"))
+    val stats = fmt.vacuum("t", 3)
+    assert(stats.manifestsDeleted == 2 && stats.bytesDeleted > 0)
+    assert(fmt.read("t").count() == 30)
+    intercept[Exception] { fmt.readVersion("t", 1).collect() }
   }
 
   test("[manifest-parquet] an empty version reads back with its schema, no inference") {
