@@ -68,12 +68,13 @@ object CorpusEtl {
     "corpus_flags", "corpus_kept")
   private val allTables = "eval_shingles" +: appendTables
 
-  /** The storage backend a store root resolves to. Default is the
-    * manifest-log backend (O(batch) appends); CorpusEtlSpec also runs
-    * the fold through [[graft.etl.VersionedParquet]] to prove the
-    * pipeline is backend-agnostic above the seam. */
-  type Backend = (SparkSession, String) => TableFormat
-  val DefaultBackend: Backend = (s, r) => new ManifestParquet(s, r)
+  /** The storage backend a store root resolves to — the seam-wide
+    * default ([[graft.etl.TableFormat.DefaultBackend]], the
+    * manifest-log backend with O(batch) appends); CorpusEtlSpec also
+    * runs the fold through [[graft.etl.VersionedParquet]] to prove
+    * the pipeline is backend-agnostic above the seam. */
+  type Backend = TableFormat.Backend
+  val DefaultBackend: Backend = TableFormat.DefaultBackend
 
   private def storeOf(spark: SparkSession, fmt: TableFormat) =
     new ManifestStore(spark, fmt, allTables)

@@ -3,10 +3,10 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Load, ManifestStore, VersionedParquet}
+import graft.etl.{Load, ManifestStore, TableFormat}
 import graft.ingest.Sources
 import graft.model.Music
 import graft.model.Music.MusicDb
@@ -16,8 +16,10 @@ import graft.report.Render
   * reference's orchestrated entry point (`etl_pipeline.py:874-1034` →
   * `render_templates.py:108-203`): fetch the playlist page, extract
   * the top-10 song URLs (S4), batch-look-up track data (S7),
-  * FK-ordered load into the versioned parquet store (S9/J7, with the
-  * X5 retention stage riding the load), append the four RETURNING
+  * FK-ordered load committed through the [[graft.etl.TableFormat]]
+  * seam (S9/J7, with the X5 retention stage riding the load; the
+  * default manifest-log backend makes a pure-append day cost O(batch)
+  * bytes — see [[persist]]), append the four RETURNING
   * sets to CSVs (S11), and re-render the README from the delta view
   * (W1/F6-F11).
   *
@@ -86,26 +88,50 @@ object DailyEtl {
     *   concurrent second run (double-fired cron, manual backfill
     *   racing the schedule) fails its commit LOUDLY instead of
     *   silently overwriting the winner's day (lost update). */
-  private def storeOf(spark: SparkSession, fmt: VersionedParquet) =
+  private def storeOf(spark: SparkSession, fmt: TableFormat) =
     new ManifestStore(spark, fmt, tableNames)
 
-  private def loadDb(spark: SparkSession, fmt: VersionedParquet): (MusicDb, Long) = {
+  private def loadDb(spark: SparkSession, fmt: TableFormat)
+      : (MusicDb, Long, Map[String, Long]) = {
     val store = storeOf(spark, fmt)
     val base = store.base
     if (base > 0) {
       val pinned = store.pinned(base)
       def tbl(n: String) = store.readPinned(pinned, n)
-      (MusicDb(tbl("artist"), tbl("song"), tbl("artist_song_map"), tbl("ranking")), base)
-    } else (emptyDb(spark), base) // day 1: nothing committed yet
+      (MusicDb(tbl("artist"), tbl("song"), tbl("artist_song_map"), tbl("ranking")),
+        base, pinned)
+    } else (emptyDb(spark), base, Map.empty) // day 1: nothing committed yet
   }
 
-  private def persist(spark: SparkSession, fmt: VersionedParquet, db: MusicDb,
-      manifestBase: Long): Unit = {
-    // the manifest pins exactly the versions these commits RETURN —
-    // never a re-listed currentVersion, which could observe a
-    // concurrent writer's orphan (ManifestStore invariant 2)
-    val versions = tableNames.zip(Seq(db.artist, db.song, db.artistSongMap, db.ranking))
-      .map { case (n, df) => n -> fmt.tryCommit(n, df, fmt.currentVersion(n)) }
+  /** Commit the day. The common day is PURE APPEND — nothing fired
+    * the X5 retention cascade and no existing song gained a URL — and
+    * then each table commits only its RETURNING delta onto its pinned
+    * version ([[TableFormat.tryAppend]]): on the default manifest-log
+    * backend the daily storage cost is O(batch), matching
+    * [[CorpusEtl]]. A day where retention fired is a rewrite by
+    * MEANING (the cascade can delete from all four tables — at
+    * warehouse scale that's the date-partition drop the Maintenance
+    * scaladoc describes); a day with S10 fills rewrites only the song
+    * table. The manifest pins exactly the versions these commits
+    * RETURN — never a re-listed currentVersion, which could observe a
+    * concurrent writer's orphan (ManifestStore invariant 2). */
+  private def persist(spark: SparkSession, fmt: TableFormat, res: Load.LoadResult,
+      pinned: Map[String, Long], manifestBase: Long,
+      retentionFired: Boolean): Unit = {
+    def full(n: String, df: DataFrame) =
+      n -> fmt.tryCommit(n, df, fmt.currentVersion(n))
+    def append(n: String, delta: DataFrame) =
+      n -> fmt.tryAppend(n, delta, pinned.getOrElse(n, 0L), fmt.currentVersion(n))
+    val versions: Seq[(String, Long)] =
+      if (retentionFired)
+        tableNames.zip(Seq(res.db.artist, res.db.song, res.db.artistSongMap, res.db.ranking))
+          .map { case (n, df) => full(n, df) }
+      else Seq(
+        append("artist", res.insertedArtists),
+        if (res.updatedSongs.isEmpty) append("song", res.insertedSongs)
+        else full("song", res.db.song),
+        append("artist_song_map", res.insertedMaps),
+        append("ranking", res.insertedRankings))
     storeOf(spark, fmt).commit(versions.toMap, manifestBase)
   }
 
@@ -113,7 +139,8 @@ object DailyEtl {
     * .FileFetcher]]; [[main]] wires HTTP/file dispatch). Returns the
     * [[Load.LoadResult]] so callers can inspect the RETURNING sets. */
   def run(spark: SparkSession, fetcher: Sources.Fetcher, cfg: Config,
-      bearerToken: Option[String] = None): Load.LoadResult = {
+      bearerToken: Option[String] = None,
+      backend: TableFormat.Backend = TableFormat.DefaultBackend): Load.LoadResult = {
     import spark.implicits._
 
     // 1. playlist page → top-N song URLs, order carried explicitly
@@ -156,10 +183,18 @@ object DailyEtl {
     // 3. FK-ordered load over the committed state; the parquet commit
     //    IS the between-days checkpoint (no in-memory lineage survives
     //    a day boundary — PipelineE2ESpec's chained-plan lesson)
-    val fmt = new VersionedParquet(spark, cfg.storeRoot)
-    val (db, manifestBase) = loadDb(spark, fmt)
+    val fmt = backend(spark, cfg.storeRoot)
+    val (db, manifestBase, pinned) = loadDb(spark, fmt)
     val res = Load.loadBatch(db, docs, java.sql.Date.valueOf(cfg.date))
-    persist(spark, fmt, res.db, manifestBase)
+    // X5 fires iff the PINNED fact table already holds rows at or
+    // past the horizon (today's inserts can't be a year old) — the
+    // same predicate Maintenance.retention applies, checked cheaply
+    // against the date-pushed parquet scan
+    val retentionFired = !db.ranking
+      .where(col("ranking_date") <=
+        add_months(lit(java.sql.Date.valueOf(cfg.date)), -12))
+      .isEmpty
+    persist(spark, fmt, res, pinned, manifestBase, retentionFired)
 
     // 4. S11 CSV append sinks: the four RETURNING sets, ranking with
     //    the snapshot-derived ranking_id export column
@@ -177,7 +212,8 @@ object DailyEtl {
 
     // 5. render from the COMMITTED store, exactly as the reference's
     //    separate render job queries the database after the load
-    val md = Render.renderForDate(loadDb(spark, fmt)._1, cfg.date)
+    val (committedDb, _, _) = loadDb(spark, fmt)
+    val md = Render.renderForDate(committedDb, cfg.date)
     Files.write(Paths.get(cfg.renderPath), md.getBytes("UTF-8"))
     res
   }

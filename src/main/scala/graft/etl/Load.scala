@@ -109,11 +109,16 @@ object Load {
   }
 
   /** Result of one daily batch load: the new state plus the four
-    * RETURNING sets (what the reference appends to its CSVs, S11). */
+    * insert RETURNING sets (what the reference appends to its CSVs,
+    * S11) and the S10 fill RETURNING set (`updatedSongs` — songs
+    * already present that gained an apple_music_url this batch; also
+    * how [[graft.DailyEtl]] knows a day is NOT pure-append and must
+    * commit the song table as a rewrite). */
   final case class LoadResult(
       db: MusicDb,
       insertedArtists: DataFrame,
       insertedSongs: DataFrame,
+      updatedSongs: DataFrame,
       insertedMaps: DataFrame,
       insertedRankings: DataFrame)
 
@@ -144,7 +149,7 @@ object Load {
       pos)
     // songs already present keep their row but may gain an
     // apple_music_url they lacked (S10 enrich path)
-    val (_, newSong) = updateAppleMusicUrls(
+    val (updSong, newSong) = updateAppleMusicUrls(
       newSong0, docs.select(col("isrc"), col("apple_music_url")))
 
     val maps = Normalize.artistSongMaps(docs)
@@ -165,7 +170,7 @@ object Load {
     val retained = Maintenance.retention(
       MusicDb(newArtist, newSong, newMap, newRank), today)
 
-    LoadResult(retained, insArtist, insSong, insMap, insRank)
+    LoadResult(retained, insArtist, insSong, updSong, insMap, insRank)
   }
 
   /** S11 CSV append sink: quoted values, NULL = empty unquoted field,

@@ -145,6 +145,13 @@ trait TableFormat {
 }
 
 object TableFormat {
+  /** How a store root resolves to a backend. The default is the
+    * manifest-log backend ([[ManifestParquet]]) — O(batch) append
+    * commits — for every runnable main; specs swap in the others to
+    * prove the pipelines are backend-agnostic above the seam. */
+  type Backend = (SparkSession, String) => TableFormat
+  val DefaultBackend: Backend = (s, r) => new ManifestParquet(s, r)
+
   /** The key column of a delete set: its single column, by contract. */
   private[etl] def deleteKeyCol(keys: DataFrame): String = {
     require(keys.schema.fields.length == 1,

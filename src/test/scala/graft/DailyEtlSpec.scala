@@ -137,7 +137,7 @@ class DailyEtlSpec extends SparkSpec {
     DailyEtl.run(spark, fetcher, cfg(1, 1, ids1))
     // simulate a crash mid-persist of a later run: an orphan artist
     // version lands WITHOUT a manifest update
-    val fmt = new graft.etl.VersionedParquet(spark, store)
+    val fmt = graft.etl.TableFormat.DefaultBackend(spark, store)
     import spark.implicits._
     fmt.overwrite("artist", Seq(("junk", "Torn Writer")).toDF("artist_id", "artist_name"))
     // the next daily run reads the manifest-pinned consistent day-1
@@ -147,6 +147,73 @@ class DailyEtlSpec extends SparkSpec {
     assert(r2.insertedSongs.count() === 1)
     assert(r2.db.artist.where($"artist_id" === "junk").isEmpty)
     assert(r2.db.ranking.count() === 20)
+  }
+
+  test("a pure-append day commits only its delta: one new dir per table, yesterday's files untouched") {
+    val dir = Files.createTempDirectory("dailyetl_append")
+    val store = s"$dir/store"
+    val fetcher = new Sources.FileFetcher(Map.empty)
+    val ids1 = (1 to 10).map(i => s"t$i")
+    def cfg(n: Int, day: Int, idsN: Seq[String]) = DailyEtl.Config(
+      store, LocalDate.of(2026, 2, day),
+      write(java.nio.file.Paths.get(s"$dir/p$n.html"), playlistHtml(idsN)),
+      write(java.nio.file.Paths.get(s"$dir/t$n.json"), tracksJson(idsN)),
+      s"$dir/README.md", None)
+    DailyEtl.run(spark, fetcher, cfg(1, 1, ids1))
+    val fmt = graft.etl.TableFormat.DefaultBackend(spark, store)
+      .asInstanceOf[graft.etl.ManifestParquet]
+    val v1 = fmt.currentVersion("ranking")
+    val day1Entries = fmt.manifestEntries("ranking", v1)
+
+    DailyEtl.run(spark, fetcher, cfg(2, 2, ids1.drop(1) :+ "t99"))
+    val v2 = fmt.currentVersion("ranking")
+    val day2Entries = fmt.manifestEntries("ranking", v2)
+    assert(day2Entries.take(day1Entries.size) == day1Entries &&
+      day2Entries.size == day1Entries.size + 1,
+      "a pure-append day must add exactly one data dir to the fact manifest")
+    // the new dir holds ONLY day 2's rows — yesterday's bytes were
+    // never rewritten
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val newDir = s"$store/ranking/${day2Entries.last}"
+    val fresh = spark.read.parquet(newDir)
+    assert(fresh.count() == 10 &&
+      fresh.where(col("ranking_date") =!= java.sql.Date.valueOf("2026-02-02")).isEmpty)
+    // dims too: the song append carries only the newcomer
+    val songEntries = fmt.manifestEntries("song", fmt.currentVersion("song"))
+    val newSongs = spark.read.parquet(s"$store/song/${songEntries.last}")
+    assert(newSongs.select("isrc").as[String].collect().toSeq == Seq("ISRCt99"))
+  }
+
+  test("a retention day rewrites: year-old rankings drop through the X5 cascade, the store stays consistent") {
+    val dir = Files.createTempDirectory("dailyetl_retention")
+    val store = s"$dir/store"
+    val fetcher = new Sources.FileFetcher(Map.empty)
+    val ids1 = (1 to 10).map(i => s"t$i")
+    def cfg(n: Int, date: LocalDate, idsN: Seq[String]) = DailyEtl.Config(
+      store, date,
+      write(java.nio.file.Paths.get(s"$dir/p$n.html"), playlistHtml(idsN)),
+      write(java.nio.file.Paths.get(s"$dir/t$n.json"), tracksJson(idsN)),
+      s"$dir/README.md", None)
+    DailyEtl.run(spark, fetcher, cfg(1, LocalDate.of(2025, 1, 1), ids1))
+    // 13 months later: the same chart again — day-1 rankings are past
+    // the horizon; the songs survive (they rank today), so only the
+    // fact rows age out
+    val r2 = DailyEtl.run(spark, fetcher,
+      cfg(2, LocalDate.of(2026, 2, 1), ids1))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fmt = graft.etl.TableFormat.DefaultBackend(spark, store)
+    val ranking = fmt.read("ranking")
+    assert(ranking.count() == 10 &&
+      ranking.where(col("ranking_date") =!= java.sql.Date.valueOf("2026-02-01")).isEmpty,
+      "the year-old rankings must be retired by the retention stage")
+    assert(fmt.read("song").count() == 10 && r2.insertedSongs.isEmpty)
+    // a third, ordinary day on the rewritten store appends again
+    val r3 = DailyEtl.run(spark, fetcher,
+      cfg(3, LocalDate.of(2026, 2, 2), ids1.drop(1) :+ "t99"))
+    assert(r3.insertedSongs.count() == 1)
+    assert(fmt.read("ranking").count() == 20)
   }
 
   test("token extraction parses the OAuth2 response shape") {
