@@ -129,8 +129,18 @@ object CorpusEtl {
       bandIndex = tbl("band_index"),
       evalShingles = tbl("eval_shingles"))
 
-    val lastBatch = tbl("corpus_flags")
-      .agg(coalesce(max(col("batch_id")), lit(0L))).head().getLong(0)
+    // manifest-only on the common path: the guard needs an UPPER
+    // bound of the committed max (monotonicity across erasures is a
+    // feature — a forgotten day's id stays burned), and the stats
+    // bound costs zero Spark jobs and zero file listings against a
+    // year of appends. Scan fallback covers stats-less backends and
+    // the all-empty day-0 ledger.
+    val lastBatch = fmt
+      .statsUpperBound("corpus_flags", pinned("corpus_flags"), "batch_id") match {
+        case Some(b: Long) => b
+        case _ => tbl("corpus_flags")
+          .agg(coalesce(max(col("batch_id")), lit(0L))).head().getLong(0)
+      }
     require(batchId > lastBatch,
       s"batch_id $batchId is not greater than the last committed batch " +
         s"$lastBatch — reusing an id would conflate ledger days")
@@ -149,9 +159,11 @@ object CorpusEtl {
     val vFlags = append("corpus_flags", stamped)
     // kept rows join the COMMITTED flags, not the lazy fold plan —
     // the funnel executes once (for the flags commit), and this
-    // commit only re-reads its parquet
-    val committed = fmt.readVersion("corpus_flags", vFlags._2)
-      .where(col("batch_id") === batchId)
+    // commit only re-reads its parquet. The range read prunes to the
+    // day's own dir from manifest stats: the audit never lists the
+    // ledger's history files.
+    val committed = fmt.readVersionRange("corpus_flags", vFlags._2,
+      "batch_id", Some(batchId), Some(batchId))
     val vKept = append("corpus_kept",
       batch.join(committed.where(col("kept")).select("doc_id"), "doc_id")
         .withColumn("batch_id", lit(batchId)))
@@ -198,6 +210,32 @@ object CorpusEtl {
       manifestVersion: Long,
       backend: Backend = DefaultBackend): Map[String, DataFrame] =
     storeOf(spark, backend(spark, storeRoot)).tablesAsOf(manifestVersion)
+
+  /** The store's CDC feed since manifest `sinceManifest` (0 = since
+    * before init): per-table appended rows + deleted keys, and the
+    * manifest version the feed is current to — the CURSOR the
+    * consumer persists and passes back next time. This is what keeps
+    * DOWNSTREAM pipelines batch-proportional too: a training-shard
+    * exporter folds only the new days' kept docs and retracts
+    * forgotten ids, never rescanning the corpus
+    * ([[graft.etl.ManifestParquet.changesBetween]] — appends and
+    * erasures stream through; compaction is invisible; a true rewrite
+    * fails loudly rather than feed a wrong delta). */
+  def changesSince(spark: SparkSession, storeRoot: String, sinceManifest: Long,
+      backend: Backend = DefaultBackend): (Long, Map[String, graft.etl.ChangeSet]) = {
+    val store = storeOf(spark, backend(spark, storeRoot))
+    val b = store.base
+    require(b > 0, "store has no manifest — run `CorpusEtl init` first")
+    (b, store.changesBetween(sinceManifest, b))
+  }
+
+  /** The accepted-documents slice of [[changesSince]] — the daily
+    * training-set feed. */
+  def keptSince(spark: SparkSession, storeRoot: String, sinceManifest: Long,
+      backend: Backend = DefaultBackend): (Long, graft.etl.ChangeSet) = {
+    val (asOf, ch) = changesSince(spark, storeRoot, sinceManifest, backend)
+    (asOf, ch("corpus_kept"))
+  }
 
   /** Right-to-be-forgotten: erase `docIds` (a (doc_id) frame) from
     * every table that carries the documents — accepted text, audit
@@ -295,6 +333,17 @@ object CorpusEtl {
           s"exact_dup=${a.nExactDup} near_dup=${a.nNearDup} " +
           s"contaminated=${a.nContaminated} eval=${a.nEval} " +
           s"low_quality=${a.nLowQuality}")
+      case Seq("export", storeRoot, sinceManifest, outDir) =>
+        val (asOf, kept) = keptSince(spark, storeRoot, sinceManifest.toLong)
+        kept.appended.write.mode("overwrite").parquet(s"$outDir/appended")
+        val nAdd = spark.read.parquet(s"$outDir/appended").count()
+        val nDel = kept.deletedKeys.get("doc_id").map { ids =>
+          ids.write.mode("overwrite").parquet(s"$outDir/deleted_keys")
+          spark.read.parquet(s"$outDir/deleted_keys").count()
+        }.getOrElse(0L)
+        println(s"[corpus-etl] exported corpus_kept changes " +
+          s"($sinceManifest, $asOf]: +$nAdd docs, -$nDel forgotten keys; " +
+          s"next cursor = $asOf")
       case Seq("forget", storeRoot, idsParquet) =>
         forget(spark, storeRoot, spark.read.parquet(idsParquet))
         println(s"[corpus-etl] forgot the docs in $idsParquet from $storeRoot")
@@ -310,6 +359,7 @@ object CorpusEtl {
       case _ => sys.error(
         "usage: CorpusEtl init <storeRoot> <evalDocsParquet> | " +
           "CorpusEtl run <storeRoot> <batchParquet> <batchId> | " +
+          "CorpusEtl export <storeRoot> <sinceManifest> <outDir> | " +
           "CorpusEtl forget <storeRoot> <docIdsParquet> | " +
           "CorpusEtl compact <storeRoot> | " +
           "CorpusEtl vacuum <storeRoot> <retainManifestVersion>")

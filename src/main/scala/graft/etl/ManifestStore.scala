@@ -70,6 +70,30 @@ final class ManifestStore(
     tables.map(t => t -> readPinned(p, t)).toMap
   }
 
+  /** The store's CDC feed: per-table changes between the states
+    * pinned by manifest `fromManifest` (0 = before init) and
+    * `toManifest` — what keeps DOWNSTREAM consumers batch-
+    * proportional (a shard exporter reads the new days' rows and
+    * retracted keys, never the corpus). Requires a backend with
+    * incremental reads ([[ManifestParquet]]); a table whose pin
+    * didn't move yields an empty change set. */
+  def changesBetween(fromManifest: Long, toManifest: Long): Map[String, ChangeSet] = {
+    val inc = fmt match {
+      case i: IncrementalRead => i
+      case _ => throw new UnsupportedOperationException(
+        s"backend ${fmt.getClass.getSimpleName} does not support incremental reads")
+    }
+    val cur = base
+    require(toManifest >= 1 && toManifest <= cur,
+      s"manifest versions are 1..$cur, cannot diff to $toManifest")
+    require(fromManifest >= 0 && fromManifest <= toManifest,
+      s"invalid manifest change range ($fromManifest, $toManifest]")
+    val p1: Map[String, Long] =
+      if (fromManifest == 0) tables.map(_ -> 0L).toMap else pinned(fromManifest)
+    val p2 = pinned(toManifest)
+    tables.map(t => t -> inc.changesBetween(t, p1(t), p2(t))).toMap
+  }
+
   /** Store-wide retention: keep manifest versions `retainManifest..`
     * and vacuum every table down to the oldest version any RETAINED
     * manifest still pins (a table whose pin never moves — the

@@ -26,6 +26,35 @@ trait TableFormat {
   /** Point-in-time read of a committed version (audit/backfill). */
   def readVersion(table: String, version: Long): DataFrame
 
+  /** Read `version` restricted to rows with `column` in the inclusive
+    * interval [lower, upper] (an absent bound is open; both absent =
+    * the full version). Semantically IDENTICAL to
+    * `readVersion(...).where(...)` on every backend — that is the
+    * default — but a backend that keeps file-level statistics
+    * ([[ManifestParquet]]) PRUNES non-matching files from the scan
+    * before Spark ever lists them: a point read against a year of
+    * daily appends plans over the one matching day's files instead of
+    * 365 dirs. (Parquet row-group skipping still applies inside
+    * whatever survives the prune — this is the layer ABOVE it, the
+    * Delta/Iceberg data-skipping shape.) Safe for null-bearing
+    * columns because a range predicate is null-rejecting. */
+  def readVersionRange(table: String, version: Long, column: String,
+      lower: Option[Any], upper: Option[Any]): DataFrame =
+    readVersion(table, version)
+      .where(TableFormat.rangeCondition(column, lower, upper))
+
+  /** An UPPER BOUND on max(`column`) over `version`, derived from
+    * commit statistics alone — NO Spark job, no file listed. Exact
+    * for pure-append history; after row deletions it may exceed the
+    * true max (a tombstone never shrinks retained file stats), so
+    * callers use it where an upper bound is what the logic wants —
+    * e.g. [[graft.CorpusEtl.runBatch]]'s monotonic batch-id guard,
+    * which deliberately keeps ids monotonic across erasures. None
+    * when the backend keeps no statistics, any file lacks them for
+    * this column, or no committed row carried a value. */
+  def statsUpperBound(table: String, version: Long, column: String): Option[Any] =
+    None
+
   /** Highest committed version, 0 if the table does not exist. */
   def currentVersion(table: String): Long
 
@@ -159,6 +188,46 @@ object TableFormat {
         s"got ${keys.schema.fieldNames.mkString(", ")}")
     keys.schema.fieldNames.head
   }
+
+  /** The [lower, upper] interval as a Catalyst predicate — the filter
+    * every [[TableFormat.readVersionRange]] applies, pruned scan or
+    * not, so the pruning can only ever be a (correct) superset. */
+  private[etl] def rangeCondition(column: String,
+      lower: Option[Any], upper: Option[Any]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    (lower.map(col(column) >= lit(_)) ++ upper.map(col(column) <= lit(_)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** One table's changes between two committed versions — the CDC feed
+  * that keeps DOWNSTREAM consumers batch-proportional too: a
+  * training-shard exporter reads the day's `appended` rows and
+  * retracts `deletedKeys`, never rescanning the corpus.
+  *
+  * Contract (multiset identity, spec-asserted):
+  * {{{
+  *   readVersion(to) == readVersion(from).minusKeys(deletedKeys) ++ appended
+  * }}}
+  * `appended` already excludes rows that were appended and then
+  * deleted INSIDE the range (in-range tombstones apply to it in
+  * manifest order, exactly as a read would); `deletedKeys` is keyed
+  * by delete-key column (one frame of distinct keys per column —
+  * in practice one column per table). */
+final case class ChangeSet(
+    appended: DataFrame, deletedKeys: Map[String, DataFrame])
+
+/** Incremental (CDC) reads — backends whose commit log can answer
+  * "what changed between version A and B" without diffing data.
+  * [[ManifestParquet]] implements it from manifest structure alone;
+  * compaction commits are marked dataChange=false so maintenance is
+  * invisible to incremental readers (the Delta convention). A
+  * full-rewrite commit that DOES change data (merge-update, erasure
+  * on a rewrite backend) makes the range non-incremental: the reader
+  * gets a loud error telling it to full-refresh, never a silent
+  * wrong delta. */
+trait IncrementalRead {
+  def changesBetween(table: String, fromVersion: Long, toVersion: Long): ChangeSet
 }
 
 /** What [[Vacuumable.vacuum]] reclaimed. */
@@ -364,10 +433,11 @@ final class CommitLogTable(spark: SparkSession) extends TableFormat {
   * a dir staged with different column ORDER still reads correctly,
   * and an empty version reads as an empty frame without inference). */
 final class ManifestParquet(spark: SparkSession, root: String)
-    extends TableFormat with Vacuumable {
+    extends TableFormat with Vacuumable with IncrementalRead {
 
   import org.apache.spark.sql.types.{DataType, StructType}
-  import ManifestParquet.{DataEntry, Entry, TombstoneEntry, parseEntry}
+  import ManifestParquet.{ColStats, DataEntry, Entry, EntryMeta, TombstoneEntry,
+    compareStats, parseEntry, renderEntry, statCanonical, statValue, statsEligible}
 
   private def fs =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -411,21 +481,28 @@ final class ManifestParquet(spark: SparkSession, root: String)
 
   override def readVersion(table: String, version: Long): DataFrame = {
     val (schema, lines) = readManifest(table, version)
-    def path(d: String) = new Path(tableDir(table), d).toString
+    foldEntries(table, schema, lines.map(parseEntry))
+  }
+
+  private def dirPath(table: String, d: String) =
+    new Path(tableDir(table), d).toString
+
+  /** The manifest read semantics: union the data entries in order,
+    * each tombstone anti-joining the content ABOVE it — so a later
+    * re-append of a deleted key survives. Consecutive data entries
+    * collapse into one multi-path scan; plan depth = tombstone count
+    * (bounded by forget frequency; [[compact]] resets it to zero). */
+  private def foldEntries(table: String, schema: StructType,
+      entries: Seq[Entry]): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     def scan(dirs: Seq[String]): DataFrame =
-      spark.read.schema(schema).parquet(dirs.map(path): _*)
-    val entries = lines.map(parseEntry)
+      spark.read.schema(schema).parquet(dirs.map(dirPath(table, _)): _*)
     // common case — no tombstones — stays the single multi-path scan
     if (entries.forall(_.isInstanceOf[DataEntry])) {
       if (entries.isEmpty) empty
-      else scan(entries.collect { case DataEntry(d) => d })
+      else scan(entries.collect { case d: DataEntry => d.dir })
     } else {
-      // ordered fold: a tombstone anti-joins the content ABOVE it, so
-      // a later re-append of a deleted key survives. Consecutive data
-      // entries collapse into one scan; plan depth = tombstone count
-      // (bounded by forget frequency; compact() resets it to zero).
       var acc = empty
       var pending = Vector.empty[String]
       def flush(): Unit =
@@ -434,16 +511,85 @@ final class ManifestParquet(spark: SparkSession, root: String)
           pending = Vector.empty
         }
       entries.foreach {
-        case DataEntry(d) => pending :+= d
+        case d: DataEntry => pending :+= d.dir
         case TombstoneEntry(keyCol, d) =>
           flush()
           val keys = spark.read
             .schema(StructType(Seq(schema(keyCol)).map(_.copy(nullable = true))))
-            .parquet(path(d))
+            .parquet(dirPath(table, d))
           acc = acc.join(keys, Seq(keyCol), "left_anti")
       }
       flush()
       acc
+    }
+  }
+
+  /** Data skipping from manifest statistics: drop every data dir
+    * whose [min, max] for `column` cannot intersect [lower, upper]
+    * BEFORE the scan is planned — Spark never even lists the pruned
+    * files. A point read against a year of daily appends touches the
+    * one matching day's dir ([[TableFormatSpec]] asserts it via
+    * `inputFiles`); the residual `where` keeps the result exactly
+    * `readVersion(...).where(...)` whatever the stats say. Legacy
+    * entries without stats, and columns whose type carries no stats,
+    * are conservatively kept. */
+  override def readVersionRange(table: String, version: Long, column: String,
+      lower: Option[Any], upper: Option[Any]): DataFrame = {
+    val (schema, lines) = readManifest(table, version)
+    require(schema.fieldNames.contains(column),
+      s"range read on $table: column $column is not in the table " +
+        s"schema ${schema.fieldNames.mkString(", ")}")
+    val dt = schema(column).dataType
+    val bounded = lower.isDefined || upper.isDefined
+    def keep(e: Entry): Boolean = e match {
+      case DataEntry(_, Some(m)) =>
+        if (m.rows == 0) false
+        else m.stats.get(column) match {
+          case Some(ColStats(Some(mn), Some(mx))) =>
+            // prune iff the intervals are provably disjoint
+            val belowAll = upper.flatMap(u =>
+              statCanonical(dt, u).map(compareStats(dt, _, mn))).exists(_ < 0)
+            val aboveAll = lower.flatMap(l =>
+              statCanonical(dt, l).map(compareStats(dt, _, mx))).exists(_ > 0)
+            !(belowAll || aboveAll)
+          // stats collected, no values seen: every row is NULL in
+          // `column`, and a range predicate is null-rejecting
+          case Some(_) => !bounded
+          // this column's type carries no stats — keep
+          case None => true
+        }
+      case _ => true // legacy pre-stats entry, or a tombstone
+    }
+    foldEntries(table, schema, lines.map(parseEntry).filter(keep))
+      .where(TableFormat.rangeCondition(column, lower, upper))
+  }
+
+  /** Manifest-only upper bound of max(`column`): the max of the data
+    * entries' recorded maxima — NO Spark job, no file listed (the
+    * O(1) read behind [[graft.CorpusEtl.runBatch]]'s daily batch-id
+    * guard). Exact on pure-append history; tombstones can only make
+    * it an over-estimate, which is the documented contract. None if
+    * any data entry predates stats or the column never carried a
+    * value. */
+  override def statsUpperBound(table: String, version: Long,
+      column: String): Option[Any] = {
+    val (schema, lines) = readManifest(table, version)
+    if (!schema.fieldNames.contains(column) ||
+        !statsEligible(schema(column).dataType)) None
+    else {
+      val dt = schema(column).dataType
+      val datas = lines.map(parseEntry).collect { case d: DataEntry => d }
+      val unknown = datas.exists(d => d.meta match {
+        case None => true // legacy pre-stats entry: contents unknown
+        case Some(m) => m.rows > 0 && !m.stats.contains(column)
+      })
+      if (unknown) None
+      else {
+        val maxes = datas.flatMap(_.meta.flatMap(_.stats.get(column)).flatMap(_.max))
+        if (maxes.isEmpty) None
+        else Some(statValue(dt,
+          maxes.reduce((a, b) => if (compareStats(dt, a, b) >= 0) a else b)))
+      }
     }
   }
 
@@ -455,6 +601,59 @@ final class ManifestParquet(spark: SparkSession, root: String)
     df.write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(tableDir(table), name).toString)
     name
+  }
+
+  /** Stage `df` and record its COMMIT STATISTICS (row count + per-
+    * column min/max for stat-eligible types) in the manifest entry —
+    * what powers [[readVersionRange]]'s file pruning and
+    * [[statsUpperBound]]'s job-free reads. The stats come from one
+    * column-pruned pass over the files just written — O(batch), never
+    * O(history), and byte-exact; a production backend would lift the
+    * identical numbers from the parquet footers the write already
+    * produced (zero re-read, at the price of footer-stat truncation
+    * caveats). Float/double columns drop their stats when any NaN is
+    * present — NaN breaks interval reasoning, so those dirs simply
+    * never prune. */
+  private def stageWithMeta(table: String, df: DataFrame,
+      dataChange: Boolean): String = {
+    import org.apache.spark.sql.functions.{count, isnan, lit, max, min}
+    val name = stage(table, df)
+    val staged = spark.read.schema(df.schema)
+      .parquet(dirPath(table, name))
+    val fields = df.schema.fields.filter(f => statsEligible(f.dataType)).toSeq
+    val isFloaty = fields.map(f => f.dataType match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    })
+    val exprs = count(lit(1)) +: fields.zip(isFloaty).flatMap { case (f, fl) =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      Seq(min(c), max(c)) ++ (if (fl) Seq(max(isnan(c))) else Nil)
+    }
+    val row = staged.agg(exprs.head, exprs.tail: _*).head()
+    val rows = row.getLong(0)
+    var i = 1
+    val stats = fields.zip(isFloaty).flatMap { case (f, fl) =>
+      val (mnAt, mxAt) = (i, i + 1)
+      val nanAt = if (fl) Some(i + 2) else None
+      i += (if (fl) 3 else 2)
+      val hasNan = nanAt.exists(j => !row.isNullAt(j) && row.getBoolean(j))
+      if (hasNan) None // NaN breaks interval reasoning: record NOTHING
+      else {
+        val mn = if (row.isNullAt(mnAt)) None
+          else statCanonical(f.dataType, row.get(mnAt))
+        val mx = if (row.isNullAt(mxAt)) None
+          else statCanonical(f.dataType, row.get(mxAt))
+        // min/max travel together; ColStats(None, None) MEANS "every
+        // row is null here" (prunable under any bound), so it is only
+        // written when the nulls are real, never on a render failure
+        if (mn.isDefined && mx.isDefined) Some(f.name -> ColStats(mn, mx))
+        else if (row.isNullAt(mnAt) && row.isNullAt(mxAt))
+          Some(f.name -> ColStats(None, None))
+        else None
+      }
+    }.toMap
+    renderEntry(name, EntryMeta(rows, dataChange, stats))
   }
 
   /** The arbitration point: exclusive-create of the next manifest.
@@ -481,8 +680,8 @@ final class ManifestParquet(spark: SparkSession, root: String)
   }
 
   override def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long = {
-    val name = stage(table, df)
-    commitManifest(table, expectedBase + 1, df.schema, Seq(name))
+    val entry = stageWithMeta(table, df, dataChange = true)
+    commitManifest(table, expectedBase + 1, df.schema, Seq(entry))
   }
 
   /** The O(batch) append: stage the delta's files, then commit a
@@ -500,9 +699,59 @@ final class ManifestParquet(spark: SparkSession, root: String)
           schema.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq,
         s"append to $table: delta schema ${delta.schema.simpleString} does not " +
           s"match table schema ${schema.simpleString}")
-      val name = stage(table, delta)
-      commitManifest(table, expectedBase + 1, schema, baseDirs :+ name)
+      val entry = stageWithMeta(table, delta, dataChange = true)
+      commitManifest(table, expectedBase + 1, schema, baseDirs :+ entry)
     }
+  }
+
+  /** CDC from manifest structure alone: walk each commit in
+    * (`fromVersion`, `toVersion`] and classify it by shape. An append
+    * or delete commit extends the previous manifest (line-prefix):
+    * its extra data dirs are the appended rows (later in-range
+    * tombstones applied, exactly as a read would) and its extra
+    * tombstones are the deleted keys. A commit that REPLACES the
+    * manifest is legal only when every entry is marked
+    * dataChange=false ([[compact]]) — same logical content, nothing
+    * to emit; any other rewrite (overwrite, merge-update) makes the
+    * range non-incremental and throws rather than return a silently
+    * wrong delta. Read the range before it ages out: [[vacuum]] may
+    * reclaim in-range dirs once no RETAINED manifest references them. */
+  override def changesBetween(table: String, fromVersion: Long,
+      toVersion: Long): ChangeSet = {
+    val cur = currentVersion(table)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"table $table has versions 1..$cur, cannot diff to $toVersion")
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"invalid change range ($fromVersion, $toVersion] on $table")
+    val schema = readManifest(table, toVersion)._1
+    val changed = Vector.newBuilder[Entry]
+    var prev: Seq[String] =
+      if (fromVersion == 0) Seq.empty else readManifest(table, fromVersion)._2
+    for (v <- fromVersion + 1 to toVersion) {
+      val lines = readManifest(table, v)._2
+      if (lines.take(prev.size) == prev)
+        changed ++= lines.drop(prev.size).map(parseEntry)
+      else {
+        val rewriteNoChange = lines.nonEmpty && lines.map(parseEntry).forall {
+          case DataEntry(_, Some(m)) => !m.dataChange
+          case _ => false
+        }
+        if (!rewriteNoChange) throw new IllegalStateException(
+          s"table $table version $v rewrote history (overwrite or merge-update) " +
+            "— the range is not incrementally readable; full-refresh instead")
+      }
+      prev = lines
+    }
+    val entries = changed.result()
+    val appended = foldEntries(table, schema, entries)
+    val deleted = entries.collect { case t: TombstoneEntry => t }
+      .groupBy(_.keyCol).map { case (k, ts) =>
+        val keySchema = StructType(Seq(schema(k).copy(nullable = true)))
+        k -> ts.map(t => spark.read.schema(keySchema)
+            .parquet(dirPath(table, t.dir)))
+          .reduce(_ unionByName _).dropDuplicates(k)
+      }
+    ChangeSet(appended, deleted)
   }
 
   /** The O(keys) erasure: stage the distinct key set as its own dir
@@ -539,7 +788,11 @@ final class ManifestParquet(spark: SparkSession, root: String)
   def compact(table: String): Long = {
     val base = currentVersion(table)
     require(base > 0, s"table $table does not exist under $root")
-    tryCommit(table, readVersion(table, base), base)
+    val (schema, _) = readManifest(table, base)
+    // dataChange=false: same logical content in fewer files — marked
+    // so incremental readers ([[changesBetween]]) see through it
+    val entry = stageWithMeta(table, readVersion(table, base), dataChange = false)
+    commitManifest(table, base + 1, schema, Seq(entry))
   }
 
   /** Drop manifests below `retainFrom` and physically delete every
@@ -580,17 +833,196 @@ final class ManifestParquet(spark: SparkSession, root: String)
 }
 
 object ManifestParquet {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
   /** One manifest line, parsed. Tombstones are `!<keyCol>:<dir>`;
-    * anything else is a data dir (dir nonces never contain `!` or
-    * `:`, and pre-tombstone manifests parse unchanged). */
+    * anything else is a data dir — optionally followed by one space
+    * and a single-line JSON meta blob (`d-xxx {"rows":N,...}`), the
+    * commit statistics that power data skipping. Pre-stats manifests
+    * (bare dir lines) parse unchanged as meta-less entries. */
   sealed trait Entry { def dir: String }
-  final case class DataEntry(dir: String) extends Entry
+
+  /** Per-column min/max in the type's CANONICAL STRING form (integers,
+    * epoch-days, epoch-micros and 0/1 booleans as decimal strings;
+    * floats via toString; decimals plain; strings raw). `(None, None)`
+    * means the dir's rows are ALL NULL in this column — distinct from
+    * the column being absent from the map, which means "unknown"
+    * (NaN present, or a stats-less writer). */
+  final case class ColStats(min: Option[String], max: Option[String])
+  final case class EntryMeta(rows: Long, dataChange: Boolean,
+      stats: Map[String, ColStats])
+  final case class DataEntry(dir: String, meta: Option[EntryMeta]) extends Entry
   final case class TombstoneEntry(keyCol: String, dir: String) extends Entry
 
-  private[etl] def parseEntry(line: String): Entry =
+  def parseEntry(line: String): Entry =
     if (line.startsWith("!")) {
       val sep = line.indexOf(':')
       require(sep > 1, s"malformed tombstone manifest entry: $line")
       TombstoneEntry(line.substring(1, sep), line.substring(sep + 1))
-    } else DataEntry(line)
+    } else {
+      val sp = line.indexOf(' ')
+      if (sp < 0) DataEntry(line, None)
+      else DataEntry(line.substring(0, sp),
+        Some(parseMeta(line.substring(sp + 1))))
+    }
+
+  private[etl] def renderEntry(dir: String, meta: EntryMeta): String = {
+    def statsJson(s: ColStats): JValue = JObject(List(
+      "min" -> s.min.map(JString(_): JValue).getOrElse(JNull),
+      "max" -> s.max.map(JString(_): JValue).getOrElse(JNull)))
+    val fields = List("rows" -> (JInt(meta.rows): JValue)) ++
+      (if (meta.dataChange) Nil
+       else List("dataChange" -> (JBool(false): JValue))) ++
+      (if (meta.stats.isEmpty) Nil
+       else List("stats" -> (JObject(
+         meta.stats.toList.sortBy(_._1).map { case (c, s) => c -> statsJson(s) }): JValue)))
+    // compact rendering is single-line by construction (JSON escapes
+    // any newline inside string stats), so the manifest stays
+    // line-oriented
+    dir + " " + JsonMethods.compact(JsonMethods.render(JObject(fields)))
+  }
+
+  private[etl] def parseMeta(json: String): EntryMeta = {
+    def asLong(v: JValue): Long = v match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => sys.error(s"malformed manifest meta number: $other")
+    }
+    def asStatString(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JNull | JNothing => None
+      case other => sys.error(s"malformed manifest stat value: $other")
+    }
+    val o = JsonMethods.parse(json) match {
+      case JObject(fields) => fields.toMap
+      case other => sys.error(s"malformed manifest meta: $other")
+    }
+    val stats = o.get("stats") match {
+      case Some(JObject(cols)) => cols.map { case (c, v) =>
+        val m = v match {
+          case JObject(f) => f.toMap
+          case other => sys.error(s"malformed manifest column stats: $other")
+        }
+        c -> ColStats(m.get("min").flatMap(asStatString),
+          m.get("max").flatMap(asStatString))
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    EntryMeta(
+      rows = asLong(o.getOrElse("rows",
+        sys.error(s"manifest meta missing rows: $json"))),
+      dataChange = o.get("dataChange") match {
+        case Some(JBool(b)) => b
+        case _ => true
+      },
+      stats = stats)
+  }
+
+  /** Types whose min/max support exact interval reasoning. Binary,
+    * arrays, structs and maps carry no stats (and are never pruned). */
+  private[etl] def statsEligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType |
+         DateType | TimestampType | TimestampNTZType |
+         FloatType | DoubleType | StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** A runtime value (from an agg collect OR a caller's predicate
+    * bound) in the column type's canonical string form; None when the
+    * value's runtime type doesn't convert — pruning then degrades to
+    * keep-everything, never to a wrong prune. */
+  private[etl] def statCanonical(dt: DataType, v: Any): Option[String] = {
+    def longOf(x: Any): Option[Long] = x match {
+      case n: Byte => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Int => Some(n.toLong)
+      case n: Long => Some(n)
+      case _ => None
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        longOf(v).map(_.toString)
+      case BooleanType => v match {
+        case b: Boolean => Some(if (b) "1" else "0")
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          Some(DateTimeUtils.fromJavaTimestamp(t).toString)
+        case t: java.time.Instant =>
+          Some(DateTimeUtils.instantToMicros(t).toString)
+        case _ => None
+      }
+      case TimestampNTZType => v match {
+        case t: java.time.LocalDateTime =>
+          Some(DateTimeUtils.localDateTimeToMicros(t).toString)
+        case _ => None
+      }
+      case FloatType => v match {
+        case f: Float => Some(f.toDouble.toString)
+        case d: Double => Some(d.toString)
+        case _ => None
+      }
+      case DoubleType => v match {
+        case d: Double => Some(d.toString)
+        case f: Float => Some(f.toDouble.toString)
+        case _ => None
+      }
+      case _: DecimalType => v match {
+        case b: java.math.BigDecimal => Some(b.toPlainString)
+        case b: scala.math.BigDecimal => Some(b.underlying.toPlainString)
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String => Some(s)
+        case s: UTF8String => Some(s.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Total order over two canonical stat strings of the same column
+    * type. Strings compare as Spark compares them (UTF8String binary
+    * order, not UTF-16 code units); floats compare with `==` first so
+    * -0.0 ties 0.0 exactly as SQL equality does. */
+  private[etl] def compareStats(dt: DataType, a: String, b: String): Int =
+    dt match {
+      case StringType =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      case FloatType | DoubleType =>
+        val (x, y) = (a.toDouble, b.toDouble)
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
+      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    }
+
+  /** A canonical stat string back as the external runtime value of
+    * the column's type (what [[TableFormat.statsUpperBound]] hands
+    * its caller). */
+  private[etl] def statValue(dt: DataType, s: String): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case BooleanType => s == "1"
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+    case TimestampType => DateTimeUtils.toJavaTimestamp(s.toLong)
+    case TimestampNTZType => DateTimeUtils.microsToLocalDateTime(s.toLong)
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case _: DecimalType => new java.math.BigDecimal(s)
+    case StringType => s
+    case other => sys.error(s"no stat value decoding for $other")
+  }
 }

@@ -331,6 +331,53 @@ class CorpusEtlSpec extends SparkSpec {
     }
   }
 
+  test("keptSince is a batch-proportional CDC feed: daily appends, forget retractions, compaction-transparent") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    val mid = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    CorpusEtl.init(spark, root,
+      docs.where($"doc_id" % cfg.evalModulus === 0), cfg)
+    CorpusEtl.runBatch(spark, root, docs.where($"doc_id" <= mid), 1L, cfg)
+    val (cursor1, _) = CorpusEtl.keptSince(spark, root, 0L)
+    CorpusEtl.runBatch(spark, root, docs.where($"doc_id" > mid), 2L, cfg)
+
+    // the day-2 feed is exactly day 2's kept docs — never the corpus
+    val fmt = fmtOf(root)
+    val (cursor2, day2) = CorpusEtl.keptSince(spark, root, cursor1)
+    assert(day2.deletedKeys.isEmpty)
+    assert(day2.appended.select("doc_id").orderBy("doc_id").as[Long].collect().toSeq ==
+      fmt.read("corpus_kept").where($"batch_id" === 2L)
+        .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq)
+
+    // forget two kept docs: the feed since cursor2 is pure retraction
+    val goners = fmt.read("corpus_kept").select("doc_id")
+      .orderBy("doc_id").limit(2)
+    val gonerIds = goners.as[Long].collect().toSeq
+    CorpusEtl.forget(spark, root, goners)
+    val (cursor3, afterForget) = CorpusEtl.keptSince(spark, root, cursor2)
+    assert(afterForget.appended.isEmpty)
+    assert(afterForget.deletedKeys("doc_id").orderBy("doc_id")
+      .as[Long].collect().toSeq == gonerIds)
+
+    // maintenance is invisible to the feed
+    CorpusEtl.compactStore(spark, root)
+    val (cursor4, quiet) = CorpusEtl.keptSince(spark, root, cursor3)
+    assert(cursor4 > cursor3 && quiet.appended.isEmpty && quiet.deletedKeys.isEmpty)
+
+    // the whole-range identity: asOf(cursor1) ∘ feed == now, for a
+    // consumer that held its cursor across days, a forget, and a
+    // compaction
+    val (_, whole) = CorpusEtl.keptSince(spark, root, cursor1)
+    val start = CorpusEtl.tablesAsOf(spark, root, cursor1)("corpus_kept")
+    val recon = start
+      .join(whole.deletedKeys("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(whole.appended)
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(recon ==
+      fmt.read("corpus_kept").select("doc_id").orderBy("doc_id")
+        .as[Long].collect().toSeq)
+  }
+
   test("init refuses a live store; a racing day fails its manifest commit") {
     val root = freshRoot()
     val cfg = Curation.Config()

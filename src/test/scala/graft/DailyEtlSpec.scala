@@ -175,13 +175,15 @@ class DailyEtlSpec extends SparkSpec {
     // never rewritten
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val newDir = s"$store/ranking/${day2Entries.last}"
+    val newDir =
+      s"$store/ranking/${graft.etl.ManifestParquet.parseEntry(day2Entries.last).dir}"
     val fresh = spark.read.parquet(newDir)
     assert(fresh.count() == 10 &&
       fresh.where(col("ranking_date") =!= java.sql.Date.valueOf("2026-02-02")).isEmpty)
     // dims too: the song append carries only the newcomer
     val songEntries = fmt.manifestEntries("song", fmt.currentVersion("song"))
-    val newSongs = spark.read.parquet(s"$store/song/${songEntries.last}")
+    val newSongs = spark.read.parquet(
+      s"$store/song/${graft.etl.ManifestParquet.parseEntry(songEntries.last).dir}")
     assert(newSongs.select("isrc").as[String].collect().toSeq == Seq("ISRCt99"))
   }
 

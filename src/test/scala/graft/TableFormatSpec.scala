@@ -279,7 +279,8 @@ class TableFormatSpec extends SparkSpec {
     assert(fmt.readVersion("t", v3).count() == 90)
     // the compacted data dir itself no longer contains the erased rows
     val dataDir = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(root, "t"), entries.head).toString
+      new org.apache.hadoop.fs.Path(root, "t"),
+      ManifestParquet.parseEntry(entries.head).dir).toString
     assert(spark.read.parquet(dataDir).where(col("id") < 10).isEmpty,
       "compaction must write files without the tombstoned rows")
   }
@@ -364,5 +365,204 @@ class TableFormatSpec extends SparkSpec {
     fmt.overwrite("t", spark.range(3).toDF("id").limit(0))
     assert(fmt.read("t").schema.fieldNames.toSeq == Seq("id"))
     assert(fmt.read("t").isEmpty)
+  }
+
+  // ---- commit statistics: data skipping + stats-only bounds ----
+
+  for ((backend, freshFormat) <- backends)
+    test(s"[$backend] readVersionRange is exactly readVersion().where() — point, open-ended, strings, nulls") {
+      val fmt = freshFormat()
+      fmt.overwrite("evt",
+        Seq((1L, Option("alpha"), 10), (2L, Option.empty[String], 20),
+          (3L, Option("charlie"), 30), (4L, Option("delta"), 40))
+          .toDF("id", "tag", "v"))
+      val v = fmt.currentVersion("evt")
+      def same(got: org.apache.spark.sql.DataFrame,
+          want: org.apache.spark.sql.DataFrame): Unit =
+        assert(rowsOf(got.orderBy("id")) == rowsOf(want.orderBy("id")))
+      val full = fmt.readVersion("evt", v)
+      same(fmt.readVersionRange("evt", v, "id", Some(2L), Some(3L)),
+        full.where($"id" >= 2 && $"id" <= 3))
+      same(fmt.readVersionRange("evt", v, "id", Some(3L), None),
+        full.where($"id" >= 3))
+      same(fmt.readVersionRange("evt", v, "id", None, Some(1L)),
+        full.where($"id" <= 1))
+      same(fmt.readVersionRange("evt", v, "id", None, None), full)
+      // range on a null-bearing string column: null never matches
+      same(fmt.readVersionRange("evt", v, "tag", Some("alpha"), Some("charlie")),
+        full.where($"tag" >= "alpha" && $"tag" <= "charlie"))
+    }
+
+  private def scannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.map(f => f.split('/').dropRight(1).last).toSet
+
+  test("[manifest-parquet] a point range read prunes the scan to the matching commit's files") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_skip").toString
+    val fmt = new ManifestParquet(spark, root)
+    def day(n: Long) = spark.range(n * 100, n * 100 + 50)
+      .select(col("id"), lit(n).as("batch_id"),
+        concat(lit(s"src$n-"), col("id")).as("source"))
+    fmt.overwrite("flags", day(1))
+    for (n <- 2L to 4L) {
+      val cur = fmt.currentVersion("flags")
+      fmt.tryAppend("flags", day(n), cur, cur)
+    }
+    val v = fmt.currentVersion("flags")
+    assert(scannedDirs(fmt.readVersion("flags", v)).size == 4)
+    // the day-3 point read plans over ONE dir — the other three days'
+    // files are never even listed
+    val point = fmt.readVersionRange("flags", v, "batch_id", Some(3L), Some(3L))
+    assert(scannedDirs(point).size == 1)
+    assert(rowsOf(point.orderBy("id")) ==
+      rowsOf(fmt.readVersion("flags", v).where($"batch_id" === 3).orderBy("id")))
+    // string stats prune too (UTF8 binary order)
+    val bySrc = fmt.readVersionRange("flags", v, "source",
+      Some("src2-"), Some("src2-zzzz"))
+    assert(scannedDirs(bySrc).size == 1 && bySrc.count() == 50)
+    // a range spanning two days keeps exactly those two days' dirs
+    val span = fmt.readVersionRange("flags", v, "batch_id", Some(2L), Some(3L))
+    assert(scannedDirs(span).size == 2 && span.count() == 100)
+  }
+
+  test("[manifest-parquet] pruned reads stay tombstone-correct and all-null commits prune") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_skiptomb").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(100).select(col("id"), lit(1L).as("day")))
+    val v1 = fmt.currentVersion("t")
+    val v2 = fmt.tryAppend("t",
+      spark.range(100, 200).select(col("id"), lit(2L).as("day")), v1, v1)
+    val v3 = fmt.tryDeleteRows("t", spark.range(150, 160).toDF("id"), v2, v2)
+    val got = fmt.readVersionRange("t", v3, "day", Some(2L), Some(2L))
+    assert(rowsOf(got.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", v3).where($"day" === 2).orderBy("id")))
+    assert(scannedDirs(got).exists(_.startsWith("d-")),
+      "the pruned read still scans the matching data dir")
+    // an all-null commit is prunable under any bound
+    val vn = fmt.tryAppend("t",
+      spark.range(200, 210).select(col("id"), lit(null).cast("long").as("day")),
+      v3, v3)
+    val pruned = fmt.readVersionRange("t", vn, "day", Some(1L), None)
+    assert(pruned.count() == 190)
+    assert(rowsOf(pruned.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", vn).where($"day" >= 1).orderBy("id")))
+  }
+
+  test("[manifest-parquet] NaN-bearing float stats are dropped — the dir is kept, never wrongly pruned") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_nan").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("m", Seq((1L, 5.0), (2L, Double.NaN)).toDF("id", "score"))
+    val v1 = fmt.currentVersion("m")
+    fmt.tryAppend("m", Seq((3L, 100.0)).toDF("id", "score"), v1, v1)
+    val v = fmt.currentVersion("m")
+    // the NaN dir's score stats are unknown: a [4, 6] range must
+    // still find the 5.0 row living next to the NaN
+    val got = fmt.readVersionRange("m", v, "score", Some(4.0), Some(6.0))
+    assert(rowsOf(got) == Seq(Seq(1L, 5.0)))
+    assert(fmt.statsUpperBound("m", v, "score").isEmpty,
+      "a NaN-poisoned column has no trustworthy bound")
+  }
+
+  test("[manifest-parquet] statsUpperBound: job-free exact max on appends, a safe over-estimate after deletes") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_ub").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).select(col("id"), lit(1L).as("batch_id"),
+      lit(null).cast("string").as("note")))
+    for (n <- 2L to 3L) {
+      val cur = fmt.currentVersion("t")
+      fmt.tryAppend("t", spark.range(n * 10, n * 10 + 10)
+        .select(col("id"), lit(n).as("batch_id"),
+          lit(null).cast("string").as("note")), cur, cur)
+    }
+    val v = fmt.currentVersion("t")
+    assert(fmt.statsUpperBound("t", v, "batch_id") == Some(3L))
+    assert(fmt.statsUpperBound("t", v, "id") == Some(39L))
+    assert(fmt.statsUpperBound("t", v, "note").isEmpty,
+      "a never-valued column has no bound")
+    // erase every batch-3 row: the bound may only OVER-estimate (the
+    // documented contract — monotonic-id guards want exactly that)
+    val v2 = fmt.tryDeleteRows("t", spark.range(30, 40).toDF("id"), v, v)
+    val trueMax = fmt.readVersion("t", v2).agg(max($"batch_id")).head().getLong(0)
+    assert(trueMax == 2L)
+    assert(fmt.statsUpperBound("t", v2, "batch_id") == Some(3L))
+  }
+
+  test("[manifest-parquet] pre-stats manifests read conservatively: no prune, no bound, same rows") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_legacy").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(100).select(col("id"), lit(7L).as("day")))
+    val v = fmt.currentVersion("t")
+    // hand-write a legacy manifest: same entries, meta stripped — the
+    // format an older writer (or another engine) would have produced
+    val logDir = new java.io.File(s"$root/t/_log")
+    val src = scala.io.Source.fromFile(new java.io.File(logDir, f"$v%020d.manifest"))
+    val lines = try src.getLines().toVector finally src.close()
+    val stripped = lines.head +: lines.tail.map(l =>
+      if (l.startsWith("!")) l else l.split(" ", 2)(0))
+    val legacyV = v + 1
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"$legacyV%020d.manifest").toPath,
+      stripped.mkString("\n").getBytes("UTF-8"))
+    assert(fmt.readVersion("t", legacyV).count() == 100)
+    assert(fmt.statsUpperBound("t", legacyV, "day").isEmpty)
+    val got = fmt.readVersionRange("t", legacyV, "day", Some(7L), Some(7L))
+    assert(got.count() == 100, "a stats-less entry must never be pruned")
+  }
+
+  // ---- incremental (CDC) reads from manifest structure ----
+
+  test("[manifest-parquet] changesBetween streams appends + deletes; compaction is invisible; rewrites refuse") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_cdc").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id")) // v1
+    val v1 = fmt.currentVersion("t")
+    val v2 = fmt.tryAppend("t", spark.range(10, 20).toDF("id"), v1, v1)
+    val v3 = fmt.tryDeleteRows("t",
+      Seq(3L, 12L).toDF("id"), v2, v2)
+    val v4 = fmt.compact("t")
+    val v5 = fmt.tryAppend("t", spark.range(20, 30).toDF("id"), v4, v4)
+    val ch = fmt.changesBetween("t", v1, v5)
+    // in-range tombstones apply to in-range appends (12 gone), and
+    // the compaction emitted nothing
+    assert(ch.appended.orderBy("id").as[Long].collect().toSeq ==
+      ((10L to 19L).filter(_ != 12L) ++ (20L to 29L)))
+    assert(ch.deletedKeys.keySet == Set("id"))
+    assert(ch.deletedKeys("id").orderBy("id").as[Long].collect().toSeq ==
+      Seq(3L, 12L))
+    // the CDC identity: from ∘ changes == to
+    val recon = fmt.readVersion("t", v1)
+      .join(ch.deletedKeys("id"), Seq("id"), "left_anti")
+      .unionByName(ch.appended)
+    assert(rowsOf(recon.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", v5).orderBy("id")))
+    // a compaction-only range is a no-op feed
+    val quiet = fmt.changesBetween("t", v3, v4)
+    assert(quiet.appended.isEmpty && quiet.deletedKeys.isEmpty)
+    // from == to is an empty feed
+    val none = fmt.changesBetween("t", v5, v5)
+    assert(none.appended.isEmpty && none.deletedKeys.isEmpty)
+    // a true rewrite refuses loudly instead of feeding a wrong delta
+    fmt.overwrite("t", spark.range(5).toDF("id")) // v6
+    val ex = intercept[IllegalStateException] {
+      fmt.changesBetween("t", v5, fmt.currentVersion("t"))
+    }
+    assert(ex.getMessage.contains("full-refresh"))
+  }
+
+  test("[manifest-parquet] CDC: a key re-appended after its erasure survives the fold") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_cdc2").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(5).toDF("id")) // v1
+    val v1 = fmt.currentVersion("t")
+    val v2 = fmt.tryDeleteRows("t", Seq(2L).toDF("id"), v1, v1)
+    val v3 = fmt.tryAppend("t", Seq(2L).toDF("id"), v2, v2)
+    val ch = fmt.changesBetween("t", v1, v3)
+    assert(ch.appended.as[Long].collect().toSeq == Seq(2L),
+      "the re-append lands after the tombstone and must survive")
+    assert(ch.deletedKeys("id").as[Long].collect().toSeq == Seq(2L))
+    val recon = fmt.readVersion("t", v1)
+      .join(ch.deletedKeys("id"), Seq("id"), "left_anti")
+      .unionByName(ch.appended)
+    assert(rowsOf(recon.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", v3).orderBy("id")))
   }
 }
