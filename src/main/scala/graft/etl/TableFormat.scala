@@ -616,11 +616,17 @@ final class ManifestParquet(spark: SparkSession, root: String)
     * never prune. */
   private def stageWithMeta(table: String, df: DataFrame,
       dataChange: Boolean): String = {
-    import org.apache.spark.sql.functions.{count, isnan, lit, max, min}
     val name = stage(table, df)
     val staged = spark.read.schema(df.schema)
       .parquet(dirPath(table, name))
-    val fields = df.schema.fields.filter(f => statsEligible(f.dataType)).toSeq
+    renderEntry(name, metaFor(staged, df.schema, dataChange))
+  }
+
+  /** The one bounded stats pass over a staged dir's files. */
+  private def metaFor(staged: DataFrame, schema: StructType,
+      dataChange: Boolean): EntryMeta = {
+    import org.apache.spark.sql.functions.{count, isnan, lit, max, min}
+    val fields = schema.fields.filter(f => statsEligible(f.dataType)).toSeq
     val isFloaty = fields.map(f => f.dataType match {
       case org.apache.spark.sql.types.FloatType |
            org.apache.spark.sql.types.DoubleType => true
@@ -653,7 +659,7 @@ final class ManifestParquet(spark: SparkSession, root: String)
         else None
       }
     }.toMap
-    renderEntry(name, EntryMeta(rows, dataChange, stats))
+    EntryMeta(rows, dataChange, stats)
   }
 
   /** The arbitration point: exclusive-create of the next manifest.
@@ -686,21 +692,58 @@ final class ManifestParquet(spark: SparkSession, root: String)
 
   /** The O(batch) append: stage the delta's files, then commit a
     * manifest = `ontoVersion`'s dirs + the one new dir. Bytes written
-    * ∝ delta; history's files untouched. */
+    * ∝ delta; history's files untouched. Strict by default — a
+    * typo'd column must fail, not silently widen the table; opt into
+    * widening with [[tryAppendEvolve]]. */
   override def tryAppend(table: String, delta: DataFrame, ontoVersion: Long,
-      expectedBase: Long): Long = {
+      expectedBase: Long): Long =
+    appendImpl(table, delta, ontoVersion, expectedBase, evolve = false)
+
+  /** ADDITIVE SCHEMA EVOLUTION: like [[tryAppend]], but a delta that
+    * carries NEW columns widens the table schema in the same commit
+    * (the new fields are appended nullable; every pre-evolution dir
+    * reads them as NULL through the manifest's name-based column
+    * resolution — no file is rewritten, the O(batch) story holds).
+    * Deliberately additive-only: a type change on a shared column or
+    * a delta MISSING table columns refuses loudly — renames and
+    * narrowing are migrations, not appends. Statistics stay
+    * conservative across the boundary: pre-evolution dirs carry no
+    * stats for the new column, so they are never pruned on it and
+    * [[statsUpperBound]] reports unknown rather than guessing. */
+  def tryAppendEvolve(table: String, delta: DataFrame, ontoVersion: Long,
+      expectedBase: Long): Long =
+    appendImpl(table, delta, ontoVersion, expectedBase, evolve = true)
+
+  private def appendImpl(table: String, delta: DataFrame, ontoVersion: Long,
+      expectedBase: Long, evolve: Boolean): Long = {
     if (ontoVersion <= 0) tryCommit(table, delta, expectedBase)
     else {
       val (schema, baseDirs) = readManifest(table, ontoVersion)
-      // name+type check, nullability-insensitive (catalogString drops
+      // name+type checks, nullability-insensitive (catalogString drops
       // containsNull/nullable, which rewrites legitimately flip)
-      require(
-        delta.schema.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq ==
-          schema.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq,
+      def typesOf(s: StructType) =
+        s.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      val (tableCols, deltaCols) = (typesOf(schema), typesOf(delta.schema))
+      val clash = tableCols.keySet.intersect(deltaCols.keySet)
+        .filter(c => tableCols(c) != deltaCols(c))
+      require(clash.isEmpty,
+        s"append to $table: column types changed for ${clash.toSeq.sorted.mkString(", ")} " +
+          "— a type change is never an append")
+      val missing = (tableCols.keySet -- deltaCols.keySet).toSeq.sorted
+      val added = (deltaCols.keySet -- tableCols.keySet).toSeq.sorted
+      if (!evolve) require(missing.isEmpty && added.isEmpty,
         s"append to $table: delta schema ${delta.schema.simpleString} does not " +
           s"match table schema ${schema.simpleString}")
+      else require(missing.isEmpty,
+        s"append to $table: delta lacks table columns ${missing.mkString(", ")} " +
+          "— schema evolution is additive-only")
+      val widened =
+        if (added.isEmpty) schema
+        else StructType(schema.fields ++
+          delta.schema.fields.filter(f => added.contains(f.name))
+            .map(_.copy(nullable = true)))
       val entry = stageWithMeta(table, delta, dataChange = true)
-      commitManifest(table, expectedBase + 1, schema, baseDirs :+ entry)
+      commitManifest(table, expectedBase + 1, widened, baseDirs :+ entry)
     }
   }
 
@@ -795,6 +838,54 @@ final class ManifestParquet(spark: SparkSession, root: String)
     commitManifest(table, base + 1, schema, Seq(entry))
   }
 
+  /** CLUSTERED compaction — the OPTIMIZE/ZORDER maintenance shape:
+    * rewrite the current content as up to `buckets` RANGE-CLUSTERED
+    * data dirs, one manifest entry each with correspondingly TIGHT
+    * stats, so [[readVersionRange]] prunes INSIDE compacted history
+    * (plain [[compact]] folds everything into one dir, whose stats
+    * span the whole domain — great for read-plan hygiene, useless for
+    * skipping). Daily-append dirs often each span the full key domain
+    * (every day touches every key range) and never prune; after a
+    * clustered compact, a point read touches ~1/buckets of the data.
+    * For multi-dimensional locality pass a single interleaved-bits
+    * key column (the `q_zorder` expression) — range-clustering on it
+    * IS Z-ordering. dataChange=false: invisible to incremental
+    * readers, like [[compact]]. One write job (the bucket ordinal is
+    * a write-time partition column that never reaches the files) +
+    * one bounded stats job per bucket. */
+  def compactClustered(table: String, clusterBy: Seq[String],
+      buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val base = currentVersion(table)
+    require(base > 0, s"table $table does not exist under $root")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (schema, _) = readManifest(table, base)
+    val absent = clusterBy.filterNot(schema.fieldNames.contains)
+    require(absent.isEmpty,
+      s"cluster columns ${absent.mkString(", ")} are not in $table's " +
+        s"schema ${schema.fieldNames.mkString(", ")}")
+    val name = s"d-${java.util.UUID.randomUUID().toString.take(13)}"
+    readVersion(table, base)
+      .repartitionByRange(buckets, clusterBy.map(col): _*)
+      .withColumn("_graft_bucket", spark_partition_id())
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("_graft_bucket")
+      .parquet(dirPath(table, name))
+    val subDirs = fs.listStatus(new Path(tableDir(table), name)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_graft_bucket="))
+      .map(st => s"$name/${st.getPath.getName}")
+      .sortBy(_.split('=').last.toInt)
+    val entries = subDirs.map { sub =>
+      val staged = spark.read.schema(schema).parquet(dirPath(table, sub))
+      renderEntry(sub, metaFor(staged, schema, dataChange = false))
+    }
+    // a fully-empty table writes no bucket subdirs: fall back to one
+    // explicit empty entry so the commit keeps CDC-visible shape
+    if (entries.nonEmpty) commitManifest(table, base + 1, schema, entries)
+    else commitManifest(table, base + 1, schema, Seq(
+      stageWithMeta(table, readVersion(table, base).limit(0), dataChange = false)))
+  }
+
   /** Drop manifests below `retainFrom` and physically delete every
     * dir (data or tombstone key set) referenced ONLY by them, plus
     * unreferenced orphans older than `olderThanMs` (crashed commits'
@@ -815,8 +906,11 @@ final class ManifestParquet(spark: SparkSession, root: String)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong)
     val (drop, keep) = versions.partition(_ < retainFrom)
+    // a clustered-compaction entry names a SUBDIR (d-x/_graft_bucket=N);
+    // its top-level dir is what vacuum must treat as referenced
     val referenced: Set[String] = keep.flatMap(v =>
-      readManifest(table, v)._2.map(l => parseEntry(l).dir)).toSet
+      readManifest(table, v)._2.map(l =>
+        parseEntry(l).dir.takeWhile(_ != '/'))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     var dirs = 0L; var bytes = 0L
     for (st <- fs.listStatus(tableDir(table)).toSeq

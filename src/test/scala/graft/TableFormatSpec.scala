@@ -548,6 +548,91 @@ class TableFormatSpec extends SparkSpec {
     assert(ex.getMessage.contains("full-refresh"))
   }
 
+  test("[manifest-parquet] additive schema evolution: new columns append, history reads NULL, nothing rewrites") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_evolve").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = fmt.currentVersion("t")
+    val withLang = Seq((3L, "c", "en"), (4L, "d", "fr")).toDF("id", "v", "lang")
+    // strict append refuses the widened delta
+    intercept[IllegalArgumentException] { fmt.tryAppend("t", withLang, v1, v1) }
+    // evolution widens in the same O(batch) commit — it rides the
+    // same stage-only-the-delta path the append byte-assertion pins
+    val v2 = fmt.tryAppendEvolve("t", withLang, v1, v1)
+    assert(fmt.manifestEntries("t", v2).size ==
+      fmt.manifestEntries("t", v1).size + 1,
+      "evolution must add one dir, never restage history")
+    assert(fmt.readVersion("t", v2).schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    assert(rowsOf(fmt.readVersion("t", v2).orderBy("id")) == Seq(
+      Seq(1L, "a", null), Seq(2L, "b", null),
+      Seq(3L, "c", "en"), Seq(4L, "d", "fr")))
+    // the pinned pre-evolution version still reads its own schema
+    assert(fmt.readVersion("t", v1).schema.fieldNames.toSeq == Seq("id", "v"))
+    // stats stay conservative across the boundary: the old dir is
+    // unknown on the new column — kept by range reads, no bound
+    assert(fmt.statsUpperBound("t", v2, "lang").isEmpty)
+    val ranged = fmt.readVersionRange("t", v2, "lang", Some("en"), Some("en"))
+    assert(rowsOf(ranged.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", v2).where($"lang" === "en").orderBy("id")))
+    // type changes and missing columns are migrations, not appends
+    val exType = intercept[IllegalArgumentException] {
+      fmt.tryAppendEvolve("t", Seq((5, "e", "de")).toDF("id", "v", "lang"), v2, v2)
+    }
+    assert(exType.getMessage.contains("never an append"))
+    val exMissing = intercept[IllegalArgumentException] {
+      fmt.tryAppendEvolve("t", Seq(5L -> "en").toDF("id", "lang"), v2, v2)
+    }
+    assert(exMissing.getMessage.contains("additive-only"))
+    // CDC across the evolution: the feed carries the widened schema
+    val ch = fmt.changesBetween("t", v1, v2)
+    assert(ch.appended.schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    val recon = fmt.readVersion("t", v1)
+      .unionByName(ch.appended, allowMissingColumns = true)
+    assert(rowsOf(recon.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", v2).orderBy("id")))
+  }
+
+  test("[manifest-parquet] clustered compaction: range reads prune INSIDE compacted history; vacuum keeps the buckets") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_cluster").toString
+    val fmt = new ManifestParquet(spark, root)
+    // four daily appends, each spanning the FULL id domain (id ≡ day
+    // mod 4) — the worst case for skipping: no day dir ever prunes
+    def day(n: Int) = spark.range(2000).select((col("id") * 4 + n).as("id"))
+    fmt.overwrite("t", day(0))
+    for (n <- 1 to 3) {
+      val cur = fmt.currentVersion("t")
+      fmt.tryAppend("t", day(n), cur, cur)
+    }
+    val vPre = fmt.currentVersion("t")
+    val prePrune = fmt.readVersionRange("t", vPre, "id", Some(100L), Some(120L))
+    assert(scannedDirs(prePrune).size == 4,
+      "interleaved daily dirs must not prune — that is the point of clustering")
+    val vc = fmt.compactClustered("t", Seq("id"), 8)
+    // same rows, now range-clustered: the point read plans over ~1/8
+    val rows = rowsOf(fmt.readVersion("t", vPre).orderBy("id"))
+    assert(rowsOf(fmt.readVersion("t", vc).orderBy("id")) == rows)
+    assert(fmt.manifestEntries("t", vc).size == 8)
+    val post = fmt.readVersionRange("t", vc, "id", Some(100L), Some(120L))
+    assert(scannedDirs(post).size == 1,
+      s"a 21-key point read should touch one of 8 clustered buckets, " +
+        s"got ${scannedDirs(post)}")
+    assert(rowsOf(post.orderBy("id")) ==
+      rowsOf(fmt.readVersion("t", vc).where($"id".between(100, 120)).orderBy("id")))
+    // invisible to incremental readers, like plain compact
+    val quiet = fmt.changesBetween("t", vPre, vc)
+    assert(quiet.appended.isEmpty && quiet.deletedKeys.isEmpty)
+    // vacuum reclaims the four day dirs but keeps the bucket subdirs
+    val stats = fmt.vacuum("t", vc)
+    assert(stats.dirsDeleted == 4,
+      s"the four pre-compaction day dirs must go, got $stats")
+    assert(rowsOf(fmt.read("t").orderBy("id")) == rows,
+      "the clustered buckets must survive vacuum")
+    // and the table keeps accepting ordinary appends afterwards
+    val cur = fmt.currentVersion("t")
+    fmt.tryAppend("t", spark.range(8000, 8010).toDF("id"), cur, cur)
+    assert(fmt.read("t").count() == rows.size + 10)
+  }
+
   test("[manifest-parquet] CDC: a key re-appended after its erasure survives the fold") {
     val root = java.nio.file.Files.createTempDirectory("tfmt_cdc2").toString
     val fmt = new ManifestParquet(spark, root)
