@@ -188,11 +188,13 @@ object DailyEtl {
     val res = Load.loadBatch(db, docs, java.sql.Date.valueOf(cfg.date))
     // X5 fires iff the PINNED fact table already holds rows at or
     // past the horizon (today's inserts can't be a year old) — the
-    // same predicate Maintenance.retention applies, checked cheaply
-    // against the date-pushed parquet scan
-    val retentionFired = !db.ranking
-      .where(col("ranking_date") <=
-        add_months(lit(java.sql.Date.valueOf(cfg.date)), -12))
+    // same predicate Maintenance.retention applies. The range read
+    // answers it from manifest stats on the common day: every daily
+    // dir's min date is above the horizon, so the probe plans over
+    // ZERO files instead of date-filtering a year of appends
+    val retentionFired = manifestBase > 0 && !fmt
+      .readVersionRange("ranking", pinned("ranking"), "ranking_date",
+        None, Some(java.sql.Date.valueOf(cfg.date.minusMonths(12))))
       .isEmpty
     persist(spark, fmt, res, pinned, manifestBase, retentionFired)
 
@@ -211,12 +213,30 @@ object DailyEtl {
     }
 
     // 5. render from the COMMITTED store, exactly as the reference's
-    //    separate render job queries the database after the load
-    val (committedDb, _, _) = loadDb(spark, fmt)
-    val md = Render.renderForDate(committedDb, cfg.date)
+    //    separate render job queries the database after the load. The
+    //    ranking read is range-pruned to the only two chart dates the
+    //    render can reference — O(day), not O(history), against a
+    //    backfilled archive
+    val (committedDb, _, committedPins) = loadDb(spark, fmt)
+    val md = Render.renderForDate(
+      renderDbOf(fmt, committedPins, committedDb, cfg.date), cfg.date)
     Files.write(Paths.get(cfg.renderPath), md.getBytes("UTF-8"))
     res
   }
+
+  /** The render's input state: the committed db with the ranking fact
+    * restricted to [date−1, date]. EXACT by the consecutive-day gate:
+    * `allRankingsWithDelta`'s LAG contributes a delta only when the
+    * previous chart row is dated exactly date−1, so no older row can
+    * influence the rendered date — the restriction changes the plan's
+    * bytes, never its output (DailyEtlSpec pins byte-equality). */
+  private[graft] def renderDbOf(fmt: TableFormat, pins: Map[String, Long],
+      db: MusicDb, date: LocalDate): MusicDb =
+    if (pins.isEmpty) db
+    else db.copy(ranking = fmt.readVersionRange("ranking", pins("ranking"),
+      "ranking_date",
+      Some(java.sql.Date.valueOf(date.minusDays(1))),
+      Some(java.sql.Date.valueOf(date))))
 
   private[graft] def accessTokenFromJson(body: String): String = {
     val re = """"access_token"\s*:\s*"([^"]+)"""".r

@@ -124,6 +124,40 @@ class DailyEtlSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/store")))
   }
 
+  test("the daily render reads two chart dates, not the archive — byte-equal to the full-history render") {
+    val dir = Files.createTempDirectory("dailyetl_renderprune")
+    val store = s"$dir/store"
+    val fetcher = new Sources.FileFetcher(Map.empty)
+    val ids = (1 to 10).map(i => s"t$i")
+    def cfg(n: Int, day: Int, idsN: Seq[String]) = DailyEtl.Config(
+      store, LocalDate.of(2026, 2, day),
+      write(java.nio.file.Paths.get(s"$dir/p$n.html"), playlistHtml(idsN)),
+      write(java.nio.file.Paths.get(s"$dir/t$n.json"), tracksJson(idsN)),
+      s"$dir/README.md", None)
+    DailyEtl.run(spark, fetcher, cfg(1, 1, ids))
+    DailyEtl.run(spark, fetcher, cfg(2, 2, ids.drop(1) :+ "t98"))
+    DailyEtl.run(spark, fetcher, cfg(3, 3, ids.drop(2) :+ "t98" :+ "t99"))
+    val written = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(s"$dir/README.md")), "UTF-8")
+
+    val fmt = graft.etl.TableFormat.DefaultBackend(spark, store)
+    val fullDb = graft.model.Music.MusicDb(fmt.read("artist"), fmt.read("song"),
+      fmt.read("artist_song_map"), fmt.read("ranking"))
+    val day3 = LocalDate.of(2026, 2, 3)
+    // the pruned render is byte-equal to one over the whole archive
+    assert(written == graft.report.Render.renderForDate(fullDb, day3))
+    // and its ranking scan plans over the two matching day dirs only
+    val store2 = new graft.etl.ManifestStore(spark, fmt,
+      Seq("artist", "song", "artist_song_map", "ranking"))
+    val renderDb = DailyEtl.renderDbOf(fmt, store2.pinned(store2.base), fullDb, day3)
+    def dirsOf(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(f => f.split('/').dropRight(1).last).toSet
+    assert(dirsOf(fullDb.ranking).size == 3)
+    assert(dirsOf(renderDb.ranking).size == 2,
+      s"the render must touch days 2-3 only, got ${dirsOf(renderDb.ranking)}")
+    assert(graft.report.Render.renderForDate(renderDb, day3) == written)
+  }
+
   test("a torn multi-table persist cannot corrupt the store: reads go through the manifest") {
     val dir = Files.createTempDirectory("dailyetl_torn")
     val store = s"$dir/store"
