@@ -37,4 +37,33 @@ object GraftCatalog {
     graft.functions.GraftFunctions.all.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+
+  /** SQL over a [[graft.etl.ManifestStore]]-backed store ([[DailyEtl]]
+    * / [[CorpusEtl]] roots): every store table as a temp view
+    * `<prefix>_<table>`, pinned to ONE consistent manifest state —
+    * the latest by default, or `asOfManifest` for time travel
+    * ("what did the funnel know after day N" as plain SQL). Views
+    * are snapshot-stable by the backends' version immutability: a
+    * daily run committing underneath never tears a registered
+    * analysis session. Idempotent; re-register to advance. */
+  def registerStore(spark: SparkSession, storeRoot: String,
+      tables: Seq[String], prefix: String = "store",
+      asOfManifest: Option[Long] = None,
+      backend: graft.etl.TableFormat.Backend =
+        graft.etl.TableFormat.DefaultBackend): Unit = {
+    val store = new graft.etl.ManifestStore(spark, backend(spark, storeRoot), tables)
+    val v = asOfManifest.getOrElse(store.base)
+    store.tablesAsOf(v).foreach { case (t, df) =>
+      df.createOrReplaceTempView(s"${prefix}_$t")
+    }
+    registerFunctions(spark)
+  }
+
+  /** [[registerStore]] for a [[CorpusEtl]] root's table set. */
+  def registerCorpusStore(spark: SparkSession, storeRoot: String,
+      asOfManifest: Option[Long] = None): Unit =
+    registerStore(spark, storeRoot,
+      Seq("eval_shingles", "content_hashes", "band_index",
+        "corpus_flags", "corpus_kept"),
+      prefix = "corpus", asOfManifest = asOfManifest)
 }

@@ -19,6 +19,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("registerCorpusStore: the corpus store is plain SQL, with time travel by manifest version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_store").toString
+    val cfg = graft.text.Curation.Config()
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val mid = docs.agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0) / 2
+    CorpusEtl.init(spark, root, docs.where($"doc_id" % cfg.evalModulus === 0), cfg)
+    CorpusEtl.runBatch(spark, root, docs.where($"doc_id" <= mid), 1L, cfg)
+    val dayOneManifest = 2L // init = 1, batch 1 = 2
+    CorpusEtl.runBatch(spark, root, docs.where($"doc_id" > mid), 2L, cfg)
+
+    GraftCatalog.registerCorpusStore(spark, root)
+    val ledgerDays = spark.sql(
+      "SELECT batch_id, count(*) AS n FROM corpus_corpus_flags " +
+        "WHERE batch_id > 0 GROUP BY batch_id ORDER BY batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ledgerDays.map(_._1) == Seq(1L, 2L))
+    assert(ledgerDays.map(_._2).sum == docs.count())
+
+    // time travel: as of the day-1 manifest, day 2 does not exist
+    GraftCatalog.registerCorpusStore(spark, root, asOfManifest = Some(dayOneManifest))
+    assert(spark.sql(
+      "SELECT count(*) FROM corpus_corpus_flags WHERE batch_id = 2")
+      .as[Long].head() == 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM corpus_corpus_kept").as[Long].head() > 0L)
+  }
+
   test("registerMusic exposes the reference views from the seed CSVs") {
     GraftCatalog.registerMusic(spark, "/root/reference/db/csv")
     val n = spark.sql("SELECT count(*) FROM all_rankings_view").as[Long].head()
