@@ -855,19 +855,62 @@ final class ManifestParquet(spark: SparkSession, root: String)
     * one bounded stats job per bucket. */
   def compactClustered(table: String, clusterBy: Seq[String],
       buckets: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    requireColumns(table, clusterBy)
+    clusteredRewrite(table, buckets, df => (df, clusterBy.map(col)))
+  }
+
+  /** Z-ORDERED compaction: cluster on the Morton bit-interleave of
+    * two numeric columns ([[graft.io.ZOrder.mortonCode]] — one
+    * broadcast bounds agg + pure per-row bit math), so point/range
+    * reads on EITHER column prune: every bucket covers a small
+    * rectangle in both dimensions, where single-column clustering
+    * leaves reads on the second column scanning every bucket. The
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`, as a manifest commit. */
+  def compactZOrdered(table: String, a: String, b: String,
+      buckets: Int): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, min}
+    requireColumns(table, Seq(a, b))
+    clusteredRewrite(table, buckets, { df =>
+      val bounds = df.agg(
+        min(col(a)).as("__amin"), max(col(a)).as("__amax"),
+        min(col(b)).as("__bmin"), max(col(b)).as("__bmax"))
+      (df.crossJoin(broadcast(bounds)),
+        Seq(graft.io.ZOrder.mortonCode(
+          col(a), col("__amin"), col("__amax"),
+          col(b), col("__bmin"), col("__bmax"))))
+    })
+  }
+
+  private def requireColumns(table: String, cols: Seq[String]): Unit = {
+    val (schema, _) = readManifest(table, currentVersion(table))
+    val absent = cols.filterNot(schema.fieldNames.contains)
+    require(absent.isEmpty,
+      s"cluster columns ${absent.mkString(", ")} are not in $table's " +
+        s"schema ${schema.fieldNames.mkString(", ")}")
+  }
+
+  /** The shared clustered-rewrite core: `prepare` may attach helper
+    * columns (e.g. broadcast bounds) and returns the cluster-key
+    * expressions; rows range-partition into ≤`buckets` contiguous key
+    * ranges and sort within each (tight parquet row groups inside
+    * tight manifest stats), the bucket ordinal rides as a write-time
+    * partition column that never reaches the files, and only the
+    * table's own columns land on disk. */
+  private def clusteredRewrite(table: String, buckets: Int,
+      prepare: DataFrame => (DataFrame, Seq[Column])): Long = {
     import org.apache.spark.sql.functions.{col, spark_partition_id}
     val base = currentVersion(table)
     require(base > 0, s"table $table does not exist under $root")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val (schema, _) = readManifest(table, base)
-    val absent = clusterBy.filterNot(schema.fieldNames.contains)
-    require(absent.isEmpty,
-      s"cluster columns ${absent.mkString(", ")} are not in $table's " +
-        s"schema ${schema.fieldNames.mkString(", ")}")
+    val (prepared, keyCols) = prepare(readVersion(table, base))
     val name = s"d-${java.util.UUID.randomUUID().toString.take(13)}"
-    readVersion(table, base)
-      .repartitionByRange(buckets, clusterBy.map(col): _*)
+    prepared
+      .repartitionByRange(buckets, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
       .withColumn("_graft_bucket", spark_partition_id())
+      .select(schema.fieldNames.toSeq.map(col) :+ col("_graft_bucket"): _*)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("_graft_bucket")
       .parquet(dirPath(table, name))

@@ -633,6 +633,39 @@ class TableFormatSpec extends SparkSpec {
     assert(fmt.read("t").count() == rows.size + 10)
   }
 
+  test("[manifest-parquet] z-ordered compaction: reads on EITHER dimension prune; single-column clustering can't") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_zorder").toString
+    val fmt = new ManifestParquet(spark, root)
+    // a 100×100 grid appended in four interleaved days (i mod 4) so
+    // day dirs span both full domains and never prune
+    def day(n: Int) = spark.range(2500)
+      .select((col("id") * 4 + n).as("i"))
+      .select(col("i"), (col("i") % 100).as("x"),
+        (col("i") / 100).cast("long").as("y"))
+    fmt.overwrite("g", day(0))
+    for (n <- 1 to 3) {
+      val cur = fmt.currentVersion("g")
+      fmt.tryAppend("g", day(n), cur, cur)
+    }
+    val rows = rowsOf(fmt.read("g").orderBy("i"))
+    val vz = fmt.compactZOrdered("g", "x", "y", 16)
+    assert(rowsOf(fmt.readVersion("g", vz).orderBy("i")) == rows)
+    val nBuckets = fmt.manifestEntries("g", vz).size
+    assert(nBuckets > 8, s"expected ~16 buckets, got $nBuckets")
+    // an x-strip and a y-strip each prune most buckets — the morton
+    // rectangle property single-column clustering lacks on dim 2
+    val xRead = fmt.readVersionRange("g", vz, "x", Some(10L), Some(12L))
+    val yRead = fmt.readVersionRange("g", vz, "y", Some(80L), Some(82L))
+    assert(scannedDirs(xRead).size <= nBuckets / 2,
+      s"x-strip scanned ${scannedDirs(xRead).size} of $nBuckets buckets")
+    assert(scannedDirs(yRead).size <= nBuckets / 2,
+      s"y-strip scanned ${scannedDirs(yRead).size} of $nBuckets buckets")
+    assert(rowsOf(xRead.orderBy("i")) ==
+      rowsOf(fmt.readVersion("g", vz).where($"x".between(10, 12)).orderBy("i")))
+    assert(rowsOf(yRead.orderBy("i")) ==
+      rowsOf(fmt.readVersion("g", vz).where($"y".between(80, 82)).orderBy("i")))
+  }
+
   test("[manifest-parquet] CDC: a key re-appended after its erasure survives the fold") {
     val root = java.nio.file.Files.createTempDirectory("tfmt_cdc2").toString
     val fmt = new ManifestParquet(spark, root)
