@@ -13,8 +13,17 @@ object Bench {
     * 2.5 s at sf0.01 (round-10 finding; the flat sf1 scaling ratio
     * exposed it). `toRdd.count()` runs the exact physical plan the
     * query declares — every join, every explode, the final sort —
-    * and counts InternalRows outside Catalyst's reach. */
-  def execute(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    * and counts InternalRows outside Catalyst's reach.
+    *
+    * SPARK_GRAFT_BENCH_EXEC=count restores the ≤round-9 metric for
+    * LIKE-FOR-LIKE comparison against pre-round-10 ledger numbers
+    * (BASELINE.md's round-10 close records both, measured in the same
+    * session; totals under the honest metric read ~1.4× the legacy
+    * metric with identical code). Never set by the driver. */
+  def execute(df: DataFrame): Long =
+    if (legacyCountMetric) df.count() else df.queryExecution.toRdd.count()
+  private val legacyCountMetric =
+    sys.env.get("SPARK_GRAFT_BENCH_EXEC").contains("count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,6 +159,38 @@ object Bench {
         } catch { case _: Throwable => () } // reps already succeeded; keep them
       }
     }
+    // The daily-fold storage story as a first-class bench number:
+    // init + a 90% day-1 build a corpus store (setup, untimed), then
+    // `corpus_day_sec` measures day 2 — a 10% batch folded through
+    // the gates, the staged-index probes, and the O(batch) manifest
+    // commits. This is the wall number a daily operator watches; the
+    // oracle-gated q_curate_incremental times the same fold's PLAN
+    // without the storage layer. Skipped under the per-query filter.
+    val corpusDaySec =
+      if (only.nonEmpty) -1.0
+      else try {
+        import org.apache.spark.sql.functions.{col, max}
+        val root = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
+        val docs = graft.io.Tables.table(spark, sfDir, "documents")
+        val cfg = graft.text.Curation.Config()
+        val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+        CorpusEtl.init(spark, root,
+          docs.where(col("doc_id") % cfg.evalModulus === 0), cfg)
+        CorpusEtl.runBatch(spark, root, docs.where(col("doc_id") <= cut), 1L, cfg)
+        val t0 = System.nanoTime()
+        CorpusEtl.runBatch(spark, root, docs.where(col("doc_id") > cut), 2L, cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+        sec
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus day fold FAILED: ${e.getMessage}")
+        failed += "corpus_day"
+        -1.0
+      }
     // per-query (min, median, spread=max/min) over SUCCESSFUL reps;
     // a query with zero successful reps reports the -1 sentinel (and
     // the run exits 1 via `failed` regardless)
@@ -209,7 +250,7 @@ object Bench {
       else s""""errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
     val tablesField = tableCounts
       .map { case (n, c) => s"\"" + n + "\":" + c }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","interleaved":true,"events_ts":"$eventsTsKind","tables":$tablesField,$perStage,"staged_sec":${r3(staged)},"staged_cold_sec":${r3(stagedColdSec)},"staged_warm_sec":${r3(stagedWarmSec)},$retimedField$spreadField"spread_max":${r3(spreadMax)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","interleaved":true,"events_ts":"$eventsTsKind","tables":$tablesField,$perStage,"staged_sec":${r3(staged)},"staged_cold_sec":${r3(stagedColdSec)},"staged_warm_sec":${r3(stagedWarmSec)},"corpus_day_sec":${r3(corpusDaySec)},$retimedField$spreadField"spread_max":${r3(spreadMax)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
     // a per-run temp warehouse root is ours to remove (artifacts are
     // memoized in memory; nothing reads the store after the loop) —
     // user-pinned roots are left alone
