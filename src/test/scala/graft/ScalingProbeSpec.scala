@@ -124,6 +124,10 @@ class ScalingProbeSpec extends SparkSpec {
 
     def buildProbe(label: String)(build: String => Unit): Option[String] = {
       def timed(dir: String): Double = {
+        // both sides must build COLD: the first tier's queries leave
+        // sf0.1 artifacts memoized, and a 0.05 s memo hit under a
+        // true sf1 build fakes a 60x "ratio" (round-10 finding)
+        graft.queries.Stages.clearAllAndFree()
         val t0 = System.nanoTime()
         build(dir)
         (System.nanoTime() - t0) / 1e9
