@@ -381,6 +381,12 @@ object CorpusQueries {
 
   /** Exact-substring dedup over the corpus
     * ([[TextOps.exactSubstringDedup]]). */
+  /** NOTE the asymmetry with [[q_dedup_rewrite]]: staging THIS
+    * query's gram stream was MEASURED SLOWER (4.3 vs 2.5 s at sf0.1)
+    * — at ~n_tokens rows the checkpoint round-trip costs more than
+    * recomputing the fused tokenize+hash per consumer, unlike the
+    * 5×-narrower segment stream which stages to a 2× win. Keep the
+    * inline form. */
   def q_exact_substring(spark: SparkSession, dir: String): DataFrame =
     TextOps.exactSubstringDedup(
       Tables.table(spark, dir, "documents"), ExactSubstrW)
@@ -391,7 +397,9 @@ object CorpusQueries {
     * span keeps only its globally-first occurrence, documents
     * rewritten from the survivors. */
   def q_dedup_rewrite(spark: SparkSession, dir: String): DataFrame =
-    TextOps.dedupRewrite(Tables.table(spark, dir, "documents"), RewriteSeg)
+    TextOps.dedupRewriteFromSegments(
+      Tables.table(spark, dir, "documents"),
+      DedupStage.segmentHashes(spark, dir), RewriteSeg)
       .orderBy(col("doc_id").asc)
 
   /** Product-quantization ANN ([[graft.vector.PqIndex]]): per-subspace

@@ -140,6 +140,21 @@ object DedupStage {
         .localCheckpoint(true)
     }
 
+  /** The (doc_id, pos, h) span-hash stream for C4-style keep-first
+    * span dedup ([[TextOps.segmentHashRows]]): one span tokenize+hash
+    * pass per snapshot, read by both `q_dedup_rewrite`'s global
+    * count/argmin and its removed-position probe — measured 2.4 →
+    * 1.1 s at sf0.1. The analogous per-token gram stream for
+    * `q_exact_substring` was measured SLOWER staged (its ~n_tokens
+    * rows cost more to checkpoint-round-trip than to recompute
+    * fused), so only the 5×-narrower segment stream stages. */
+  def segmentHashes(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, s"segmentHashes|seg=${CorpusQueries.RewriteSeg}") {
+      TextOps.segmentHashRows(
+        Tables.table(spark, dir, "documents"), CorpusQueries.RewriteSeg)
+        .localCheckpoint(true)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -148,5 +163,6 @@ object DedupStage {
     "dedup.ccPriorIndex" -> (corpusSliceBandIndex _),
     "dedup.prefixIndex" -> (prefixIndex _),
     "dedup.fuzzyCustomerIndex" -> (customerNameIndex _),
-    "dedup.phashPriorIndex" -> (phashPriorIndex _))
+    "dedup.phashPriorIndex" -> (phashPriorIndex _),
+    "dedup.segmentHashes" -> (segmentHashes _))
 }

@@ -125,14 +125,27 @@ object TextOps {
     * never shuffles) → count-distinct-docs ≥ 2 → explode only the
     * DUPLICATED windows back to positions. Linear in corpus tokens,
     * no pairwise comparison anywhere. */
-  def exactSubstringDedup(docs: DataFrame, w: Int): DataFrame = {
-    val tok = withTokens(docs).select(col("doc_id"), col("tokens"),
-      size(col("tokens")).cast("bigint").as("n_tokens"))
-    val grams = tok.where(size(col("tokens")) >= w)
+  /** The (doc_id, i, h) token-window hash stream `exactSubstringDedup`
+    * consumes — the distributed stand-in for the suffix array.
+    * Deliberately NOT staged: at ~n_tokens rows the checkpoint
+    * round-trip was MEASURED SLOWER than recomputing the fused
+    * tokenize+hash per consumer subtree (4.3 vs 2.5 s at sf0.1),
+    * the opposite result from the 5×-narrower [[segmentHashRows]]
+    * stream, which stages to a 2× win. */
+  def substrGramRows(docs: DataFrame, w: Int): DataFrame =
+    withTokens(docs).where(size(col("tokens")) >= w)
       .select(col("doc_id"), col("tokens"),
         explode(sequence(lit(1), size(col("tokens")) - (w - 1))).as("i"))
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", slice(col("tokens"), col("i"), lit(w)))).as("h"))
+
+  def exactSubstringDedup(docs: DataFrame, w: Int): DataFrame =
+    exactSubstringDedupFromGrams(docs, substrGramRows(docs, w), w)
+
+  def exactSubstringDedupFromGrams(docs: DataFrame, grams: DataFrame,
+      w: Int): DataFrame = {
+    val tok = withTokens(docs).select(col("doc_id"), col("tokens"),
+      size(col("tokens")).cast("bigint").as("n_tokens"))
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
@@ -278,7 +291,10 @@ object TextOps {
     * per doc (duplicates are the rare case, so the verdict side is a
     * small fraction of the corpus and AQE broadcasts it); the rewrite
     * is map-side array surgery on the original text. */
-  def dedupRewrite(docs: DataFrame, segTokens: Int): DataFrame = {
+  /** Per-doc non-overlapping `segTokens`-token span texts — the
+    * shared precursor of [[dedupRewrite]]'s hash stream and its final
+    * rewrite join. */
+  def segmentArrays(docs: DataFrame, segTokens: Int): DataFrame = {
     // integer ceil-div: Column./ would widen to double, which
     // sequence() rejects
     val nSegs = expr(s"(size(tokens) + ${segTokens - 1}) div $segTokens")
@@ -291,10 +307,25 @@ object TextOps {
       when(nSegs > 0, sequence(lit(0), nSegs - 1))
         .otherwise(array().cast("array<int>")),
       i => array_join(slice(col("tokens"), i * segTokens + 1, lit(segTokens)), " "))
-    val withSegs = withTokens(docs).select(col("doc_id"), segsCol.as("segs"))
-    val ex = withSegs
+    withTokens(docs).select(col("doc_id"), segsCol.as("segs"))
+  }
+
+  /** The (doc_id, pos, h) span-hash stream [[dedupRewrite]] consumes —
+    * per-snapshot like [[substrGramRows]], staged as
+    * [[graft.queries.DedupStage.segmentHashes]] so the global
+    * count/argmin and the removed-position probe share ONE span
+    * tokenize+hash pass. */
+  def segmentHashRows(docs: DataFrame, segTokens: Int): DataFrame =
+    segmentArrays(docs, segTokens)
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
       .select(col("doc_id"), col("pos"), md5(col("seg")).as("h"))
+
+  def dedupRewrite(docs: DataFrame, segTokens: Int): DataFrame =
+    dedupRewriteFromSegments(docs, segmentHashRows(docs, segTokens), segTokens)
+
+  def dedupRewriteFromSegments(docs: DataFrame, ex: DataFrame,
+      segTokens: Int): DataFrame = {
+    val withSegs = segmentArrays(docs, segTokens)
     val agg = ex.groupBy("h").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("keeper"))
