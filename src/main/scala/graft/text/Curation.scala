@@ -126,10 +126,12 @@ object Curation {
       cfg: Config = Config()): (DataFrame, FoldDelta) = {
     val isEval = col("doc_id") % cfg.evalModulus === 0
 
-    val stats = TextOps.qualityScore(batch)
-      .join(TextOps.tokenStats(batch).select("doc_id", "n_tokens"), "doc_id")
-      .select("doc_id", "n_tokens", "quality")
-    val lang = TextOps.langId(batch).select(col("doc_id"), col("predicted"))
+    // ALL map-side signals in ONE tokenize pass (n_tokens, quality,
+    // language vote share the same expressions their standalone
+    // operators use — bit-identical, one scan instead of three and
+    // one join instead of two; the flag spine then streams the batch
+    // once against the small loser sets)
+    val signals = signalColumns(batch)
 
     val batchHashes = batch.select(md5(col("text")).as("content_md5"), col("doc_id"))
     // exact losers: non-canonical within the batch, or any copy of a
@@ -166,9 +168,7 @@ object Curation {
 
     def flag(c: Column): Column = coalesce(c, lit(false))
 
-    val flags = batch.select(col("doc_id"))
-      .join(stats, "doc_id")
-      .join(lang, "doc_id")
+    val flags = signals
       .join(exactLosers, Seq("doc_id"), "left")
       .join(nearLosers, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
@@ -191,13 +191,22 @@ object Curation {
     (flags, FoldDelta(hashes = batchHashes, bandIndex = br))
   }
 
+  /** The funnel's map-side per-doc signals in ONE tokenize pass —
+    * the same expressions [[TextOps.tokenStats]]/[[TextOps
+    * .qualityScore]]/[[TextOps.langId]] apply standalone (bit-
+    * identical outputs), computed together so the corpus scans once
+    * for all three instead of once each. */
+  private def signalColumns(docs: DataFrame): DataFrame =
+    TextOps.withTokens(docs).select(
+      col("doc_id"),
+      size(col("tokens")).cast("bigint").as("n_tokens"),
+      TextOps.qualityExpr(col("tokens")).as("quality"),
+      TextOps.langIdExpr(col("tokens")).as("predicted"))
+
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val isEval = col("doc_id") % cfg.evalModulus === 0
 
-    val stats = TextOps.qualityScore(docs)
-      .join(TextOps.tokenStats(docs).select("doc_id", "n_tokens"), "doc_id")
-      .select("doc_id", "n_tokens", "quality")
-    val lang = TextOps.langId(docs).select(col("doc_id"), col("predicted"))
+    val signals = signalColumns(docs)
 
     val exactLosers = TextOps.exactDupGroups(docs)
       .where(col("n_copies") > 1)
@@ -223,9 +232,7 @@ object Curation {
 
     def flag(c: Column): Column = coalesce(c, lit(false))
 
-    docs.select(col("doc_id"), col("lang").as("lang_actual"))
-      .join(stats, "doc_id")
-      .join(lang, "doc_id")
+    signals
       .join(exactLosers, Seq("doc_id"), "left")
       .join(nearLosers, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
