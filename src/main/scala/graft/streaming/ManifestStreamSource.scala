@@ -96,6 +96,13 @@ final class ManifestStreamSource(
               "set ignoreDeletes=true to acknowledge.")
         ch.appended
     }
+    // additive evolution widens the table under a running query; the
+    // stream's schema is fixed at start, so fail with the actionable
+    // message instead of a plan-binding error deep in the engine
+    require(batch.schema.fieldNames.sameElements(schema.fieldNames),
+      s"table $table evolved from ${schema.simpleString} to " +
+        s"${batch.schema.simpleString} mid-stream — restart the query to " +
+        "pick up the new schema")
     // MicroBatchExecution requires an isStreaming=true frame; wrap the
     // batch plan's physical RDD — lazy, distributed, no driver detour
     org.apache.spark.sql.graft.StreamingFrameBridge.asStreaming(batch)
