@@ -66,7 +66,12 @@ object CorpusEtl {
 
   private val appendTables = Seq("content_hashes", "band_index",
     "corpus_flags", "corpus_kept")
-  private val allTables = "eval_shingles" +: appendTables
+
+  /** Every table of a corpus store — the single source of truth for
+    * the manifest's pin set AND the SQL front door
+    * ([[GraftCatalog.registerCorpusStore]]); a new store table added
+    * here is automatically pinned and registered. */
+  private[graft] val allTables = "eval_shingles" +: appendTables
 
   /** The storage backend a store root resolves to — the seam-wide
     * default ([[graft.etl.TableFormat.DefaultBackend]], the
@@ -187,15 +192,25 @@ object CorpusEtl {
   /** Highest committed batch_id (0 right after init) — what a
     * replaying micro-batch sink checks before folding
     * ([[graft.streaming.StreamingCuration.corpusFoldSink]]'s
-    * exactly-once skip). */
+    * exactly-once skip). Manifest-stats-only on the common path —
+    * the sink calls this at streaming cadence, so it must not scan
+    * the ledger's history per micro-batch; the stats bound is exact
+    * on the pure-append history the sink produces, and after an
+    * erasure its over-estimate errs toward skipping a batch whose
+    * docs were deliberately forgotten (re-folding would resurrect
+    * them). Scan fallback covers stats-less backends. */
   def lastBatchId(spark: SparkSession, storeRoot: String,
       backend: Backend = DefaultBackend): Long = {
     val fmt = backend(spark, storeRoot)
     val store = storeOf(spark, fmt)
     val base = store.base
     require(base > 0, "store has no manifest — run `CorpusEtl init` first")
-    store.readPinned(store.pinned(base), "corpus_flags")
-      .agg(coalesce(max(col("batch_id")), lit(0L))).head().getLong(0)
+    val pinned = store.pinned(base)
+    fmt.statsUpperBound("corpus_flags", pinned("corpus_flags"), "batch_id") match {
+      case Some(b: Long) => b
+      case _ => store.readPinned(pinned, "corpus_flags")
+        .agg(coalesce(max(col("batch_id")), lit(0L))).head().getLong(0)
+    }
   }
 
   /** Point-in-time read: every store table as pinned by `manifestVersion`

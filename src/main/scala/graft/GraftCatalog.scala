@@ -59,11 +59,10 @@ object GraftCatalog {
     registerFunctions(spark)
   }
 
-  /** [[registerStore]] for a [[CorpusEtl]] root's table set. */
+  /** [[registerStore]] for a [[CorpusEtl]] root's table set (the one
+    * list CorpusEtl pins — a table added there registers here too). */
   def registerCorpusStore(spark: SparkSession, storeRoot: String,
       asOfManifest: Option[Long] = None): Unit =
-    registerStore(spark, storeRoot,
-      Seq("eval_shingles", "content_hashes", "band_index",
-        "corpus_flags", "corpus_kept"),
+    registerStore(spark, storeRoot, CorpusEtl.allTables,
       prefix = "corpus", asOfManifest = asOfManifest)
 }

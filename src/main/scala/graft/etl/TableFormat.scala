@@ -464,13 +464,29 @@ final class ManifestParquet(spark: SparkSession, root: String)
   }
 
   private def readManifest(table: String, v: Long): (StructType, Seq[String]) = {
+    val (schema, _, entries) = readManifestFull(table, v)
+    (schema, entries)
+  }
+
+  /** Full manifest: schema, the PARENT version this commit was built
+    * onto (`#onto:` header; legacy manifests without one assume the
+    * linear v−1), and the entry lines. The parent pointer is what
+    * lets [[changesBetween]] walk the true ancestry chain — a crashed
+    * run's orphan version sits off-chain and is never visited, the
+    * same invisibility batch readers get from manifest pins. */
+  private def readManifestFull(table: String, v: Long)
+      : (StructType, Long, Seq[String]) = {
     val in = fs.open(manifestPath(table, v))
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = txt.split("\n", -1).toSeq
-    (DataType.fromJson(lines.head).asInstanceOf[StructType],
-      lines.tail.filter(_.nonEmpty))
+    val body = lines.tail.filter(_.nonEmpty)
+    val onto = body.collectFirst {
+      case l if l.startsWith("#onto:") => l.stripPrefix("#onto:").toLong
+    }.getOrElse(v - 1)
+    (DataType.fromJson(lines.head).asInstanceOf[StructType], onto,
+      body.filterNot(_.startsWith("#")))
   }
 
   /** The version's raw manifest entry lines, in commit order —
@@ -662,32 +678,47 @@ final class ManifestParquet(spark: SparkSession, root: String)
     EntryMeta(rows, dataChange, stats)
   }
 
-  /** The arbitration point: exclusive-create of the next manifest.
-    * A racer that already committed `next` makes the create fail →
-    * loud commit race, staged data orphaned, committed state
-    * untouched. */
+  /** The arbitration point: publish a COMPLETE manifest for the next
+    * version. The content is first written (and closed) at a hidden
+    * tmp path, then moved to the final name with a NO-OVERWRITE
+    * rename — so a crash mid-write leaves only an orphan `_tmp` file
+    * (vacuum's age-gated cleanup), never a torn manifest that
+    * `currentVersion` would select and brick every subsequent read;
+    * and a racer that already published `next` fails the rename
+    * loudly, its staged data orphaned, committed state untouched.
+    * (On HDFS semantics the non-overwrite rename is the atomic
+    * put-if-absent; LocalFileSystem leaves the same narrow
+    * check-then-act window [[VersionedParquet.tryCommit]] documents —
+    * a real log format's CAS closes it.)
+    *
+    * `onto` records the version this commit was BUILT ON — the
+    * ancestry pointer [[changesBetween]] walks. */
   private def commitManifest(table: String, next: Long, schema: StructType,
-      dirs: Seq[String]): Long = {
+      dirs: Seq[String], onto: Long): Long = {
     fs.mkdirs(logDir(table))
-    val p = manifestPath(table, next)
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                  _: java.nio.file.FileAlreadyExistsException |
-                  _: java.io.IOException) =>
-          throw new IllegalStateException(
-            s"commit race on $table v=$next: another writer committed after " +
-              s"the base version this writer read", e)
-      }
-    try out.write((schema.json +: dirs).mkString("\n").getBytes("UTF-8"))
+    val tmp = new Path(logDir(table),
+      s"_${java.util.UUID.randomUUID().toString.take(8)}_$next.manifest.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (schema.json +: s"#onto:$onto" +: dirs).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    val p = manifestPath(table, next)
+    val won =
+      try !fs.exists(p) && fs.rename(tmp, p)
+      catch { case _: java.io.IOException => false }
+    if (!won) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit race on $table v=$next: another writer committed after " +
+          s"the base version this writer read")
+    }
     next
   }
 
   override def tryCommit(table: String, df: DataFrame, expectedBase: Long): Long = {
     val entry = stageWithMeta(table, df, dataChange = true)
-    commitManifest(table, expectedBase + 1, df.schema, Seq(entry))
+    commitManifest(table, expectedBase + 1, df.schema, Seq(entry),
+      onto = expectedBase)
   }
 
   /** The O(batch) append: stage the delta's files, then commit a
@@ -743,22 +774,33 @@ final class ManifestParquet(spark: SparkSession, root: String)
           delta.schema.fields.filter(f => added.contains(f.name))
             .map(_.copy(nullable = true)))
       val entry = stageWithMeta(table, delta, dataChange = true)
-      commitManifest(table, expectedBase + 1, widened, baseDirs :+ entry)
+      commitManifest(table, expectedBase + 1, widened, baseDirs :+ entry,
+        onto = ontoVersion)
     }
   }
 
-  /** CDC from manifest structure alone: walk each commit in
-    * (`fromVersion`, `toVersion`] and classify it by shape. An append
-    * or delete commit extends the previous manifest (line-prefix):
-    * its extra data dirs are the appended rows (later in-range
-    * tombstones applied, exactly as a read would) and its extra
-    * tombstones are the deleted keys. A commit that REPLACES the
-    * manifest is legal only when every entry is marked
-    * dataChange=false ([[compact]]) — same logical content, nothing
-    * to emit; any other rewrite (overwrite, merge-update) makes the
-    * range non-incremental and throws rather than return a silently
-    * wrong delta. Read the range before it ages out: [[vacuum]] may
-    * reclaim in-range dirs once no RETAINED manifest references them. */
+  /** CDC from manifest structure alone: walk `toVersion`'s ANCESTRY
+    * (the `#onto:` parent pointers) back to `fromVersion`, then
+    * classify each chain step by shape. An append or delete commit
+    * extends its parent's manifest (line-prefix): its extra data dirs
+    * are the appended rows (later in-range tombstones applied,
+    * exactly as a read would) and its extra tombstones are the
+    * deleted keys. A commit that REPLACES its parent's lines is legal
+    * only when every entry is marked dataChange=false ([[compact]]) —
+    * same logical content, nothing to emit; any other rewrite
+    * (overwrite, merge-update) makes the range non-incremental and
+    * throws rather than return a silently wrong delta.
+    *
+    * Walking the ancestry — not every raw version — is what keeps a
+    * crashed run's ORPHAN versions invisible here exactly as manifest
+    * pins keep them invisible to batch readers: the next healthy
+    * commit's `onto` points at the pinned state it extended, so the
+    * orphan sits off-chain and is never visited (a prefix walk over
+    * raw versions would first ingest the phantom rows and then wedge
+    * on the healthy commit). `fromVersion` must itself be an ancestor
+    * of `toVersion` (manifest-pinned versions always are). Read the
+    * range before it ages out: [[vacuum]] may reclaim in-range dirs
+    * once no RETAINED manifest references them. */
   override def changesBetween(table: String, fromVersion: Long,
       toVersion: Long): ChangeSet = {
     val cur = currentVersion(table)
@@ -767,10 +809,24 @@ final class ManifestParquet(spark: SparkSession, root: String)
     require(fromVersion >= 0 && fromVersion <= toVersion,
       s"invalid change range ($fromVersion, $toVersion] on $table")
     val schema = readManifest(table, toVersion)._1
+    // ancestry chain to → … → from (exclusive of from)
+    var chain = List.empty[Long]
+    var cursor = toVersion
+    while (cursor > fromVersion) {
+      chain ::= cursor
+      val parent = readManifestFull(table, cursor)._2
+      require(parent < cursor,
+        s"corrupt manifest ancestry on $table: $cursor points at $parent")
+      if (parent < fromVersion) throw new IllegalStateException(
+        s"table $table version $fromVersion is not an ancestor of $toVersion " +
+          "(it was superseded or rewritten) — the range is not incrementally " +
+          "readable; full-refresh instead")
+      cursor = parent
+    }
     val changed = Vector.newBuilder[Entry]
     var prev: Seq[String] =
       if (fromVersion == 0) Seq.empty else readManifest(table, fromVersion)._2
-    for (v <- fromVersion + 1 to toVersion) {
+    for (v <- chain) {
       val lines = readManifest(table, v)._2
       if (lines.take(prev.size) == prev)
         changed ++= lines.drop(prev.size).map(parseEntry)
@@ -818,7 +874,7 @@ final class ManifestParquet(spark: SparkSession, root: String)
         s"${schema(keyCol).dataType.catalogString}")
     val name = stage(table, keys.dropDuplicates(keyCol))
     commitManifest(table, expectedBase + 1, schema,
-      baseLines :+ s"!$keyCol:$name")
+      baseLines :+ s"!$keyCol:$name", onto = ontoVersion)
   }
 
   /** Small-file maintenance (the flip side of O(batch) appends: a
@@ -835,7 +891,7 @@ final class ManifestParquet(spark: SparkSession, root: String)
     // dataChange=false: same logical content in fewer files — marked
     // so incremental readers ([[changesBetween]]) see through it
     val entry = stageWithMeta(table, readVersion(table, base), dataChange = false)
-    commitManifest(table, base + 1, schema, Seq(entry))
+    commitManifest(table, base + 1, schema, Seq(entry), onto = base)
   }
 
   /** CLUSTERED compaction — the OPTIMIZE/ZORDER maintenance shape:
@@ -924,9 +980,11 @@ final class ManifestParquet(spark: SparkSession, root: String)
     }
     // a fully-empty table writes no bucket subdirs: fall back to one
     // explicit empty entry so the commit keeps CDC-visible shape
-    if (entries.nonEmpty) commitManifest(table, base + 1, schema, entries)
+    if (entries.nonEmpty)
+      commitManifest(table, base + 1, schema, entries, onto = base)
     else commitManifest(table, base + 1, schema, Seq(
-      stageWithMeta(table, readVersion(table, base).limit(0), dataChange = false)))
+      stageWithMeta(table, readVersion(table, base).limit(0),
+        dataChange = false)), onto = base)
   }
 
   /** Drop manifests below `retainFrom` and physically delete every
@@ -965,6 +1023,14 @@ final class ManifestParquet(spark: SparkSession, root: String)
       fs.delete(st.getPath, true)
     }
     drop.foreach(v => fs.delete(manifestPath(table, v), false))
+    // a crashed commit's staged-but-unpublished manifest (tmp file in
+    // _log) is an orphan like its staged data dir — same age gate
+    for (st <- fs.listStatus(logDir(table)).toSeq
+         if st.getPath.getName.endsWith(".manifest.tmp")
+         if st.getModificationTime <= cutoff) {
+      bytes += st.getLen
+      fs.delete(st.getPath, false)
+    }
     VacuumStats(dirs, bytes, drop.size.toLong)
   }
 }

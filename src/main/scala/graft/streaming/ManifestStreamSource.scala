@@ -52,14 +52,13 @@ final class ManifestStreamSource(
   private def fmt = new ManifestParquet(spark, root)
   private val manifest = ManifestStore.Manifest
 
-  /** The (table → version) pin recorded by manifest version `v`. */
-  private def pinnedVersion(f: ManifestParquet, manifestV: Long): Long = {
-    val rows = f.readVersion(manifest, manifestV)
-      .where(col("table_name") === table).collect()
-    require(rows.nonEmpty,
-      s"manifest $manifestV of $root does not pin table $table")
-    rows.head.getLong(1)
-  }
+  /** The (table → version) pin recorded by manifest version `v` —
+    * resolved through [[ManifestStore.pinned]], the one place that
+    * knows the manifest table's layout. */
+  private def pinnedVersion(f: ManifestParquet, manifestV: Long): Long =
+    new ManifestStore(spark, f, Seq(table)).pinned(manifestV)
+      .getOrElse(table, throw new IllegalArgumentException(
+        s"manifest $manifestV of $root does not pin table $table"))
 
   override val schema: StructType = {
     val f = fmt

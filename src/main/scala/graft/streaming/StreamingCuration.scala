@@ -76,12 +76,28 @@ object StreamingCuration {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
-        val batchId = epoch + 1
-        if (batchId <= graft.CorpusEtl.lastBatchId(spark, storeRoot)) ()
-        else if (batch.isEmpty) ()
-        else {
-          graft.CorpusEtl.runBatch(spark, storeRoot, batch, batchId, cfg)
-          ()
+        if (!batch.isEmpty) {
+          val batchId = epoch + 1
+          val last = graft.CorpusEtl.lastBatchId(spark, storeRoot)
+          // exactly-once under at-least-once replay, WITHOUT silent
+          // loss: the stream is the store's only writer (scaladoc
+          // contract), so a replayed epoch re-delivers the batch the
+          // ledger already holds as its own id — skip. A batch id
+          // BEHIND the ledger that is not that replay (a fresh or
+          // relocated checkpoint against an advanced store, or an
+          // interleaved external writer) is ambiguous between
+          // dropping new data and double-folding — fail LOUDLY
+          // instead of guessing (the old `<=` skip silently dropped
+          // the first N epochs of a fresh checkpoint).
+          if (batchId == last) ()
+          else if (batchId > last) {
+            graft.CorpusEtl.runBatch(spark, storeRoot, batch, batchId, cfg)
+            ()
+          } else throw new IllegalStateException(
+            s"stream epoch $epoch maps to batch $batchId but the store's " +
+              s"ledger is at $last — a fresh checkpoint against an advanced " +
+              "store (or an external writer) cannot be disambiguated from a " +
+              "replay; resume the original checkpoint or init a new store")
         }
       }
 }

@@ -666,6 +666,56 @@ class TableFormatSpec extends SparkSpec {
       rowsOf(fmt.readVersion("g", vz).where($"y".between(80, 82)).orderBy("i")))
   }
 
+  test("[manifest-parquet] CDC walks the ancestry: a crashed run's orphan version is invisible, not a wedge") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_cdc_orphan").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id")) // v1
+    val v1 = fmt.currentVersion("t")
+    // a crashed run commits its table version but never a manifest:
+    // the orphan extends v1 with PHANTOM rows
+    val vOrphan = fmt.tryAppend("t", spark.range(666, 676).toDF("id"), v1, v1)
+    // the next healthy run reads PINNED v1 and supersedes the orphan
+    val v3 = fmt.tryAppend("t", spark.range(10, 20).toDF("id"), v1, vOrphan)
+    val ch = fmt.changesBetween("t", v1, v3)
+    assert(ch.appended.orderBy("id").as[Long].collect().toSeq == (10L to 19L),
+      "the orphan's phantom rows must not enter the CDC feed")
+    assert(ch.deletedKeys.isEmpty)
+    // and the feed keeps working on the next day too
+    val v4 = fmt.tryAppend("t", spark.range(20, 30).toDF("id"), v3, v3)
+    assert(fmt.changesBetween("t", v1, v4).appended.count() == 20)
+    // a cursor pinned to the ORPHAN itself is off-chain: loud, not wrong
+    val ex = intercept[IllegalStateException] {
+      fmt.changesBetween("t", vOrphan, v4)
+    }
+    assert(ex.getMessage.contains("not an ancestor"))
+  }
+
+  test("[manifest-parquet] a crashed manifest write leaves an orphan tmp, never a torn manifest; vacuum reclaims it") {
+    val root = java.nio.file.Files.createTempDirectory("tfmt_tornman").toString
+    val fmt = new ManifestParquet(spark, root)
+    fmt.overwrite("t", spark.range(10).toDF("id"))
+    val v1 = fmt.currentVersion("t")
+    // simulate the crash window: a staged-but-unpublished manifest
+    val logDir = new java.io.File(s"$root/t/_log")
+    java.nio.file.Files.write(
+      new java.io.File(logDir, "_deadbeef_2.manifest.tmp").toPath,
+      "truncated-junk".getBytes("UTF-8"))
+    // readers and version listing are untouched — the torn content
+    // never sits at a final manifest path
+    assert(fmt.currentVersion("t") == v1)
+    assert(fmt.read("t").count() == 10)
+    // the table keeps committing (the tmp is not an arbitration claim)
+    val v2 = fmt.tryAppend("t", spark.range(10, 15).toDF("id"), v1, v1)
+    assert(fmt.readVersion("t", v2).count() == 15)
+    // vacuum's age gate protects an in-flight tmp, then reclaims it
+    assert(new java.io.File(logDir, "_deadbeef_2.manifest.tmp").exists)
+    fmt.vacuum("t", v2, olderThanMs = 3600L * 1000)
+    assert(new java.io.File(logDir, "_deadbeef_2.manifest.tmp").exists,
+      "an in-flight-age tmp manifest must never be vacuumed")
+    fmt.vacuum("t", v2)
+    assert(!new java.io.File(logDir, "_deadbeef_2.manifest.tmp").exists)
+  }
+
   test("[manifest-parquet] CDC: a key re-appended after its erasure survives the fold") {
     val root = java.nio.file.Files.createTempDirectory("tfmt_cdc2").toString
     val fmt = new ManifestParquet(spark, root)
