@@ -26,6 +26,16 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_EXEC").contains("count")
 
   def main(args: Array[String]): Unit = {
+    // wall-budget clock starts at main entry: the round-10 driver bench
+    // died rc=124 (no JSON line at all) because 3 honest-metric sweeps +
+    // a cold+warm staging double-resolve + corpus-day setup outgrew the
+    // driver's ~600 s wall on a degraded box window. Everything below is
+    // budgeted against SPARK_GRAFT_BENCH_BUDGET_S (default 420, leaving
+    // headroom for JVM launch + teardown): a min-of-2 with a JSON line
+    // beats a dead min-of-3.
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the real core count (the target box is local[32]);
     // SPARK_GRAFT_CPUS still overrides for reproducibility runs
@@ -37,7 +47,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the round-10 artifact's archived 2000-char tail
+    // was 100% benign `RDD locally checkpointed` / `large task binary`
+    // WARN spam fighting the JSON line. Bench's own failure reporting
+    // writes to stderr directly (not log4j), so it stays loud.
+    spark.sparkContext.setLogLevel("ERROR")
     // session warmup (codegen, parquet footer reads) so the first
     // timed query isn't charged ~5s of JVM bring-up. The per-table
     // counts double as the regeneration tripwire (round-5 postmortem):
@@ -86,21 +100,37 @@ object Bench {
           (Some(java.nio.file.Files.createTempDirectory("graft-bench-stage").toString),
             true)
       }
-    val (prewarmWall, stagedColdSec, stagedWarmSec) = warehouseRoot match {
-      case Some(root) =>
-        StageStore.setForTesting(sfDir, root)
-        val cold = Stages.resolveAllConcurrently(spark, sfDir)
-        // drop the memos — exactly the state a new driver JVM starts
-        // without — so the second resolve measures the store read
-        // path; the cold copies' blocks free NOW, not at ContextCleaner
-        // GC, so the timed loop never runs beside a 2× staged-memory spike
-        Stages.clearAllAndFree()
-        val warm = Stages.resolveAllConcurrently(spark, sfDir)
-        println(f"""[bench] warehouse staged: cold=$cold%.3fs warm=$warm%.3fs""")
-        (cold, cold, warm)
-      case None =>
-        (Stages.resolveAllConcurrently(spark, sfDir), -1.0, -1.0)
-    }
+    // Warm-read cost is SAMPLED on one representative artifact by
+    // default (round-10 postmortem: the full clear-all + second resolve
+    // was a pure diagnostic costing 2-35 s of driver wall; the query
+    // loop's inputs are bit-equal either way, StageStoreSpec). The
+    // sample reads the committed table through the exact StageCache
+    // warm path (store read + localCheckpoint) without touching memos.
+    // SPARK_GRAFT_BENCH_WARM=full restores the ≤r10 full double-resolve
+    // (staged_warm_sec = full warm wall); =off skips sampling; =<name>
+    // picks a different artifact.
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "dedup.ccPriorIndex")
+    val (prewarmWall, stagedColdSec, stagedWarmSec, warmSampleSec) =
+      warehouseRoot match {
+        case Some(root) =>
+          StageStore.setForTesting(sfDir, root)
+          val cold = Stages.resolveAllConcurrently(spark, sfDir)
+          warmMode match {
+            case "full" =>
+              Stages.clearAllAndFree()
+              val warm = Stages.resolveAllConcurrently(spark, sfDir)
+              println(f"[bench] warehouse staged: cold=$cold%.3fs warm=$warm%.3fs")
+              (cold, cold, warm, -1.0)
+            case "off" => (cold, cold, -1.0, -1.0)
+            case artifact =>
+              val sample = Stages.warmReadSample(spark, sfDir, artifact)
+              println(f"[bench] warehouse staged: cold=$cold%.3fs " +
+                f"warm_sample($artifact)=$sample%.3fs")
+              (cold, cold, -1.0, sample)
+          }
+        case None =>
+          (Stages.resolveAllConcurrently(spark, sfDir), -1.0, -1.0, -1.0)
+      }
     val adderAfterPrewarm = Stages.stagedSecondsTotal
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // optional comma-separated name filter for per-query iteration
@@ -125,18 +155,38 @@ object Bench {
     // adjacent queries recorded 3–16× their re-measured cost).
     val times = scala.collection.mutable.Map.empty[String,
       scala.collection.mutable.ArrayBuffer[Double]]
-    for (rep <- 1 to reps; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { execute(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
-          failed += name
-          false
-        }
-      if (ok) times.getOrElseUpdate(name,
-        scala.collection.mutable.ArrayBuffer.empty) += (System.nanoTime() - t0) / 1e9
+    // Sweeps run until `reps` or the wall budget says the NEXT sweep
+    // (estimated at the max observed sweep wall — conservative on a
+    // degrading box) plus the post-sweep reserve (retimes + corpus-day
+    // fold + emit) would not fit. Sweep 1 always runs: a budget so
+    // tight it can't fit one sweep should overrun and be loud rather
+    // than emit an empty artifact.
+    val postSweepReserveS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RESERVE_S", "60").toDouble
+    var repsDone = 0
+    var maxSweepS = 0.0
+    while (repsDone < reps &&
+        (repsDone == 0 || elapsedS + maxSweepS + postSweepReserveS <= budgetS)) {
+      val rep = repsDone + 1
+      val sweepT0 = System.nanoTime()
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { execute(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
+            failed += name
+            false
+          }
+        if (ok) times.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty) += (System.nanoTime() - t0) / 1e9
+      }
+      maxSweepS = math.max(maxSweepS, (System.nanoTime() - sweepT0) / 1e9)
+      repsDone += 1
     }
+    if (repsDone < reps)
+      System.err.println(f"[bench] budget: stopped after $repsDone/$reps sweeps " +
+        f"(elapsed=$elapsedS%.1fs, max sweep=$maxSweepS%.1fs, budget=$budgetS%.0fs)")
     // Quarantine-and-rerun (the permanent fix for three rounds of
     // contended-box artifacts): a query whose reps disagree ≥2× was
     // hit by a cross-tenant contention window, not a code change.
@@ -146,7 +196,11 @@ object Bench {
     // reported in the tail, so a poisoned run's JSON carries clean
     // per-query numbers and the judge needs no adjudication.
     val retimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for ((name, fn) <- names if !failed.contains(name)) {
+    for ((name, fn) <- names if !failed.contains(name)
+        // a heavily-poisoned run can flag dozens of queries; retimes are
+        // a diagnostic, so they stop (keeping the sweep mins) before they
+        // eat the reserve that the corpus fold and the emit need
+        if elapsedS + postSweepReserveS <= budgetS) {
       val ts = times.getOrElse(name,
         scala.collection.mutable.ArrayBuffer.empty[Double])
       if (ts.nonEmpty && ts.max / math.max(ts.min, 1e-9) >= 2.0) {
@@ -166,30 +220,48 @@ object Bench {
     // commits. This is the wall number a daily operator watches; the
     // oracle-gated q_curate_incremental times the same fold's PLAN
     // without the storage layer. Skipped under the per-query filter.
+    // Budget note: the untimed init + day-1 setup still costs real wall
+    // (part of the r10 overrun), so day-1 is a 30% slice since round 11
+    // (was 90%) — the timed day-2 number is what matters, and its claim
+    // is exactly that the fold is O(batch), not O(corpus), so the
+    // smaller resident corpus moves it only through index-probe sizes
+    // (ledgered in BASELINE.md). Skips, with a named reason in the
+    // tail, when the budget is spent — a missing diagnostic beats a
+    // dead run.
+    var corpusDaySkipReason = ""
     val corpusDaySec =
-      if (only.nonEmpty) -1.0
-      else try {
-        import org.apache.spark.sql.functions.{col, max}
+      if (only.nonEmpty) { corpusDaySkipReason = "filtered"; -1.0 }
+      else if (elapsedS + postSweepReserveS > budgetS) {
+        System.err.println(f"[bench] budget: skipping corpus day fold " +
+          f"(elapsed=$elapsedS%.1fs, budget=$budgetS%.0fs)")
+        corpusDaySkipReason = "budget"
+        -1.0
+      } else {
         val root = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
-        val docs = graft.io.Tables.table(spark, sfDir, "documents")
-        val cfg = graft.text.Curation.Config()
-        val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
-        CorpusEtl.init(spark, root,
-          docs.where(col("doc_id") % cfg.evalModulus === 0), cfg)
-        CorpusEtl.runBatch(spark, root, docs.where(col("doc_id") <= cut), 1L, cfg)
-        val t0 = System.nanoTime()
-        CorpusEtl.runBatch(spark, root, docs.where(col("doc_id") > cut), 2L, cfg)
-        val sec = (System.nanoTime() - t0) / 1e9
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
-        rm(new java.io.File(root))
-        sec
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] corpus day fold FAILED: ${e.getMessage}")
-        failed += "corpus_day"
-        -1.0
+        try {
+          import org.apache.spark.sql.functions.{col, max}
+          val docs = graft.io.Tables.table(spark, sfDir, "documents")
+          val cfg = graft.text.Curation.Config()
+          val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+          val (cut1, cut2) = (maxId * 3 / 10, maxId * 4 / 10)
+          CorpusEtl.init(spark, root,
+            docs.where(col("doc_id") % cfg.evalModulus === 0), cfg)
+          CorpusEtl.runBatch(spark, root, docs.where(col("doc_id") <= cut1), 1L, cfg)
+          val t0 = System.nanoTime()
+          CorpusEtl.runBatch(spark, root,
+            docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2), 2L, cfg)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] corpus day fold FAILED: ${e.getMessage}")
+          failed += "corpus_day"
+          -1.0
+        // a failed fold leaves a full store (parquet data) behind —
+        // clean up on every path, not just success
+        } finally rm(new java.io.File(root))
       }
     // per-query (min, median, spread=max/min) over SUCCESSFUL reps;
     // a query with zero successful reps reports the -1 sentinel (and
@@ -250,7 +322,10 @@ object Bench {
       else s""""errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"""
     val tablesField = tableCounts
       .map { case (n, c) => s"\"" + n + "\":" + c }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","interleaved":true,"events_ts":"$eventsTsKind","tables":$tablesField,$perStage,"staged_sec":${r3(staged)},"staged_cold_sec":${r3(stagedColdSec)},"staged_warm_sec":${r3(stagedWarmSec)},"corpus_day_sec":${r3(corpusDaySec)},$retimedField$spreadField"spread_max":${r3(spreadMax)},"median_total":${r3(medianTotal)},$errField"value":${r3(total)}}""")
+    val corpusSkipField =
+      if (corpusDaySkipReason.isEmpty) ""
+      else s""""corpus_day_skip":"$corpusDaySkipReason","""
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"reps_done":$repsDone,"budget_s":${r3(budgetS)},"agg":"min","interleaved":true,"events_ts":"$eventsTsKind","tables":$tablesField,$perStage,"staged_sec":${r3(staged)},"staged_cold_sec":${r3(stagedColdSec)},"staged_warm_sec":${r3(stagedWarmSec)},"staged_warm_sample_sec":${r3(warmSampleSec)},"warm_artifact":"$warmMode",$corpusSkipField"corpus_day_sec":${r3(corpusDaySec)},$retimedField$spreadField"spread_max":${r3(spreadMax)},"median_total":${r3(medianTotal)},"elapsed_s":${r3(elapsedS)},$errField"value":${r3(total)}}""")
     // a per-run temp warehouse root is ours to remove (artifacts are
     // memoized in memory; nothing reads the store after the loop) —
     // user-pinned roots are left alone

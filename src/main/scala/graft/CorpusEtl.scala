@@ -352,10 +352,14 @@ object CorpusEtl {
         val (asOf, kept) = keptSince(spark, storeRoot, sinceManifest.toLong)
         kept.appended.write.mode("overwrite").parquet(s"$outDir/appended")
         val nAdd = spark.read.parquet(s"$outDir/appended").count()
-        val nDel = kept.deletedKeys.get("doc_id").map { ids =>
-          ids.write.mode("overwrite").parquet(s"$outDir/deleted_keys")
-          spark.read.parquet(s"$outDir/deleted_keys").count()
-        }.getOrElse(0L)
+        // ALWAYS (over)write deleted_keys — a forget-free range must
+        // still replace any stale dir a previous export left in the
+        // same outDir, or a consumer re-applies old retractions
+        // against the new appended set
+        val delIds = kept.deletedKeys.getOrElse("doc_id",
+          kept.appended.select("doc_id").limit(0))
+        delIds.write.mode("overwrite").parquet(s"$outDir/deleted_keys")
+        val nDel = spark.read.parquet(s"$outDir/deleted_keys").count()
         println(s"[corpus-etl] exported corpus_kept changes " +
           s"($sinceManifest, $asOf]: +$nAdd docs, -$nDel forgotten keys; " +
           s"next cursor = $asOf")

@@ -52,6 +52,7 @@ object GraftCatalog {
       backend: graft.etl.TableFormat.Backend =
         graft.etl.TableFormat.DefaultBackend): Unit = {
     val store = new graft.etl.ManifestStore(spark, backend(spark, storeRoot), tables)
+    require(store.base > 0, "store has no manifest — run `CorpusEtl init` first")
     val v = asOfManifest.getOrElse(store.base)
     store.tablesAsOf(v).foreach { case (t, df) =>
       df.createOrReplaceTempView(s"${prefix}_$t")

@@ -570,7 +570,12 @@ final class ManifestParquet(spark: SparkSession, root: String)
             !(belowAll || aboveAll)
           // stats collected, no values seen: every row is NULL in
           // `column`, and a range predicate is null-rejecting
-          case Some(_) => !bounded
+          case Some(ColStats(None, None)) => !bounded
+          // exactly one bound present — the writer never emits this
+          // shape (min/max travel together), so it is a corrupt or
+          // foreign manifest; treat as unknown and keep, mirroring
+          // parseMeta's conservative handling
+          case Some(_) => true
           // this column's type carries no stats — keep
           case None => true
         }
@@ -687,9 +692,14 @@ final class ManifestParquet(spark: SparkSession, root: String)
     * and a racer that already published `next` fails the rename
     * loudly, its staged data orphaned, committed state untouched.
     * (On HDFS semantics the non-overwrite rename is the atomic
-    * put-if-absent; LocalFileSystem leaves the same narrow
-    * check-then-act window [[VersionedParquet.tryCommit]] documents —
-    * a real log format's CAS closes it.)
+    * put-if-absent; on LocalFileSystem rename maps to POSIX rename,
+    * which OVERWRITES an existing destination — so two racers can
+    * both pass the exists check and both rename "successfully". The
+    * post-rename read-back below catches the writer whose bytes were
+    * replaced and fails it loudly; the residual window — the winner's
+    * verify completing before the loser's overwrite lands — is the
+    * narrow check-then-act gap [[VersionedParquet.tryCommit]]
+    * documents, closed only by a real log format's CAS.)
     *
     * `onto` records the version this commit was BUILT ON — the
     * ancestry pointer [[changesBetween]] walks. */
@@ -698,9 +708,10 @@ final class ManifestParquet(spark: SparkSession, root: String)
     fs.mkdirs(logDir(table))
     val tmp = new Path(logDir(table),
       s"_${java.util.UUID.randomUUID().toString.take(8)}_$next.manifest.tmp")
+    val bytes = (schema.json +: s"#onto:$onto" +: dirs).mkString("\n")
+      .getBytes("UTF-8")
     val out = fs.create(tmp, false)
-    try out.write(
-      (schema.json +: s"#onto:$onto" +: dirs).mkString("\n").getBytes("UTF-8"))
+    try out.write(bytes)
     finally out.close()
     val p = manifestPath(table, next)
     val won =
@@ -712,6 +723,23 @@ final class ManifestParquet(spark: SparkSession, root: String)
         s"commit race on $table v=$next: another writer committed after " +
           s"the base version this writer read")
     }
+    // LocalFileSystem rename overwrites, so a racer that also passed the
+    // exists check may have replaced our manifest between our rename and
+    // now — read back and refuse to report a success we can't prove
+    val in = fs.open(p)
+    val published =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    if (!java.util.Arrays.equals(published, bytes))
+      throw new IllegalStateException(
+        s"commit race on $table v=$next: a concurrent writer's manifest " +
+          s"replaced this writer's published bytes (overwriting-rename " +
+          s"filesystem); committed state is the racer's, this commit lost")
     next
   }
 

@@ -509,7 +509,51 @@ object CorpusQueries {
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_rewrite" -> (q_dedup_rewrite _),
     "q_rank_fusion" -> (q_rank_fusion _),
+    "q_store_time_travel" -> (q_store_time_travel _),
   )
+
+  // ---- manifest-store time travel ------------------------------------
+  //
+  // One store build per (session, snapshot dir), memoized like the
+  // staged artifacts but holding a DISK root: the query's subject is
+  // the pinned READ path, so bench sweeps re-read a committed store
+  // rather than re-building it (sweep 1 pays the build; min-of-reps
+  // reports the read).
+  private val ttStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL time travel through the manifest store, under the SAME hash
+    * gate as every other query (the round-10 storage surface was
+    * spec-gated only): the documents table lands in a
+    * [[graft.etl.ManifestParquet]] store as two committed batches —
+    * day-1 = `doc_id % 10 < 6` (manifest v1), day-2 = the rest
+    * (manifest v2) — and the query aggregates the store AS-OF manifest
+    * v1 through [[graft.GraftCatalog.registerStore]]'s pinned SQL
+    * view. The oracle recomputes the day-1 aggregate directly from the
+    * base parquet, so a pin that leaked day-2 rows, dropped day-1
+    * files, or resolved `currentVersion` instead of the recorded pin
+    * hash-mismatches. */
+  def q_store_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}|$dir"
+    val root = ttStores.computeIfAbsent(key, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft-ttq-store").toString
+      val docs = Tables.table(spark, dir, "documents")
+      val fmt = graft.etl.TableFormat.DefaultBackend(spark, r)
+      val store = new graft.etl.ManifestStore(spark, fmt, Seq("docs"))
+      val v1 = fmt.tryCommit("docs", docs.where(col("doc_id") % 10 < 6), 0L)
+      store.commit(Map("docs" -> v1), base = 0L)
+      val v2 = fmt.tryAppend("docs", docs.where(col("doc_id") % 10 >= 6),
+        ontoVersion = v1, expectedBase = v1)
+      store.commit(Map("docs" -> v2), base = 1L)
+      r
+    })
+    graft.GraftCatalog.registerStore(spark, root, Seq("docs"),
+      prefix = "ttq", asOfManifest = Some(1L))
+    spark.sql(
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM ttq_docs GROUP BY source ORDER BY source ASC""".stripMargin)
+  }
 
   private val FusionN = 50 // per-arm retrieval depth
   private val FusionK = 20 // fused output size
@@ -1390,5 +1434,12 @@ ORDER BY a ASC, b ASC""",
     // (MATERIALIZED is load-bearing — see Bpe.bpeOracleSql)
     "q_bpe_merges" -> graft.text.Bpe.bpeOracleSql(graft.text.Bpe.DefaultRounds),
     "q_bpe_segment" -> graft.text.Bpe.segmentOracleSql(graft.text.Bpe.DefaultRounds),
+    // the day-1 state the manifest pin must reproduce, recomputed from
+    // the base parquet — day-2 leakage or day-1 loss hash-mismatches
+    "q_store_time_travel" ->
+      """SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents WHERE doc_id % 10 < 6 GROUP BY source ORDER BY source ASC""",
   )
 }

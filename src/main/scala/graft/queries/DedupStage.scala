@@ -38,6 +38,8 @@ object DedupStage {
   private[graft] def clearForTesting(): Unit = stage.clear()
   private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
+  private[graft] def dropMatchingAndFree(sub: String): Int =
+    stage.dropMatchingAndFree(sub)
 
   /** (node, label) connected-component labeling of the MinHash
     * near-dup graph at the corpus default parameters — only nodes

@@ -39,6 +39,8 @@ object GraphStage {
   private[graft] def clearForTesting(): Unit = stage.clear()
   private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
+  private[graft] def dropMatchingAndFree(sub: String): Int =
+    stage.dropMatchingAndFree(sub)
 
   /** Distinct (o, p) order–part incidence — the bipartite relation
     * the pair table and per-item supports derive from. */

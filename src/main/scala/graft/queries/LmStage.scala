@@ -39,6 +39,8 @@ object LmStage {
   private[graft] def clearForTesting(): Unit = stage.clear()
   private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
+  private[graft] def dropMatchingAndFree(sub: String): Int =
+    stage.dropMatchingAndFree(sub)
 
   /** The corpus-sized (doc_id, w1, w2) bigram stream over documents
     * with ≥2 tokens — deliberately NOT cached: it is map-side

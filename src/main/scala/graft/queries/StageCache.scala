@@ -177,6 +177,33 @@ private[graft] object Stages {
     LmStage.clearAndFree()
     VectorStage.clearAndFree()
   }
+
+  /** Sample the cross-JVM warm-read cost of ONE committed artifact:
+    * drop just its memo cell (its committed warehouse table stays) and
+    * re-resolve through the normal [[StageCache]] path — the store
+    * read + localCheckpoint a fresh driver JVM would pay. `name` is a
+    * [[persistableArtifacts]] display name (`stage.artifact`); cache
+    * keys carry the stage-local artifact id (the display name's suffix
+    * plus build params), so the suffix selects the cell. Returns wall
+    * seconds, or -1 if nothing matched (not resolved this session, or
+    * not in warehouse mode — an unmemoized in-process artifact would
+    * REBUILD, which is not the number this samples). */
+  def warmReadSample(spark: SparkSession, dir: String, name: String): Double =
+    persistableArtifacts.find(_._1 == name) match {
+      case Some((n, build)) if StageStore.rootFor(dir).isDefined =>
+        val sub = n.split("\\.", 2)(1)
+        val dropped = GraphStage.dropMatchingAndFree(sub) +
+          DedupStage.dropMatchingAndFree(sub) +
+          LmStage.dropMatchingAndFree(sub) +
+          VectorStage.dropMatchingAndFree(sub)
+        if (dropped == 0) -1.0
+        else {
+          val t0 = System.nanoTime()
+          build(spark, dir).count(): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+      case _ => -1.0
+    }
 }
 
 /** Shared scaffolding for corpus-snapshot staged artifacts
@@ -245,6 +272,24 @@ private[graft] final class StageCache {
   def clearAndFree(): Unit = {
     cache.values().forEach(c => c.built.foreach(CheckpointBlocks.free))
     cache.clear()
+  }
+
+  /** Drop (and free) ONLY the memo cells whose key contains `sub` —
+    * the per-artifact form of [[clearAndFree]] behind
+    * [[Stages.warmReadSample]]. Returns how many cells were dropped
+    * (0 = no such artifact was resolved in this session). */
+  private[graft] def dropMatchingAndFree(sub: String): Int = {
+    var n = 0
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.contains(sub)) {
+        e.getValue.built.foreach(CheckpointBlocks.free)
+        it.remove()
+        n += 1
+      }
+    }
+    n
   }
 
   /** Build-once per (session, dir, artifact id — include any build

@@ -23,6 +23,8 @@ object VectorStage {
   private[graft] def clearForTesting(): Unit = stage.clear()
   private[graft] def clearAndFree(): Unit = stage.clearAndFree()
   private[graft] def buildCount: Long = stage.buildCount
+  private[graft] def dropMatchingAndFree(sub: String): Int =
+    stage.dropMatchingAndFree(sub)
 
   /** (vec_id, qv) — coordinates quantized once per snapshot
     * ([[CorpusQueries.KmScale]]); both k-means queries scan this
