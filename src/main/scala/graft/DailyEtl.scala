@@ -245,11 +245,43 @@ object DailyEtl {
         "token response carried no access_token"))
   }
 
+  /** The reference's `config.ini` keys resolved into a [[Config]]:
+    * playlist URL from `[DEFAULT] SPOTIFY_PLAYLIST_URL`; tracks
+    * source = `[API] SPOTIFY_BASE_API_URL` (trailing slash normalized,
+    * `etl_pipeline.py:98-99`) + the reference's batched endpoint path
+    * (`v1/tracks?ids=…`, `etl_pipeline.py:401`) as an `{ids}`
+    * template; log level from `[LOGGING] LOGGING_LEVEL` with
+    * Python→log4j name mapping (empty/NOTSET disables logging,
+    * `etl_pipeline.py:105-107`; CRITICAL→FATAL, WARNING→WARN). */
+  private[graft] def configFromIni(ini: graft.etl.IniConfig,
+      storeRoot: String, date: LocalDate, renderPath: String,
+      csvDir: Option[String]): (Config, String) = {
+    val base0 = ini("API", "SPOTIFY_BASE_API_URL")
+    val base = if (base0.endsWith("/")) base0 else base0 + "/"
+    val logLevel = ini.get("LOGGING", "LOGGING_LEVEL") match {
+      case None | Some("") | Some("NOTSET") => "OFF"
+      case Some("CRITICAL") => "FATAL"
+      case Some("WARNING") => "WARN"
+      case Some(l) => l
+    }
+    (Config(storeRoot, date, ini("DEFAULT", "SPOTIFY_PLAYLIST_URL"),
+      s"${base}v1/tracks?ids={ids}", renderPath, csvDir), logLevel)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 5 || args.length == 6,
-      "usage: DailyEtl <storeRoot> <yyyy-MM-dd> <playlistSource> <tracksSource> <renderPath> [csvDir]")
-    val cfg = Config(args(0), LocalDate.parse(args(1)), args(2), args(3),
-      args(4), args.lift(5))
+    val usage = "usage: DailyEtl <storeRoot> <yyyy-MM-dd> <playlistSource> " +
+      "<tracksSource> <renderPath> [csvDir] | DailyEtl --config <config.ini> " +
+      "<storeRoot> <yyyy-MM-dd> <renderPath> [csvDir]"
+    val (cfg, logLevel) = args.toSeq match {
+      case Seq("--config", ini, storeRoot, date, renderPath, rest @ _*)
+          if rest.length <= 1 =>
+        configFromIni(graft.etl.IniConfig.load(ini), storeRoot,
+          LocalDate.parse(date), renderPath, rest.headOption)
+      case s if s.length == 5 || s.length == 6 =>
+        (Config(args(0), LocalDate.parse(args(1)), args(2), args(3),
+          args(4), args.lift(5)), "WARN")
+      case _ => sys.error(usage)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -257,7 +289,7 @@ object DailyEtl {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(logLevel)
     val http = new Sources.HttpFetcher()
     val file = new Sources.FileFetcher(Map.empty)
     val fetcher: Sources.Fetcher = new Sources.Fetcher {

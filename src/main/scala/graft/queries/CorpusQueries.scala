@@ -126,9 +126,10 @@ object CorpusQueries {
       .orderBy(col("a").asc, col("b").asc)
 
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
-    TextOps.minhashDupPairs(
-      Tables.table(spark, dir, "documents"),
-      ShingleN, MinhashK, MinhashBands, JaccardThreshold)
+    // the pair table is the staged per-snapshot artifact
+    // ([[DedupStage.minhashPairs]] — the same mining pass the
+    // components labeling and the curation funnel read)
+    DedupStage.minhashPairs(spark, dir)
       .orderBy(col("a").asc, col("b").asc)
 
   /** The 100 TB daily-crawl shape end-to-end: corpus docs (3/4 of the

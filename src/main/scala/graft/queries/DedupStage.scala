@@ -41,22 +41,38 @@ object DedupStage {
   private[graft] def dropMatchingAndFree(sub: String): Int =
     stage.dropMatchingAndFree(sub)
 
+  /** The full-corpus MinHash near-dup PAIR table (a, b, jaccard) at
+    * the corpus default parameters — ONE mining pass (shingle →
+    * minhash → band self-join → exact-Jaccard verify) shared by every
+    * consumer: the [[components]] labeling build, the
+    * [[corpusSliceLabels]] prior (LSH banding is per-document, so a
+    * sub-corpus's pairs are EXACTLY the full table filtered to pairs
+    * with both endpoints inside it — no re-mining), `q_dedup_minhash`
+    * (the pairs themselves), and `q_curate`'s near-dup stage. Before
+    * round 11 the mining ran once in staging plus once per
+    * q_dedup_minhash/q_curate call — two extra full corpus passes per
+    * sweep, and at 100 TB two extra corpus scans per consumer run. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, s"minhashPairs|$ccParams") {
+      TextOps.minhashDupPairs(
+        Tables.table(spark, dir, "documents"),
+        CorpusQueries.ShingleN, CorpusQueries.MinhashK,
+        CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
+        .localCheckpoint(true)
+    }
+
   /** (node, label) connected-component labeling of the MinHash
     * near-dup graph at the corpus default parameters — only nodes
     * incident to a near-dup pair appear (singletons derive by
     * anti-join or coalesce on the consumer side). */
   def components(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, s"components|$ccParams") {
-      val pairs = TextOps.minhashDupPairs(
-        Tables.table(spark, dir, "documents"),
-        CorpusQueries.ShingleN, CorpusQueries.MinhashK,
-        CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
-        .select("a", "b")
       // connectedComponents' final round already ends in an EAGER
       // localCheckpoint; the returned frame is a light projection over
       // those materialized blocks. Checkpointing again here would
       // duplicate the block set and strand the inner one.
-      Components.connectedComponents(pairs)
+      Components.connectedComponents(
+        minhashPairs(spark, dir).select("a", "b"))
     }
 
   import org.apache.spark.sql.functions.col
@@ -78,12 +94,14 @@ object DedupStage {
     * re-deriving the prior corpus from scratch on every call. */
   def corpusSliceLabels(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir, s"ccPriorLabels|$ccParams") {
-      val pairs = TextOps.minhashDupPairs(
-        corpusSlice(spark, dir),
-        CorpusQueries.ShingleN, CorpusQueries.MinhashK,
-        CorpusQueries.MinhashBands, CorpusQueries.JaccardThreshold)
-        .select("a", "b")
-      Components.connectedComponents(pairs)
+      // slice pairs = full-corpus pairs with both endpoints in the
+      // slice: minhash signatures and bands are per-document, so a
+      // sub-corpus mines exactly the filtered pair set — no second
+      // full mining pass (see [[minhashPairs]])
+      Components.connectedComponents(
+        minhashPairs(spark, dir)
+          .where(col("a") % 4 =!= 0 && col("b") % 4 =!= 0)
+          .select("a", "b"))
     }
 
   /** Yesterday's LSH band index over the corpus slice — the second
@@ -160,6 +178,7 @@ object DedupStage {
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup.minhashPairs" -> (minhashPairs _),
     "dedup.components" -> (components _),
     "dedup.ccPriorLabels" -> (corpusSliceLabels _),
     "dedup.ccPriorIndex" -> (corpusSliceBandIndex _),

@@ -203,7 +203,15 @@ object Curation {
       TextOps.qualityExpr(col("tokens")).as("quality"),
       TextOps.langIdExpr(col("tokens")).as("predicted"))
 
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** One-shot funnel. `nearDupPairs`, when given, must be the
+    * [[TextOps.minhashDupPairs]] output over the SAME `docs` at the
+    * SAME (shingleN, minhashK, minhashBands, nearDupThreshold) — the
+    * per-snapshot materialized pair table a production pipeline
+    * shares across its dedup consumers
+    * ([[graft.queries.DedupStage.minhashPairs]]); the default mines
+    * the pairs inline, bit-identically. */
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      nearDupPairs: Option[DataFrame] = None): DataFrame = {
     val isEval = col("doc_id") % cfg.evalModulus === 0
 
     val signals = signalColumns(docs)
@@ -214,8 +222,9 @@ object Curation {
       .where(col("doc_id") =!= col("canonical_doc_id"))
       .select(col("doc_id"), lit(true).as("is_exact_dup"))
 
-    val nearLosers = TextOps.minhashDupPairs(
-      docs, cfg.shingleN, cfg.minhashK, cfg.minhashBands, cfg.nearDupThreshold)
+    val nearLosers = nearDupPairs
+      .getOrElse(TextOps.minhashDupPairs(
+        docs, cfg.shingleN, cfg.minhashK, cfg.minhashBands, cfg.nearDupThreshold))
       .select(col("b").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
 

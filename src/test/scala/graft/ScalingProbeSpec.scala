@@ -164,6 +164,59 @@ class ScalingProbeSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("; "))
   }
+
+  /** The empirical receipt for the manifest backend's O(batch) claim
+    * (`corpus_day_sec`'s 100 TB story): fold a SAME-SIZE day into a
+    * 10× resident corpus and the day's wall cost must track the
+    * BATCH, not the corpus. Batch = replica-0 docs with last digit 7
+    * (identical 10% slice at both tiers — the replica-id offset is a
+    * multiple of 10, so the digit survives replication); resident =
+    * everything else (4,500 docs at sf0.1, 49,500 at the derived
+    * sf1). The disjoint-vocabulary replicas mean the 10× band index
+    * holds 10× rows but the probe's true matches are unchanged, so
+    * the measured ratio isolates index size. Ideal ratio ≈ 1; the ≤3
+    * bound leaves room for the probe's index-side scan growing with
+    * the corpus while still catching the O(corpus) failure modes
+    * (re-shingling history, an index-side shuffle) that read ≈10×. */
+  test("corpus-day fold: same-size day into a 10x corpus stays batch-proportional (<=3x)") {
+    assume(sys.env.contains("GRAFT_SLOW"),
+      "slow probe — run with GRAFT_SLOW=1 at round close")
+    import org.apache.spark.sql.functions.col
+    val sf1 = DecadeSlice.ensure(spark, big)
+    val cfg = graft.text.Curation.Config()
+    val offset = 100000000L
+
+    def dayCost(dir: String, batchOnlyReplica0: Boolean): Double = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-decade-corpus").toString
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      try {
+        val docs = graft.io.Tables.table(spark, dir, "documents")
+        val isBatch =
+          if (batchOnlyReplica0) col("doc_id") % 10 === 7 && col("doc_id") < offset
+          else col("doc_id") % 10 === 7
+        CorpusEtl.init(spark, root,
+          docs.where(col("doc_id") % cfg.evalModulus === 0), cfg)
+        CorpusEtl.runBatch(spark, root, docs.where(!isBatch), 1L, cfg)
+        val t0 = System.nanoTime()
+        CorpusEtl.runBatch(spark, root, docs.where(isBatch), 2L, cfg)
+        (System.nanoTime() - t0) / 1e9
+      } finally rm(new java.io.File(root))
+    }
+
+    def minOf2(dir: String, r0: Boolean): Double =
+      (1 to 2).map(_ => dayCost(dir, r0)).min
+    val ts = minOf2(big, r0 = false)
+    val tb = minOf2(sf1, r0 = true)
+    val ratio = tb / math.max(ts, 0.1)
+    info(f"corpus-day fold        sf0.1=$ts%6.2f s  sf1=$tb%6.2f s  ratio=$ratio%4.1f")
+    assert(ratio <= 3.0,
+      f"same-size day into a 10x corpus cost $ratio%.1fx — the fold is " +
+        "scaling with the corpus, not the batch")
+  }
 }
 
 /** Builder for the derived-sf1 slice (see the decade test's scaladoc

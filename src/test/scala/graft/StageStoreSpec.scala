@@ -44,7 +44,9 @@ class StageStoreSpec extends SparkSpec {
       val before = DedupStage.buildCount
       val first = DedupStage.components(spark, dir)
         .orderBy("node").collect().toSeq
-      assert(DedupStage.buildCount == before + 1)
+      // TWO builds: components resolves its minhashPairs dependency
+      // (the shared pair artifact, round 11) and then itself
+      assert(DedupStage.buildCount == before + 2)
       // the artifact is now a committed v=1 table in the warehouse
       val fmt = new VersionedParquet(spark, wh)
       val tbl = StageStore.tableName(dir,
@@ -59,7 +61,10 @@ class StageStoreSpec extends SparkSpec {
       DedupStage.clearForTesting()
       val again = DedupStage.components(spark, dir)
         .orderBy("node").collect().toSeq
-      assert(DedupStage.buildCount == before + 1, "artifact was rebuilt")
+      // the cold read serves the committed components table WITHOUT
+      // invoking the builder body — so the pair dependency isn't
+      // touched either; the count must not move at all
+      assert(DedupStage.buildCount == before + 2, "artifact was rebuilt")
       assert(again == first)
     } finally {
       StageStore.clearForTesting(dir)
