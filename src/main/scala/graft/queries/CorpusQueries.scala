@@ -534,9 +534,14 @@ object CorpusQueries {
     * base parquet, so a pin that leaked day-2 rows, dropped day-1
     * files, or resolved `currentVersion` instead of the recorded pin
     * hash-mismatches. */
-  def q_store_time_travel(spark: SparkSession, dir: String): DataFrame = {
+  /** Build (once per session × snapshot dir) the two-batch store the
+    * time-travel query reads — "yesterday's committed store", i.e. a
+    * PRIOR like the staged indexes, exposed so Bench can resolve it
+    * in the staging phase (reported as `staged_ttstore_sec`) instead
+    * of letting a min-of-1 run charge the build to the first rep. */
+  private[graft] def timeTravelStoreRoot(spark: SparkSession, dir: String): String = {
     val key = s"${spark.sparkContext.applicationId}|$dir"
-    val root = ttStores.computeIfAbsent(key, _ => {
+    ttStores.computeIfAbsent(key, _ => {
       val r = java.nio.file.Files.createTempDirectory("graft-ttq-store").toString
       val docs = Tables.table(spark, dir, "documents")
       val fmt = graft.etl.TableFormat.DefaultBackend(spark, r)
@@ -548,6 +553,10 @@ object CorpusQueries {
       store.commit(Map("docs" -> v2), base = 1L)
       r
     })
+  }
+
+  def q_store_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val root = timeTravelStoreRoot(spark, dir)
     graft.GraftCatalog.registerStore(spark, root, Seq("docs"),
       prefix = "ttq", asOfManifest = Some(1L))
     spark.sql(

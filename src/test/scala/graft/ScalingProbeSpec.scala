@@ -143,7 +143,12 @@ class ScalingProbeSpec extends SparkSpec {
       buildProbe("fuzzy-index build")(dir =>
         graft.queries.DedupStage.customerNameIndex(spark, dir).count()),
       buildProbe("prefix-index build")(dir =>
-        graft.queries.DedupStage.prefixIndex(spark, dir).count())).flatten
+        graft.queries.DedupStage.prefixIndex(spark, dir).count()),
+      // q_dedup_minhash reads the staged pair artifact since round 11,
+      // so the MINING pass (historically the worst decade ratio, 4.5
+      // at tier 1) is probed here as the cold artifact build
+      buildProbe("minhash-pairs build")(dir =>
+        graft.queries.DedupStage.minhashPairs(spark, dir).count())).flatten
 
     val decadeHeavyweights =
       Seq("q_dedup_minhash", "q_fuzzy_join", "q_containment_prefix",
