@@ -252,10 +252,14 @@ object DailyEtl {
     * (`v1/tracks?ids=…`, `etl_pipeline.py:401`) as an `{ids}`
     * template; log level from `[LOGGING] LOGGING_LEVEL` with
     * Python→log4j name mapping (empty/NOTSET disables logging,
-    * `etl_pipeline.py:105-107`; CRITICAL→FATAL, WARNING→WARN). */
+    * `etl_pipeline.py:105-107`; CRITICAL→FATAL, WARNING→WARN); the
+    * OAuth2 token endpoint from `[API] SPOTIFY_TOKEN_API_URL`
+    * (`etl_pipeline.py:95`) — credentials stay env-only, as the
+    * reference keeps them in `.env`. Returns (config, log level,
+    * token endpoint). */
   private[graft] def configFromIni(ini: graft.etl.IniConfig,
       storeRoot: String, date: LocalDate, renderPath: String,
-      csvDir: Option[String]): (Config, String) = {
+      csvDir: Option[String]): (Config, String, Option[String]) = {
     val base0 = ini("API", "SPOTIFY_BASE_API_URL")
     val base = if (base0.endsWith("/")) base0 else base0 + "/"
     val logLevel = ini.get("LOGGING", "LOGGING_LEVEL") match {
@@ -265,21 +269,22 @@ object DailyEtl {
       case Some(l) => l
     }
     (Config(storeRoot, date, ini("DEFAULT", "SPOTIFY_PLAYLIST_URL"),
-      s"${base}v1/tracks?ids={ids}", renderPath, csvDir), logLevel)
+      s"${base}v1/tracks?ids={ids}", renderPath, csvDir), logLevel,
+      ini.get("API", "SPOTIFY_TOKEN_API_URL"))
   }
 
   def main(args: Array[String]): Unit = {
     val usage = "usage: DailyEtl <storeRoot> <yyyy-MM-dd> <playlistSource> " +
       "<tracksSource> <renderPath> [csvDir] | DailyEtl --config <config.ini> " +
       "<storeRoot> <yyyy-MM-dd> <renderPath> [csvDir]"
-    val (cfg, logLevel) = args.toSeq match {
+    val (cfg, logLevel, iniTokenUrl) = args.toSeq match {
       case Seq("--config", ini, storeRoot, date, renderPath, rest @ _*)
           if rest.length <= 1 =>
         configFromIni(graft.etl.IniConfig.load(ini), storeRoot,
           LocalDate.parse(date), renderPath, rest.headOption)
       case s if s.length == 5 || s.length == 6 =>
         (Config(args(0), LocalDate.parse(args(1)), args(2), args(3),
-          args(4), args.lift(5)), "WARN")
+          args(4), args.lift(5)), "WARN", None)
       case _ => sys.error(usage)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -297,9 +302,12 @@ object DailyEtl {
         if (url.matches("^https?://.*")) http.fetch(url, tok)
         else file.fetch(url, tok)
     }
-    // S3: only when a token endpoint + credentials are configured
+    // S3: only when a token endpoint + credentials are configured —
+    // the endpoint from config.ini's [API] SPOTIFY_TOKEN_API_URL (the
+    // reference's source for it) or the GRAFT_TOKEN_URL env;
+    // credentials are env-only, never a config file
     val token = for {
-      tokenUrl <- sys.env.get("GRAFT_TOKEN_URL")
+      tokenUrl <- iniTokenUrl.orElse(sys.env.get("GRAFT_TOKEN_URL"))
       id <- sys.env.get("GRAFT_CLIENT_ID")
       secret <- sys.env.get("GRAFT_CLIENT_SECRET")
     } yield accessTokenFromJson(

@@ -543,6 +543,10 @@ object CorpusQueries {
     val key = s"${spark.sparkContext.applicationId}|$dir"
     ttStores.computeIfAbsent(key, _ => {
       val r = java.nio.file.Files.createTempDirectory("graft-ttq-store").toString
+      // session-lifetime store: every entry point (Bench, Verify, a
+      // spec) builds one per snapshot dir — without the exit hook each
+      // run leaks a two-version parquet copy of the documents table
+      graft.io.TempDirs.deleteOnExit(r)
       val docs = Tables.table(spark, dir, "documents")
       val fmt = graft.etl.TableFormat.DefaultBackend(spark, r)
       val store = new graft.etl.ManifestStore(spark, fmt, Seq("docs"))

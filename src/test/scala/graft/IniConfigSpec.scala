@@ -68,9 +68,12 @@ class IniConfigSpec extends AnyFunSuite {
 
   test("configFromIni: base-URL slash normalization, {ids} template, log-level mapping") {
     val c = IniConfig.parse(referenceShape)
-    val (cfg, logLevel) = DailyEtl.configFromIni(
+    val (cfg, logLevel, tokenUrl) = DailyEtl.configFromIni(
       c, "/tmp/store", java.time.LocalDate.parse("2026-01-02"),
       "/tmp/README.md", None)
+    // the token ENDPOINT comes from the config file (etl_pipeline.py:95);
+    // credentials stay env-only
+    assert(tokenUrl === Some("https://accounts.example.test/api/token"))
     assert(cfg.playlistSource === "https://example.test/playlist/abc")
     // no trailing slash in the INI -> normalized, then the reference's
     // batched endpoint path (etl_pipeline.py:98-99,401)
@@ -80,6 +83,10 @@ class IniConfigSpec extends AnyFunSuite {
     def level(ini: String): String =
       DailyEtl.configFromIni(IniConfig.parse(ini), "/s",
         java.time.LocalDate.parse("2026-01-02"), "/r", None)._2
+    // no [API] SPOTIFY_TOKEN_API_URL -> no token endpoint (env fallback)
+    assert(DailyEtl.configFromIni(IniConfig.parse(
+      "[DEFAULT]\nSPOTIFY_PLAYLIST_URL=u\n[API]\nSPOTIFY_BASE_API_URL=b/\n"),
+      "/s", java.time.LocalDate.parse("2026-01-02"), "/r", None)._3.isEmpty)
     val base =
       "[DEFAULT]\nSPOTIFY_PLAYLIST_URL=u\n[API]\nSPOTIFY_BASE_API_URL=b/\n"
     // empty / NOTSET disable logging (etl_pipeline.py:105-107); the
@@ -91,7 +98,7 @@ class IniConfigSpec extends AnyFunSuite {
     assert(level(base + "[LOGGING]\nLOGGING_LEVEL=WARNING\n") === "WARN")
     assert(level(base + "[LOGGING]\nLOGGING_LEVEL=INFO\n") === "INFO")
     // and the already-slashed base gains no second slash
-    val (cfg2, _) = DailyEtl.configFromIni(IniConfig.parse(base), "/s",
+    val (cfg2, _, _) = DailyEtl.configFromIni(IniConfig.parse(base), "/s",
       java.time.LocalDate.parse("2026-01-02"), "/r", Some("/csv"))
     assert(cfg2.tracksSource === "b/v1/tracks?ids={ids}")
     assert(cfg2.csvDir === Some("/csv"))

@@ -14,7 +14,6 @@ package graft
 class ScalingProbeSpec extends SparkSpec {
 
   private val heavyweights = Seq(
-    "q_dedup_minhash", // MinHash banding + verify (mining scaling probed here)
     "q_fuzzy_join", // deletion-variant blocking
     "q_triangles", // packed-adjacency intersections over the staged edges
     "q_kcore", // histogram threshold + delta-peel rounds
@@ -33,9 +32,28 @@ class ScalingProbeSpec extends SparkSpec {
   test("heavyweight queries stay within 5x wall-time for 10x rows") {
     assume(sys.env.contains("GRAFT_SLOW"),
       "slow probe — run with GRAFT_SLOW=1 at round close")
-    // stage the shared dedup artifact at BOTH scales first, so
-    // q_split_dedup_aware times its consumer stage at each (the mining
-    // itself scales under q_dedup_minhash, which shares the kernel)
+    // the MinHash mining moved into the staged pair artifact in round
+    // 11 (q_dedup_minhash is a memoized scan now — dropped from the
+    // heavyweight list as vacuous), so the mining pass is probed as a
+    // COLD build at both scales FIRST, memos cleared per side
+    def coldBuildProbe(label: String)(build: String => Unit): Option[String] = {
+      def timed(dir: String): Double = {
+        graft.queries.Stages.clearAllAndFree()
+        val t0 = System.nanoTime()
+        build(dir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ts = timed(small)
+      val tb = timed(big)
+      val ratio = tb / math.max(ts, 0.1)
+      info(f"$label%-22s sf0.01=$ts%6.2f s  sf0.1=$tb%6.2f s  ratio=$ratio%4.1f")
+      if (ratio > 5.0) Some(f"$label scales $ratio%.1fx for 10x rows") else None
+    }
+    val miningFailures = Seq(
+      coldBuildProbe("minhash-pairs build")(dir =>
+        graft.queries.DedupStage.minhashPairs(spark, dir).count())).flatten
+    // stage the shared dedup artifact at BOTH scales next, so
+    // q_split_dedup_aware times its consumer stage at each
     graft.queries.DedupStage.components(spark, small).count()
     graft.queries.DedupStage.components(spark, big).count()
     // the co-purchase pair mining is the graph family's generation
@@ -77,7 +95,7 @@ class ScalingProbeSpec extends SparkSpec {
         graft.queries.GraphStage.pagerankPriorRanks(spark, dir).count()),
       buildProbe("km-prior-state build")(dir =>
         graft.queries.VectorStage.kmPriorState(spark, dir).count())).flatten
-    val failures = stageFailures ++ heavyweights.flatMap { name =>
+    val failures = miningFailures ++ stageFailures ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         Bench.execute(SparkEntry.queries(name)(spark, dir))
@@ -150,8 +168,11 @@ class ScalingProbeSpec extends SparkSpec {
       buildProbe("minhash-pairs build")(dir =>
         graft.queries.DedupStage.minhashPairs(spark, dir).count())).flatten
 
+    // q_dedup_minhash dropped in round 11: it reads the staged pair
+    // artifact, so its "ratio" was two memo scans — the mining's
+    // decade scaling rides the cold minhash-pairs build probe above
     val decadeHeavyweights =
-      Seq("q_dedup_minhash", "q_fuzzy_join", "q_containment_prefix",
+      Seq("q_fuzzy_join", "q_containment_prefix",
         "q_curate_incremental")
     val failures = stageFailures ++ decadeHeavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
@@ -194,10 +215,6 @@ class ScalingProbeSpec extends SparkSpec {
     def dayCost(dir: String, batchOnlyReplica0: Boolean): Double = {
       val root =
         java.nio.file.Files.createTempDirectory("graft-decade-corpus").toString
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
       try {
         val docs = graft.io.Tables.table(spark, dir, "documents")
         val isBatch =
@@ -209,7 +226,7 @@ class ScalingProbeSpec extends SparkSpec {
         val t0 = System.nanoTime()
         CorpusEtl.runBatch(spark, root, docs.where(isBatch), 2L, cfg)
         (System.nanoTime() - t0) / 1e9
-      } finally rm(new java.io.File(root))
+      } finally graft.io.TempDirs.deleteRecursively(root)
     }
 
     def minOf2(dir: String, r0: Boolean): Double =
