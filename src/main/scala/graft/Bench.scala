@@ -286,13 +286,16 @@ object Bench {
     // serial sample while the reserve allows, folded into the mins
     // and reported under `retimed` like any quarantine retime. On a
     // degraded window this turns the worst min-of-1 entries into
-    // min-of-2 without re-running the 162-query sweep.
+    // min-of-2 without re-running the full sweep. Most-expensive
+    // first, bounded ONLY by the budget guard (the corpus fold has
+    // already run, so the reserve is purely emit headroom here) —
+    // with enough budget this approaches a full second sweep.
     if (repsDone < reps) {
       val expensive = names
         .filter { case (n, _) => !failed.contains(n) && !retimed.contains(n) }
         .sortBy { case (n, _) =>
           -times.get(n).map(_.min).getOrElse(0.0) }
-      for ((name, fn) <- expensive.take(24)
+      for ((name, fn) <- expensive
           if elapsedS + postSweepReserveS <= budgetS) {
         val t0 = System.nanoTime()
         try {
