@@ -128,6 +128,15 @@ private[graft] object Stages {
     "lm" -> LmStage.stagedSeconds,
     "vector" -> VectorStage.stagedSeconds)
 
+  /** How many build closures actually RAN across all stages (vs store
+    * reads / memo hits) — with the persistent bench warehouse this is
+    * the artifact's own cold/warm self-description: 0 builds means
+    * every staged input came off the committed store, so a reader
+    * knows `staged_sec` is a warm read, not a build. */
+  def buildCountTotal: Long =
+    GraphStage.buildCount + DedupStage.buildCount +
+      LmStage.buildCount + VectorStage.buildCount
+
   /** Resolve every persistable artifact, fanning independent builds
     * out over a bounded thread pool — they are independent Spark jobs,
     * so on an idle 32-core box the wall cost is max-of-builds, not
@@ -192,15 +201,58 @@ private[graft] object Stages {
     persistableArtifacts.find(_._1 == name) match {
       case Some((n, build)) if StageStore.rootFor(dir).isDefined =>
         val sub = n.split("\\.", 2)(1)
-        val dropped = GraphStage.dropMatchingAndFree(sub) +
-          DedupStage.dropMatchingAndFree(sub) +
-          LmStage.dropMatchingAndFree(sub) +
-          VectorStage.dropMatchingAndFree(sub)
+        val dropped = dropEverywhere(sub)
         if (dropped == 0) -1.0
         else {
           val t0 = System.nanoTime()
           build(spark, dir).count(): Unit
           (System.nanoTime() - t0) / 1e9
+        }
+      case _ => -1.0
+    }
+
+  private def dropEverywhere(sub: String): Int =
+    GraphStage.dropMatchingAndFree(sub) +
+      DedupStage.dropMatchingAndFree(sub) +
+      LmStage.dropMatchingAndFree(sub) +
+      VectorStage.dropMatchingAndFree(sub)
+
+  /** Sample the COLD BUILD cost of ONE artifact — the mirror of
+    * [[warmReadSample]], for bench runs whose default persistent
+    * warehouse makes the main staging pass a warm read: drop the
+    * artifact's memo cell, point the snapshot's store override at a
+    * throwaway root, and time a full build + parquet commit +
+    * read-back (exactly what cold staging pays per artifact). The
+    * override is then restored and the memo dropped again, so the
+    * caller's next resolve (the warm sample / the query loop) reads
+    * the REAL store untouched. Only meaningful for an artifact whose
+    * builder reads base tables, not other staged artifacts — a
+    * dependent build would resolve its deps from warm memos and
+    * under-report. Returns wall seconds, or -1 when not resolved this
+    * session / not in warehouse mode. */
+  def coldBuildSample(spark: SparkSession, dir: String, name: String): Double =
+    persistableArtifacts.find(_._1 == name) match {
+      case Some((n, build)) if StageStore.rootFor(dir).isDefined =>
+        val realRoot = StageStore.rootFor(dir).get
+        val sub = n.split("\\.", 2)(1)
+        if (dropEverywhere(sub) == 0) -1.0
+        else {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-cold-sample").toString
+          StageStore.setForTesting(dir, tmp)
+          try {
+            val t0 = System.nanoTime()
+            build(spark, dir).count(): Unit
+            (System.nanoTime() - t0) / 1e9
+          } finally {
+            StageStore.setForTesting(dir, realRoot)
+            // drop the temp-root build and re-resolve from the REAL
+            // store, so the caller (warm sample, query loop) finds the
+            // memo exactly as it was before the sample ran
+            dropEverywhere(sub): Unit
+            build(spark, dir).count(): Unit
+            graft.io.TempDirs.deleteRecursively(tmp)
+          }
         }
       case _ => -1.0
     }
@@ -274,16 +326,22 @@ private[graft] final class StageCache {
     cache.clear()
   }
 
-  /** Drop (and free) ONLY the memo cells whose key contains `sub` —
-    * the per-artifact form of [[clearAndFree]] behind
-    * [[Stages.warmReadSample]]. Returns how many cells were dropped
-    * (0 = no such artifact was resolved in this session). */
+  /** Drop (and free) ONLY the memo cells whose ARTIFACT-ID segment
+    * equals `sub` — the per-artifact form of [[clearAndFree]] behind
+    * [[Stages.warmReadSample]]. Keys are `appId|dir|id|params…`
+    * (neither appId nor a snapshot dir contains '|'), so the id is
+    * exactly segment 2 — a substring match would silently free an
+    * unrelated artifact whose key merely embeds `sub` (e.g. a future
+    * `fooIndex` vs `index`), forcing a warm rebuild mid-rep-loop.
+    * Returns how many cells were dropped (0 = no such artifact was
+    * resolved in this session). */
   private[graft] def dropMatchingAndFree(sub: String): Int = {
     var n = 0
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.contains(sub)) {
+      val parts = e.getKey.split("\\|", 4)
+      if (parts.length >= 3 && parts(2) == sub) {
         e.getValue.built.foreach(CheckpointBlocks.free)
         it.remove()
         n += 1

@@ -85,6 +85,30 @@ class PlanPropertiesSpec extends SparkSpec {
       }
   }
 
+  test("staged minhashPairs builder: mining kernels run inside codegen") {
+    // since round 11 q_dedup_minhash / q_curate read the staged pair
+    // artifact, so the FULL inline mining plan (shingle → lsh-band →
+    // band self-join → jaccard verify) no longer rides any registered
+    // query's plan — a CodegenFallback regression in the mining pass
+    // would only surface as a slow staging build. Guard the builder's
+    // own pre-checkpoint plan: the banding and verify kernels must sit
+    // on starred (codegen'd) lines, and the candidate join must be the
+    // banded equi-join, never a cross product.
+    import graft.queries.CorpusQueries._
+    val df = graft.text.TextOps.minhashDupPairs(
+      graft.io.Tables.table(spark, dir, "documents"),
+      ShingleN, MinhashK, MinhashBands, JaccardThreshold)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    Seq("graft_lsh_bands", "graft_intersect_size").foreach { fn =>
+      val starred = p.linesIterator
+        .exists(l => l.contains("*(") && l.contains(fn))
+      assert(starred, s"minhashPairs builder: no codegen'd $fn stage:\n$p")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query plan contains a cartesian product") {
     // BroadcastNestedLoopJoin is expected (range/inequality joins);
     // an unconstrained CartesianProduct is never intended
