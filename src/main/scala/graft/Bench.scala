@@ -215,14 +215,15 @@ object Bench {
     // (the driver never sets it, so driver benches stay full-suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // the time-travel store is a PRIOR too ("yesterday's committed
+    // the time-travel/cdc store is a PRIOR too ("yesterday's committed
     // store") — build it in staging like the indexes, so a min-of-1
     // budget-trimmed run never charges the store build to the query.
-    // Skipped when the filter excludes its one consumer; guarded like
+    // Skipped when the filter excludes both consumers; guarded like
     // the corpus fold (a build failure must fail the run LOUDLY after
     // the JSON line, never die before it)
     val ttStoreSec =
-      if (!only.forall(_.contains("q_store_time_travel"))) -1.0
+      if (!only.forall(s =>
+          s.contains("q_store_time_travel") || s.contains("q_store_cdc"))) -1.0
       else try {
         val t0 = System.nanoTime()
         graft.queries.CorpusQueries.timeTravelStoreRoot(spark, sfDir)

@@ -301,6 +301,42 @@ object CorpusEtl {
       graft.queries.StageStore.bumpErasureEpoch(spark, d))
   }
 
+  /** Maintenance CADENCE — the every-N-batches policy a long
+    * deployment needs (without it a year of daily folds accumulates
+    * 365 manifest lines and data dirs per table, read plans listing
+    * them all, and pre-erasure bytes that never leave disk):
+    * `compactEvery > 0` compacts the store after every batch whose id
+    * is a multiple of it; `retainManifests > 0` then vacuums store
+    * states older than the newest `retainManifests` manifest versions
+    * — which is also the ERASURE HORIZON: a [[forget]]'s tombstoned
+    * bytes physically leave disk at the first cadence point after its
+    * manifest ages out (CorpusEtlSpec's 30-day cadence case holds the
+    * receipt). Retention must cover the slowest downstream CDC
+    * consumer's cursor lag: [[changesSince]] needs its `sinceManifest`
+    * to still be on disk, so set `retainManifests` above the max days
+    * a consumer may fall behind. */
+  final case class MaintenancePolicy(
+      compactEvery: Long, retainManifests: Long = 0L) {
+    require(compactEvery > 0, "compactEvery must be positive")
+  }
+
+  /** Apply `policy` if `batchId` lands on its cadence; returns true
+    * when maintenance ran. Call right after [[runBatch]] — the `run`
+    * CLI does when given `--compact-every`. */
+  def maintainOnCadence(spark: SparkSession, storeRoot: String,
+      batchId: Long, policy: MaintenancePolicy,
+      backend: Backend = DefaultBackend): Boolean =
+    if (batchId % policy.compactEvery != 0) false
+    else {
+      compactStore(spark, storeRoot, backend)
+      if (policy.retainManifests > 0) {
+        val store = storeOf(spark, backend(spark, storeRoot))
+        val retain = math.max(1L, store.base - policy.retainManifests + 1)
+        vacuumStore(spark, storeRoot, retain, 0L, backend): Unit
+      }
+      true
+    }
+
   /** Maintenance: materialize every table's tombstones and fold its
     * data dirs to one (read plans back to a single scan), then commit
     * a manifest pinning the compacted versions. Pinned readers of
@@ -337,17 +373,28 @@ object CorpusEtl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.toSeq match {
+    args.toList match {
       case Seq("init", storeRoot, evalParquet) =>
         init(spark, storeRoot, spark.read.parquet(evalParquet))
         println(s"[corpus-etl] initialized $storeRoot (benchmark pinned)")
-      case Seq("run", storeRoot, batchParquet, batchId) =>
+      case "run" :: storeRoot :: batchParquet :: batchId :: rest
+          if rest.isEmpty || rest.size == 2 || rest.size == 4 =>
         val a = runBatch(spark, storeRoot,
           spark.read.parquet(batchParquet), batchId.toLong)
         println(s"[corpus-etl] batch ${a.batchId}: in=${a.nIn} kept=${a.nKept} " +
           s"exact_dup=${a.nExactDup} near_dup=${a.nNearDup} " +
           s"contaminated=${a.nContaminated} eval=${a.nEval} " +
           s"low_quality=${a.nLowQuality}")
+        // optional cadence flags: --compact-every N [--retain M]
+        val flags = rest.grouped(2).collect {
+          case Seq(k, v) => k -> v.toLong }.toMap
+        flags.get("--compact-every").foreach { n =>
+          val policy = MaintenancePolicy(n, flags.getOrElse("--retain", 0L))
+          if (maintainOnCadence(spark, storeRoot, batchId.toLong, policy))
+            println(s"[corpus-etl] maintenance ran at batch $batchId " +
+              s"(compact every ${policy.compactEvery}, " +
+              s"retain ${policy.retainManifests} manifests)")
+        }
       case Seq("export", storeRoot, sinceManifest, outDir) =>
         val (asOf, kept) = keptSince(spark, storeRoot, sinceManifest.toLong)
         kept.appended.write.mode("overwrite").parquet(s"$outDir/appended")
@@ -377,7 +424,8 @@ object CorpusEtl {
           s"$d dirs, $b bytes reclaimed")
       case _ => sys.error(
         "usage: CorpusEtl init <storeRoot> <evalDocsParquet> | " +
-          "CorpusEtl run <storeRoot> <batchParquet> <batchId> | " +
+          "CorpusEtl run <storeRoot> <batchParquet> <batchId> " +
+          "[--compact-every N [--retain M]] | " +
           "CorpusEtl export <storeRoot> <sinceManifest> <outDir> | " +
           "CorpusEtl forget <storeRoot> <docIdsParquet> | " +
           "CorpusEtl compact <storeRoot> | " +

@@ -511,6 +511,7 @@ object CorpusQueries {
     "q_dedup_rewrite" -> (q_dedup_rewrite _),
     "q_rank_fusion" -> (q_rank_fusion _),
     "q_store_time_travel" -> (q_store_time_travel _),
+    "q_store_cdc" -> (q_store_cdc _),
   )
 
   // ---- manifest-store time travel ------------------------------------
@@ -534,11 +535,16 @@ object CorpusQueries {
     * base parquet, so a pin that leaked day-2 rows, dropped day-1
     * files, or resolved `currentVersion` instead of the recorded pin
     * hash-mismatches. */
-  /** Build (once per session × snapshot dir) the two-batch store the
-    * time-travel query reads — "yesterday's committed store", i.e. a
-    * PRIOR like the staged indexes, exposed so Bench can resolve it
-    * in the staging phase (reported as `staged_ttstore_sec`) instead
-    * of letting a min-of-1 run charge the build to the first rep. */
+  /** Build (once per session × snapshot dir) the three-commit store
+    * the time-travel AND cdc queries read — "yesterday's committed
+    * store", i.e. a PRIOR like the staged indexes, exposed so Bench
+    * can resolve it in the staging phase (reported as
+    * `staged_ttstore_sec`) instead of letting a min-of-1 run charge
+    * the build to the first rep. History: manifest 1 = day-1 docs
+    * (`doc_id % 10 < 6`), manifest 2 = day-2 append (the rest),
+    * manifest 3 = a right-to-be-forgotten tombstone delete of
+    * `doc_id % 7 == 0` (an O(forget-set) deletion-vector commit on
+    * the manifest-log backend — no history rewrite). */
   private[graft] def timeTravelStoreRoot(spark: SparkSession, dir: String): String = {
     val key = s"${spark.sparkContext.applicationId}|$dir"
     ttStores.computeIfAbsent(key, _ => {
@@ -555,6 +561,10 @@ object CorpusQueries {
       val v2 = fmt.tryAppend("docs", docs.where(col("doc_id") % 10 >= 6),
         ontoVersion = v1, expectedBase = v1)
       store.commit(Map("docs" -> v2), base = 1L)
+      val v3 = fmt.tryDeleteRows("docs",
+        docs.where(col("doc_id") % 7 === 0).select("doc_id"),
+        ontoVersion = v2, expectedBase = v2)
+      store.commit(Map("docs" -> v3), base = 2L)
       r
     })
   }
@@ -567,6 +577,37 @@ object CorpusQueries {
       """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM ttq_docs GROUP BY source ORDER BY source ASC""".stripMargin)
+  }
+
+  /** The store's CDC read path under the hash gate (round-11 verdict
+    * #4 — it was the last spec-only read surface): read the change
+    * feed between manifest 1 (day-1 commit) and manifest 3 (after the
+    * day-2 append and a tombstone erasure of `doc_id % 7 == 0`), fold
+    * it onto the manifest-1 snapshot — `from.minusKeys(deletedKeys)
+    * ++ appended`, the exact consumer contract a downstream shard
+    * exporter applies — and aggregate. The oracle recomputes the
+    * manifest-3 state directly from base parquet (`doc_id % 7 <> 0`),
+    * so the identity `from ∘ changes == to` is hash-gated: a feed
+    * that leaked erased appends (in-range tombstones must apply to
+    * in-range appends), missed a retraction key, or walked an orphan
+    * manifest chain mismatches. Scale: the feed is O(changed days +
+    * forget set) — manifest structure only, no corpus diff — and the
+    * consumer-side fold is one anti-join + union, batch-proportional
+    * at a 100 TB corpus. */
+  def q_store_cdc(spark: SparkSession, dir: String): DataFrame = {
+    val root = timeTravelStoreRoot(spark, dir)
+    val fmt = graft.etl.TableFormat.DefaultBackend(spark, root)
+    val store = new graft.etl.ManifestStore(spark, fmt, Seq("docs"))
+    val ch = store.changesBetween(1L, 3L)("docs")
+    val from = store.readPinned(store.pinned(1L), "docs")
+    val deleted = ch.deletedKeys
+      .getOrElse("doc_id", from.select("doc_id").limit(0))
+    from.join(deleted, Seq("doc_id"), "left_anti")
+      .unionByName(ch.appended)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source").asc)
   }
 
   private val FusionN = 50 // per-arm retrieval depth
@@ -1455,5 +1496,13 @@ ORDER BY a ASC, b ASC""",
   CAST(sum(n_chars) AS BIGINT) AS total_chars,
   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents WHERE doc_id % 10 < 6 GROUP BY source ORDER BY source ASC""",
+    // the manifest-3 state (day-1 + day-2 appends minus the erased
+    // doc_id % 7 set) recomputed from base parquet — the CDC fold's
+    // `from ∘ changes == to` identity under the hash gate
+    "q_store_cdc" ->
+      """SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents WHERE doc_id % 7 <> 0 GROUP BY source ORDER BY source ASC""",
   )
 }

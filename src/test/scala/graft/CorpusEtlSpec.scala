@@ -203,6 +203,63 @@ class CorpusEtlSpec extends SparkSpec {
     assert(fmt.read("corpus_flags").count() == 2)
   }
 
+  test("maintenance cadence: 30 folded days under a policy keep manifests and files bounded, reads pruned, erasure physical") {
+    val root = freshRoot()
+    val cfg = Curation.Config()
+    // 60 distinct synthetic docs, two per day for 30 days (ascending
+    // ids, like a real daily feed) — small on purpose: the case is
+    // about STORE growth under cadence, not the funnel
+    def day(d: Int): DataFrame = Seq(
+      (d * 10L, s"distinct document alpha for day $d with its own unique words", "en", "web", 60L),
+      (d * 10L + 1L, s"distinct document beta for day $d carrying different content", "en", "web", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    CorpusEtl.init(spark, root, day(0).limit(0), cfg)
+    val policy = CorpusEtl.MaintenancePolicy(compactEvery = 10L, retainManifests = 3L)
+    var maintenanceRuns = 0
+    for (d <- 1 to 30) {
+      CorpusEtl.runBatch(spark, root, day(d), d.toLong, cfg)
+      if (CorpusEtl.maintainOnCadence(spark, root, d.toLong, policy))
+        maintenanceRuns += 1
+      // the erasure whose receipt must survive the NEXT cadence point
+      if (d == 15)
+        CorpusEtl.forget(spark, root, Seq(150L).toDF("doc_id"))
+    }
+    assert(maintenanceRuns == 3)
+
+    val fmt = fmtOf(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept")) {
+      // reads still prune: the current plan lists at most the dirs
+      // since the last compaction (1 compacted + ≤ cadence appends),
+      // never the 30-day history
+      val dirsRead = fmt.read(t).inputFiles
+        .map(_.replaceAll("/[^/]*$", "")).distinct.length
+      assert(dirsRead <= 11, s"$t read lists $dirsRead dirs — compaction not folding")
+      // and the bytes on disk are bounded too: vacuum reclaimed the
+      // pre-retention versions (31 commits + 3 compactions would be
+      // 34 data dirs unvacuumed)
+      val dirsOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root, t))
+        .count(st => st.isDirectory && st.getPath.getName != "_log")
+      assert(dirsOnDisk <= 15, s"$t holds $dirsOnDisk dirs on disk — vacuum not reclaiming")
+    }
+    // nothing lost: every surviving day's rows are in the ledger
+    assert(fmt.read("corpus_flags").count() == 59L) // 60 folded − 1 forgotten
+    // the day-15 erasure became PHYSICAL at the day-20 cadence point:
+    // no parquet dir on disk, read directly (bypassing manifests),
+    // carries doc 150
+    for (t <- Seq("content_hashes", "band_index", "corpus_flags", "corpus_kept");
+         st <- fs.listStatus(new org.apache.hadoop.fs.Path(root, t))
+         if st.isDirectory && st.getPath.getName != "_log") {
+      val raw = spark.read.parquet(st.getPath.toString)
+      assert(raw.where($"doc_id" === 150L).isEmpty,
+        s"file bytes for forgotten doc 150 survive the cadence in $t/${st.getPath.getName}")
+    }
+    // the store still functions after three maintenance cycles
+    CorpusEtl.runBatch(spark, root, day(31), 31L, cfg)
+    assert(fmt.read("corpus_flags").count() == 61L)
+  }
+
   test("forgetting one copy never unblocks its surviving exact copies") {
     val root = freshRoot()
     val cfg = Curation.Config()
