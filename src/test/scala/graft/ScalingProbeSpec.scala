@@ -239,6 +239,82 @@ class ScalingProbeSpec extends SparkSpec {
       f"same-size day into a 10x corpus cost $ratio%.1fx — the fold is " +
         "scaling with the corpus, not the batch")
   }
+
+  /** The read-side twin of the fold probe (round-11 verdict #7): the
+    * store's O(day) READ claims — a manifest-pinned point-in-time read
+    * and a `changesBetween` day-feed — receipted against manifest
+    * HISTORY length. Two stores with identical same-size days, one
+    * with 10× the daily commits; the timed reads touch identical
+    * content in both (days 0-2 for the pin, the last single day for
+    * the feed), so any ratio growth is the read-side manifest walk
+    * scaling with history — the failure modes being ruled out are a
+    * read that lists every version dir or re-parses all manifests
+    * (≈10×), not the O(lines) manifest parse (a year of appends is a
+    * few KB of manifest text). Bound ≤3 absorbs noise on the small
+    * absolute times (floored at 0.1 s like every probe here). */
+  test("store read paths: pinned read and CDC day-read stay O(day) under 10x manifest history") {
+    assume(sys.env.contains("GRAFT_SLOW"),
+      "slow probe — run with GRAFT_SLOW=1 at round close")
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.table(spark, small, "documents")
+
+    def buildStore(days: Int): (String, graft.etl.ManifestStore) = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-readprobe").toString
+      val fmt = new graft.etl.ManifestParquet(spark, root)
+      val store = new graft.etl.ManifestStore(spark, fmt, Seq("docs"))
+      var prev = 0L
+      for (d <- 0 until days) {
+        val day = docs.where(col("doc_id") % 50 === d)
+        val v =
+          if (d == 0) fmt.tryCommit("docs", day, 0L)
+          else fmt.tryAppend("docs", day, ontoVersion = prev, expectedBase = prev)
+        store.commit(Map("docs" -> v), d.toLong)
+        prev = v
+      }
+      (root, store)
+    }
+    def minOf2(work: () => Unit): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      work()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    val (rootA, storeA) = buildStore(5)
+    val (rootB, storeB) = buildStore(50)
+    try {
+      // pinned point-in-time read: manifest 3 pins days 0-2 in BOTH
+      // stores — the 47 manifests committed after the pin in store B
+      // must not slow reading it
+      val tPinA = minOf2(() =>
+        storeA.readPinned(storeA.pinned(3L), "docs").count(): Unit)
+      val tPinB = minOf2(() =>
+        storeB.readPinned(storeB.pinned(3L), "docs").count(): Unit)
+      val pinRatio = tPinB / math.max(tPinA, 0.1)
+      info(f"pinned read            5-day=$tPinA%6.2f s  50-day=$tPinB%6.2f s  ratio=$pinRatio%4.1f")
+
+      // CDC day-feed: the last day's changes — one same-size day in
+      // both stores; the ancestry walk is one hop regardless of depth
+      val tCdcA = minOf2(() =>
+        storeA.changesBetween(storeA.base - 1, storeA.base)("docs")
+          .appended.count(): Unit)
+      val tCdcB = minOf2(() =>
+        storeB.changesBetween(storeB.base - 1, storeB.base)("docs")
+          .appended.count(): Unit)
+      val cdcRatio = tCdcB / math.max(tCdcA, 0.1)
+      info(f"cdc day-read           5-day=$tCdcA%6.2f s  50-day=$tCdcB%6.2f s  ratio=$cdcRatio%4.1f")
+
+      assert(pinRatio <= 3.0,
+        f"pinned read cost $pinRatio%.1fx under 10x manifest history — " +
+          "the point-in-time read is walking history, not the pin")
+      assert(cdcRatio <= 3.0,
+        f"CDC day-read cost $cdcRatio%.1fx under 10x manifest history — " +
+          "the feed is scaling with history, not the day")
+    } finally {
+      graft.io.TempDirs.deleteRecursively(rootA)
+      graft.io.TempDirs.deleteRecursively(rootB)
+    }
+  }
 }
 
 /** Builder for the derived-sf1 slice (see the decade test's scaladoc
