@@ -153,25 +153,33 @@ object TextOps {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
       .distinct()
-    val perDoc = covered.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_tokens"))
-    val tokpos = tok
-      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("p0", "t")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("t"))
-    val clean = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(concat_ws(" ",
-        transform(
-          array_sort(collect_list(struct(col("p"), col("t")))),
-          s => s.getField("t"))).as("clean"))
-    tok.select(col("doc_id"), col("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
+    // per-doc covered positions as ONE aggregated list — the stripped
+    // render is then a map-side indexed filter over the token array of
+    // the joined row. The previous form posexploded EVERY document's
+    // tokens (≈ corpus-token rows), anti-joined the covered positions,
+    // and re-assembled each doc with array_sort∘collect_list — two
+    // shuffles and a per-doc sort paid by ALL docs, though only docs
+    // owning a duplicated window (~14% at sf0.01/0.1) need any
+    // stripping: a doc with no covered position renders as its own
+    // token join, computed inline. The in-lambda array_contains is
+    // O(|dup_ps|) per token, but per-doc, map-side, and bounded by
+    // document length — at 100 TB this keeps the render embarrassingly
+    // parallel with zero extra shuffle (measured 2.410 → 1.817 s at
+    // sf0.1, min-of-5, same-window A/B with matched box canaries —
+    // PLANS.md r12).
+    val coveredAgg = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_tokens"),
+        collect_list(col("p")).as("dup_ps"))
+    tok.join(coveredAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
         round(coalesce(col("n_dup_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("dup_token_frac"),
-        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+        md5(concat_ws(" ",
+          when(col("dup_ps").isNull, col("tokens"))
+            .otherwise(filter(col("tokens"),
+              (t, i) => !array_contains(col("dup_ps"), i + 1)))))
+          .as("clean_md5"))
   }
 
   /** Language-ID stopword sets, in tie-break order. Tiny on purpose:
