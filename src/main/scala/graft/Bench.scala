@@ -121,16 +121,6 @@ object Bench {
     // session-layout builds during the reps), with per-stage adder
     // sums alongside for attribution.
     //
-    // Opt-in warehouse bench (SPARK_GRAFT_BENCH_WAREHOUSE=<root>):
-    // staged artifacts persist as versioned TableFormat tables under
-    // the given root. Measures COLD resolution (build + parquet
-    // commit) vs WARM (the cross-JVM read a fresh driver would pay)
-    // by resolving every persistable artifact, clearing the session
-    // memos, and resolving again — then the query loop below runs on
-    // the warm store. Artifact values are bit-equal to the in-process
-    // path by construction (StageStoreSpec), so query hashes are
-    // unchanged. The driver never sets the env, so driver benches
-    // keep the session-lifetime checkpoint default.
     // Warehouse staging is the DEFAULT (round-7 verdict): artifacts
     // persist as versioned TableFormat tables so every round's
     // artifact records the production staging story. Since round 12
