@@ -388,6 +388,13 @@ object CorpusEtl {
         // optional cadence flags: --compact-every N [--retain M]
         val flags = rest.grouped(2).collect {
           case Seq(k, v) => k -> v.toLong }.toMap
+        val unknown = flags.keySet -- Set("--compact-every", "--retain")
+        if (unknown.nonEmpty) sys.error(
+          s"unknown flag(s) ${unknown.mkString(", ")} — " +
+            "supported: --compact-every N [--retain M]")
+        if (flags.contains("--retain") && !flags.contains("--compact-every"))
+          sys.error("--retain requires --compact-every (retention vacuums " +
+            "at compaction cadence points)")
         flags.get("--compact-every").foreach { n =>
           val policy = MaintenancePolicy(n, flags.getOrElse("--retain", 0L))
           if (maintainOnCadence(spark, storeRoot, batchId.toLong, policy))
