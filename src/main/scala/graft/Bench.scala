@@ -36,6 +36,21 @@ object Bench {
   private val CanaryScanRef = 0.33
   private val CanaryWriteRef = 0.72
 
+  /** Cheap content fingerprint of a testdata snapshot: md5 over the
+    * sorted (relative path, byte size) listing — enough to catch a
+    * regeneration (new random data ⇒ new parquet sizes) without
+    * reading a byte of data. */
+  private def snapshotFingerprint(dir: String): String = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(walk))
+      else entries += s"${f.getAbsolutePath.stripPrefix(dir)}:${f.length}"
+    walk(new java.io.File(dir))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
   def main(args: Array[String]): Unit = {
     // wall-budget clock starts at main entry: the round-10 driver bench
     // died rc=124 (no JSON line at all) because 3 honest-metric sweeps +
@@ -147,8 +162,20 @@ object Bench {
             true, "temp")
         case Some(root) => (Some(root), false, "pinned")
         case None =>
-          val root = new java.io.File("target/bench-warehouse").getAbsolutePath
-          (Some(root), false, "persistent")
+          // the persistent root is keyed by a SNAPSHOT FINGERPRINT
+          // (sorted relative-path:size over the snapshot's files): a
+          // driver-side testdata regeneration at the same path (the
+          // round-5 incident) then MISSES the old artifacts and
+          // cold-rebuilds, instead of silently serving frames built
+          // from the previous data. Stale fingerprint dirs are
+          // removed — they are caches, rebuild is automatic.
+          val fp = snapshotFingerprint(sfDir)
+          val base = new java.io.File("target/bench-warehouse")
+          Option(base.listFiles).foreach(_.foreach { f =>
+            if (f.isDirectory && f.getName != fp)
+              graft.io.TempDirs.deleteRecursively(f.getAbsolutePath)
+          })
+          (Some(new java.io.File(base, fp).getAbsolutePath), false, "persistent")
       }
     // Warm-read cost is SAMPLED on one representative artifact by
     // default (round-10 postmortem: the full clear-all + second resolve
