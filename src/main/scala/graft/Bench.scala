@@ -39,16 +39,39 @@ object Bench {
   /** Cheap content fingerprint of a testdata snapshot: md5 over the
     * sorted (relative path, byte size) listing — enough to catch a
     * regeneration (new random data ⇒ new parquet sizes) without
-    * reading a byte of data. */
-  private def snapshotFingerprint(dir: String): String = {
+    * reading a byte of data. The dir is CANONICALIZED first (a
+    * trailing slash or relative `SPARK_GRAFT_SF_DIR` must not mint a
+    * different fingerprint for byte-identical data), relative paths
+    * are computed structurally rather than by string prefix, and an
+    * empty/missing snapshot fails loudly here instead of fingerprinting
+    * as md5("") and evicting valid caches before the real failure. */
+  private[graft] def snapshotFingerprint(dir: String): String = {
+    val root = new java.io.File(dir).getCanonicalFile
+    val rootPath = root.toPath
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(walk))
-      else entries += s"${f.getAbsolutePath.stripPrefix(dir)}:${f.length}"
-    walk(new java.io.File(dir))
+      else entries += s"${rootPath.relativize(f.toPath)}:${f.length}"
+    walk(root)
+    require(entries.nonEmpty, s"snapshot dir $dir is empty or missing")
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The persistent warehouse SUBDIR for one snapshot: a sanitized
+    * snapshot-path tag + the content fingerprint. Keyed by BOTH so (a)
+    * different snapshot dirs (sf0.1 vs a derived sf1) coexist instead
+    * of mutually evicting, and (b) stale-cache cleanup below only ever
+    * touches dirs of the SAME snapshot path — never a concurrent
+    * bench's warehouse for another snapshot. */
+  private[graft] def warehouseSubdir(dir: String): (String, String) = {
+    // '=' cannot appear in the sanitized tag, so `tag=` is an
+    // unambiguous prefix — a snapshot path that happens to extend
+    // another's tag can never match its cleanup prefix
+    val tag = new java.io.File(dir).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    (tag, s"$tag=${snapshotFingerprint(dir)}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -167,15 +190,17 @@ object Bench {
           // driver-side testdata regeneration at the same path (the
           // round-5 incident) then MISSES the old artifacts and
           // cold-rebuilds, instead of silently serving frames built
-          // from the previous data. Stale fingerprint dirs are
-          // removed — they are caches, rebuild is automatic.
-          val fp = snapshotFingerprint(sfDir)
+          // from the previous data. Stale fingerprints OF THIS
+          // SNAPSHOT PATH are removed (caches — rebuild is
+          // automatic); other snapshots' dirs are never touched, so
+          // benches over different sf dirs coexist.
+          val (tag, sub) = warehouseSubdir(sfDir)
           val base = new java.io.File("target/bench-warehouse")
           Option(base.listFiles).foreach(_.foreach { f =>
-            if (f.isDirectory && f.getName != fp)
+            if (f.isDirectory && f.getName.startsWith(tag + "=") && f.getName != sub)
               graft.io.TempDirs.deleteRecursively(f.getAbsolutePath)
           })
-          (Some(new java.io.File(base, fp).getAbsolutePath), false, "persistent")
+          (Some(new java.io.File(base, sub).getAbsolutePath), false, "persistent")
       }
     // Warm-read cost is SAMPLED on one representative artifact by
     // default (round-10 postmortem: the full clear-all + second resolve
@@ -200,6 +225,8 @@ object Bench {
     // below legitimately runs one more builder, which must not make a
     // warm run read as builds=1
     var stagedBuilds = 0L
+    var perStageSampleStart: Seq[(String, Double)] = Nil
+    var perStageSampleEnd: Seq[(String, Double)] = Nil
     val prewarmWall = warehouseRoot match {
       case Some(root) =>
         StageStore.setForTesting(sfDir, root)
@@ -215,9 +242,20 @@ object Bench {
               f"warm=$stagedWarmSec%.3fs")
           case "off" => ()
           case artifact =>
-            if (elapsedS + postSweepReserveS <= budgetS * 0.3)
+            // the samples run through StageCache, so their wall lands
+            // in the per-stage attribution adders — snapshot around
+            // them and subtract at emit, or a warm run's
+            // staged_dedup_sec would read as a full cold build (the
+            // sample's) and fake a stage regression
+            perStageSampleStart = Stages.stagedSecondsByStage
+            // the cold sample only ADDS information on a warm run —
+            // a cold main resolve already measured every build — and
+            // it is budget-gated so a degraded window skips it
+            if (stagedBuilds == 0 &&
+                elapsedS + postSweepReserveS <= budgetS * 0.3)
               coldSampleSec = Stages.coldBuildSample(spark, sfDir, artifact)
             warmSampleSec = Stages.warmReadSample(spark, sfDir, artifact)
+            perStageSampleEnd = Stages.stagedSecondsByStage
             println(f"[bench] warehouse staged: resolve=$wall%.3fs " +
               f"builds=$stagedBuilds cold_sample($artifact)=" +
               f"$coldSampleSec%.3fs warm_sample($artifact)=$warmSampleSec%.3fs")
@@ -454,11 +492,18 @@ object Bench {
         .mkString("\"retimed\":{", ",", "},")
     // staged-artifact cost: wall seconds this session paid (concurrent
     // prewarm wall + lazy session-layout builds during the reps), with
-    // per-stage adder attribution so a regression names its stage
+    // per-stage adder attribution so a regression names its stage.
+    // The cold/warm SAMPLE window is subtracted from the attribution —
+    // it is a diagnostic rebuild, reported by its own fields, not part
+    // of what staging cost this session
     val residual = Stages.stagedSecondsTotal - adderAfterPrewarm
     val staged = prewarmWall + residual
+    val sampleDelta = perStageSampleStart.zip(perStageSampleEnd)
+      .map { case ((n, a), (_, b)) => n -> (b - a) }.toMap
     val perStage = Stages.stagedSecondsByStage
-      .map { case (n, s) => s""""staged_${n}_sec":${r3(s)}""" }.mkString(",")
+      .map { case (n, s) =>
+        s""""staged_${n}_sec":${r3(s - sampleDelta.getOrElse(n, 0.0))}""" }
+      .mkString(",")
     // errors sit in the guaranteed-archived tail, right before value
     val errField =
       if (failed.isEmpty) ""

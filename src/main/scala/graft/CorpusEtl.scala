@@ -379,15 +379,16 @@ object CorpusEtl {
         println(s"[corpus-etl] initialized $storeRoot (benchmark pinned)")
       case "run" :: storeRoot :: batchParquet :: batchId :: rest
           if rest.isEmpty || rest.size == 2 || rest.size == 4 =>
-        val a = runBatch(spark, storeRoot,
-          spark.read.parquet(batchParquet), batchId.toLong)
-        println(s"[corpus-etl] batch ${a.batchId}: in=${a.nIn} kept=${a.nKept} " +
-          s"exact_dup=${a.nExactDup} near_dup=${a.nNearDup} " +
-          s"contaminated=${a.nContaminated} eval=${a.nEval} " +
-          s"low_quality=${a.nLowQuality}")
-        // optional cadence flags: --compact-every N [--retain M]
-        val flags = rest.grouped(2).collect {
-          case Seq(k, v) => k -> v.toLong }.toMap
+        // cadence flags (--compact-every N [--retain M]) are parsed
+        // and VALIDATED before the batch folds: a typo'd flag or a
+        // non-numeric value must fail before anything commits, not
+        // leave a committed batch behind a cryptic stack trace (the
+        // rerun after fixing the typo would then hit the reused-id
+        // guard)
+        val flags = rest.grouped(2).collect { case Seq(k, v) =>
+          k -> (try v.toLong catch { case _: NumberFormatException =>
+            sys.error(s"flag $k expects a number, got '$v'") })
+        }.toMap
         val unknown = flags.keySet -- Set("--compact-every", "--retain")
         if (unknown.nonEmpty) sys.error(
           s"unknown flag(s) ${unknown.mkString(", ")} — " +
@@ -395,12 +396,21 @@ object CorpusEtl {
         if (flags.contains("--retain") && !flags.contains("--compact-every"))
           sys.error("--retain requires --compact-every (retention vacuums " +
             "at compaction cadence points)")
-        flags.get("--compact-every").foreach { n =>
-          val policy = MaintenancePolicy(n, flags.getOrElse("--retain", 0L))
-          if (maintainOnCadence(spark, storeRoot, batchId.toLong, policy))
+        // MaintenancePolicy's own require (positive cadence) also
+        // fires before the fold
+        val policy = flags.get("--compact-every")
+          .map(n => MaintenancePolicy(n, flags.getOrElse("--retain", 0L)))
+        val a = runBatch(spark, storeRoot,
+          spark.read.parquet(batchParquet), batchId.toLong)
+        println(s"[corpus-etl] batch ${a.batchId}: in=${a.nIn} kept=${a.nKept} " +
+          s"exact_dup=${a.nExactDup} near_dup=${a.nNearDup} " +
+          s"contaminated=${a.nContaminated} eval=${a.nEval} " +
+          s"low_quality=${a.nLowQuality}")
+        policy.foreach { p =>
+          if (maintainOnCadence(spark, storeRoot, batchId.toLong, p))
             println(s"[corpus-etl] maintenance ran at batch $batchId " +
-              s"(compact every ${policy.compactEvery}, " +
-              s"retain ${policy.retainManifests} manifests)")
+              s"(compact every ${p.compactEvery}, " +
+              s"retain ${p.retainManifests} manifests)")
         }
       case Seq("export", storeRoot, sinceManifest, outDir) =>
         val (asOf, kept) = keptSince(spark, storeRoot, sinceManifest.toLong)

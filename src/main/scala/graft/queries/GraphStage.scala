@@ -292,7 +292,7 @@ object GraphStage {
   def copurchaseTrussThreshold(spark: SparkSession, dir: String,
       denom: Int = TrussPctDenom): DataFrame = {
     val sup0 = copurchaseEdgeSupport(spark, dir)
-    stage(spark, dir, s"trussThreshold_$denom") {
+    stage(spark, dir, s"trussThreshold|d=$denom") {
       val hist = sup0.groupBy(col("support").as("s")).agg(count(lit(1)).as("cnt"))
       hist.as("a").join(hist.as("b"), col("b.s") <= col("a.s"))
         .groupBy(col("a.s").as("s")).agg(sum(col("b.cnt")).as("cum"))
@@ -309,7 +309,7 @@ object GraphStage {
     * their iteration wants — a narrow map over the artifact's
     * blocks). */
   def partSupplierPairs(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "partSupplier") {
+    stage(spark, dir, "partSupplierPairs") {
       Tables.table(spark, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
         .distinct()
@@ -321,7 +321,7 @@ object GraphStage {
     * + distinct, shared across invocations like every other snapshot
     * artifact here). */
   def purchaseBipartite(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "bipartite") {
+    stage(spark, dir, "purchaseBipartite") {
       val orders = Tables.table(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       Tables.table(spark, dir, "lineitem")

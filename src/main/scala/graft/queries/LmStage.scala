@@ -62,7 +62,7 @@ object LmStage {
     * statistic both the LM scoring join and `q_collocations`' PMI
     * mining read; one corpus aggregation pass per snapshot. */
   def bigramCounts(spark: SparkSession, dir: String): DataFrame =
-    stage(spark, dir, "bigrams") {
+    stage(spark, dir, "bigramCounts") {
       bigramStream(spark, dir)
         .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         .localCheckpoint(true)
@@ -106,7 +106,7 @@ object LmStage {
     * the bucket space. */
   def dsirDocBuckets(spark: SparkSession, dir: String): DataFrame =
     stage(spark, dir,
-      s"dsirBuckets|B=${SelectionQueries.DsirBuckets}" +
+      s"dsirDocBuckets|B=${SelectionQueries.DsirBuckets}" +
         s"|t=${SelectionQueries.DsirTargetSource}") {
       SelectionQueries.dsirDocBucketCounts(spark, dir).localCheckpoint(true)
     }

@@ -95,6 +95,28 @@ class StageStoreSpec extends SparkSpec {
     }
   }
 
+  test("every persistable artifact's display suffix selects its memo cell (the warm/cold sample contract)") {
+    // Stages.warmReadSample / coldBuildSample address an artifact by
+    // its display-name suffix and match it against the memo key's
+    // artifact-id segment — a stage() id that drifts from the display
+    // suffix (five did before round 12: bigrams/bigramCounts,
+    // trussThreshold_30, …) makes both samples silently report the -1
+    // "not resolved" sentinel instead of failing loudly. Pin the
+    // correspondence for every registered artifact.
+    import graft.queries.VectorStage
+    for ((name, build) <- graft.queries.Stages.persistableArtifacts) {
+      build(spark, src).count() // resolve (memo hit if already built)
+      val sub = name.split("\\.", 2)(1)
+      val dropped = GraphStage.dropMatchingAndFree(sub) +
+        DedupStage.dropMatchingAndFree(sub) +
+        LmStage.dropMatchingAndFree(sub) +
+        VectorStage.dropMatchingAndFree(sub)
+      assert(dropped >= 1,
+        s"$name: display suffix '$sub' selects no memo cell — the " +
+          "warm/cold samples would silently report -1 for it")
+    }
+  }
+
   test("persisted cluster table folds a batch via foldInto, equal to full recompute") {
     import spark.implicits._
     // two old components {1,2,3} and {10,11}; the batch bridges them
