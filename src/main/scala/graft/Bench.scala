@@ -277,8 +277,8 @@ object Bench {
     // the corpus fold (a build failure must fail the run LOUDLY after
     // the JSON line, never die before it)
     val ttStoreSec =
-      if (!only.forall(s =>
-          s.contains("q_store_time_travel") || s.contains("q_store_cdc"))) -1.0
+      if (!only.forall(s => s.contains("q_store_time_travel") ||
+          s.contains("q_store_cdc") || s.contains("q_store_evolve"))) -1.0
       else try {
         val t0 = System.nanoTime()
         graft.queries.CorpusQueries.timeTravelStoreRoot(spark, sfDir)

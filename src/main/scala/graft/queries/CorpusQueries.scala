@@ -512,6 +512,7 @@ object CorpusQueries {
     "q_rank_fusion" -> (q_rank_fusion _),
     "q_store_time_travel" -> (q_store_time_travel _),
     "q_store_cdc" -> (q_store_cdc _),
+    "q_store_evolve" -> (q_store_evolve _),
   )
 
   // ---- manifest-store time travel ------------------------------------
@@ -544,7 +545,12 @@ object CorpusQueries {
     * (`doc_id % 10 < 6`), manifest 2 = day-2 append (the rest),
     * manifest 3 = a right-to-be-forgotten tombstone delete of
     * `doc_id % 7 == 0` (an O(forget-set) deletion-vector commit on
-    * the manifest-log backend — no history rewrite). */
+    * the manifest-log backend — no history rewrite), manifest 4 = a
+    * SCHEMA-EVOLVING day-3 append (new ids, new `quality_score`
+    * column — every earlier dir reads it as NULL through name-based
+    * resolution, zero files rewritten), manifest 5 = `compact`
+    * (tombstones materialized, dirs folded — dataChange=false, so
+    * content is pinned identical and the CDC range (1,3] unaffected). */
   private[graft] def timeTravelStoreRoot(spark: SparkSession, dir: String): String = {
     val key = s"${spark.sparkContext.applicationId}|$dir"
     ttStores.computeIfAbsent(key, _ => {
@@ -554,7 +560,7 @@ object CorpusQueries {
       // run leaks a two-version parquet copy of the documents table
       graft.io.TempDirs.deleteOnExit(r)
       val docs = Tables.table(spark, dir, "documents")
-      val fmt = graft.etl.TableFormat.DefaultBackend(spark, r)
+      val fmt = new graft.etl.ManifestParquet(spark, r)
       val store = new graft.etl.ManifestStore(spark, fmt, Seq("docs"))
       val v1 = fmt.tryCommit("docs", docs.where(col("doc_id") % 10 < 6), 0L)
       store.commit(Map("docs" -> v1), base = 0L)
@@ -565,9 +571,21 @@ object CorpusQueries {
         docs.where(col("doc_id") % 7 === 0).select("doc_id"),
         ontoVersion = v2, expectedBase = v2)
       store.commit(Map("docs" -> v3), base = 2L)
+      val v4 = fmt.tryAppendEvolve("docs",
+        docs.where(col("doc_id") % 10 < 2)
+          .withColumn("doc_id", col("doc_id") + lit(EvolveIdOffset))
+          .withColumn("quality_score", pmod(col("n_chars"), lit(100L))),
+        ontoVersion = v3, expectedBase = v3)
+      store.commit(Map("docs" -> v4), base = 3L)
+      val v5 = fmt.compact("docs")
+      store.commit(Map("docs" -> v5), base = 4L)
       r
     })
   }
+
+  /** Day-3 evolve-append ids live far above every base doc_id, so the
+    * re-appended rows never collide with (or read as) originals. */
+  private val EvolveIdOffset = 1000000000L
 
   def q_store_time_travel(spark: SparkSession, dir: String): DataFrame = {
     val root = timeTravelStoreRoot(spark, dir)
@@ -608,6 +626,27 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
       .orderBy(col("source").asc)
+  }
+
+  /** Additive SCHEMA EVOLUTION + COMPACTION under the hash gate (the
+    * two remaining spec-only store read surfaces): the latest store
+    * state (manifest 5) is read through the SQL front door — after an
+    * evolve-append minted the `quality_score` column (manifest 4) and
+    * a compaction folded the five-commit history to one dir
+    * (manifest 5, dataChange=false). The oracle recomputes that state
+    * from base parquet: the pre-evolution rows (day 1+2 minus the
+    * erased `doc_id % 7` set) must read the new column as NULL —
+    * `n_scored` counts only day-3 rows — and the compaction must have
+    * changed nothing (a compact that dropped a tombstone, resurrected
+    * an erased row, or lost the widened schema hash-mismatches). */
+  def q_store_evolve(spark: SparkSession, dir: String): DataFrame = {
+    val root = timeTravelStoreRoot(spark, dir)
+    graft.GraftCatalog.registerStore(spark, root, Seq("docs"), prefix = "evq")
+    spark.sql(
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  count(quality_score) AS n_scored,
+        |  sum(quality_score) AS total_score
+        |FROM evq_docs GROUP BY source ORDER BY source ASC""".stripMargin)
   }
 
   private val FusionN = 50 // per-arm retrieval depth
@@ -1504,5 +1543,19 @@ FROM documents WHERE doc_id % 10 < 6 GROUP BY source ORDER BY source ASC""",
   CAST(sum(n_chars) AS BIGINT) AS total_chars,
   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents WHERE doc_id % 7 <> 0 GROUP BY source ORDER BY source ASC""",
+    // the manifest-5 state: post-erasure day-1+2 rows carry NULL for
+    // the evolved column (n_scored counts only the day-3 append) and
+    // the compaction changed nothing
+    "q_store_evolve" ->
+      """WITH cur AS (
+  SELECT source, n_chars, CAST(NULL AS BIGINT) AS q
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT source, n_chars, n_chars % 100 AS q
+  FROM documents WHERE doc_id % 10 < 2)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  count(q) AS n_scored, CAST(sum(q) AS BIGINT) AS total_score
+FROM cur GROUP BY source ORDER BY source ASC""",
   )
 }
