@@ -39,8 +39,8 @@ object CorpusQueries {
   // multi-probe runs on HALF the tables: probing replaces index copies
   private val MultiProbeTables = LshTables.take(2)
   private val LshPlanes = 4
-  private val IvfK = 8
-  private val IvfIters = 2
+  private[queries] val IvfK = 8
+  private[queries] val IvfIters = 2
   private val IvfNProbe = 2
   private val IvfTopK = 5
   private val IvfMaxSample = 16384
@@ -270,6 +270,34 @@ object CorpusQueries {
     val v = Tables.table(spark, dir, "embeddings")
     val centroids = graft.vector.IvfIndex.train(v, k = IvfK, iters = IvfIters)
     graft.vector.IvfIndex.topK(v, annQueries(v), centroids, nProbe = IvfNProbe, k = IvfTopK)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Incremental IVF ANN — the daily INDEX-APPEND path, the ANN
+    * family's missing incremental twin (every other persisted index
+    * here — BM25, k-means state, phash bands, the dedup band index —
+    * already has one): yesterday's corpus (vec_id % 4 ≠ 0) carries a
+    * PERSISTED coarse quantizer and posting table
+    * ([[VectorStage.ivfPriorCentroids]]/[[VectorStage
+    * .ivfPriorPostings]]); today's batch (% 4 = 0) is cell-assigned
+    * map-side against the broadcast centroid literals — O(batch × k),
+    * zero shuffle, no re-clustering and no touch of the resident
+    * postings — and the probe searches the unioned postings. At
+    * 100 TB this is the only viable shape: FAISS-style IVF serves
+    * appends against a trained quantizer and retrains on a drift
+    * cadence, never per batch. Fully oracle-gated like [[q_ann_ivf]]:
+    * the SAME Lloyd replay, with training's source restricted to the
+    * prior slice ([[annIvfIncrementalSql]]) — a probe that missed
+    * batch vectors, re-trained on the full corpus, or re-assigned
+    * resident rows hash-mismatches. */
+  def q_ann_ivf_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.table(spark, dir, "embeddings")
+    val centroids = VectorStage.ivfPriorCentroidSeq(spark, dir)
+    val batch = v.where(col("vec_id") % 4 === 0)
+    val postings = VectorStage.ivfPriorPostings(spark, dir)
+      .unionByName(graft.vector.IvfIndex.assign(batch, centroids))
+    graft.vector.IvfIndex
+      .topKOverPostings(postings, annQueries(v), centroids, nProbe = IvfNProbe, k = IvfTopK)
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
@@ -507,6 +535,7 @@ object CorpusQueries {
     "q_bpe_merges" -> (q_bpe_merges _),
     "q_bpe_segment" -> (q_bpe_segment _),
     "q_ann_ivf" -> (q_ann_ivf _),
+    "q_ann_ivf_incremental" -> (q_ann_ivf_incremental _),
     "q_ann_pq" -> (q_ann_pq _),
     "q_dedup_rewrite" -> (q_dedup_rewrite _),
     "q_rank_fusion" -> (q_rank_fusion _),
@@ -1063,7 +1092,7 @@ ORDER BY a ASC, b ASC"""
     * aliases `e` (embeddings) and `cen`). */
   private def lloydReplayCtes(
       sfx: String, lo: Int, hi: Int, k: Int, iters: Int,
-      sampleBound: Int): (String, String) = {
+      sampleBound: Int, trainSrc: String = "embeddings"): (String, String) = {
     val sd = hi - lo + 1
     def sub(e: String): String =
       if (lo == 1 && hi == VecDim) e else s"list_slice($e, $lo, $hi)"
@@ -1100,7 +1129,7 @@ ORDER BY a ASC, b ASC"""
     val ctes = s"""samp$sfx AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS idx,
        |         list_transform(${sub("embedding")}, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings QUALIFY idx < $sampleBound),
+       |  FROM $trainSrc QUALIFY idx < $sampleBound),
        |prm$sfx AS (SELECT greatest(COUNT(*) // $k, 1) AS step FROM samp$sfx),
        |c0$sfx AS (
        |  SELECT CAST(idx // step AS INTEGER) AS cell, v
@@ -1113,9 +1142,9 @@ ORDER BY a ASC, b ASC"""
     (ctes, assignDist)
   }
 
-  private val (ivfAssignCtes, ivfAssignDist): (String, String) = {
+  private def ivfAssignPrefix(trainSrc: String): (String, String) = {
     val (ctes, assignDist) =
-      lloydReplayCtes("", 1, VecDim, IvfK, IvfIters, IvfMaxSample)
+      lloydReplayCtes("", 1, VecDim, IvfK, IvfIters, IvfMaxSample, trainSrc)
     val prefix = s"""WITH
        |$ctes,
        |col AS (
@@ -1126,6 +1155,9 @@ ORDER BY a ASC, b ASC"""
        |    ORDER BY $assignDist ASC, cen.cell ASC) = 1)""".stripMargin
     (prefix, assignDist)
   }
+
+  private val (ivfAssignCtes, ivfAssignDist): (String, String) =
+    ivfAssignPrefix("embeddings")
 
   /** PQ oracle building blocks: the IVF Lloyd replay parameterized
     * over a contiguous embedding slice (subspace `s` covers 1-based
@@ -1306,14 +1338,15 @@ ORDER BY a ASC, b ASC"""
        |ORDER BY al.vec_id ASC""".stripMargin
   }
 
-  private val annIvfSql: String = ivfAssignCtes + ",\n" +
-    s"""q AS (
+  private def ivfProbeSql(prefix: String, assignDist: String): String =
+    prefix + ",\n" +
+      s"""q AS (
        |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
        |         sqrt(${dotSql("e.embedding", "e.embedding")}) AS q_norm, cen.cell
        |  FROM embeddings e CROSS JOIN cen
        |  WHERE e.vec_id % 100 = 0
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |    ORDER BY $ivfAssignDist ASC, cen.cell ASC) <= $IvfNProbe)
+       |    ORDER BY $assignDist ASC, cen.cell ASC) <= $IvfNProbe)
        |SELECT q_id AS query_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY round(${dotSql("q_emb", "c_emb")} / (q_norm * c_norm), 10) DESC, c_id ASC)
@@ -1323,6 +1356,19 @@ ORDER BY a ASC, b ASC"""
        |FROM q JOIN col ON q.cell = col.cell AND q_id <> c_id
        |QUALIFY rank <= $IvfTopK
        |ORDER BY query_id ASC, rank ASC""".stripMargin
+
+  private val annIvfSql: String = ivfProbeSql(ivfAssignCtes, ivfAssignDist)
+
+  /** [[annIvfSql]] with ONE difference — the Lloyd replay trains on
+    * the prior slice only (vec_id % 4 ≠ 0), exactly the quantizer the
+    * persisted index carries; assignment and probing still cover the
+    * full collection, which is what "append the batch to yesterday's
+    * index" must equal. */
+  private val annIvfIncrementalSql: String = {
+    val (prefix, assignDist) = ivfAssignPrefix(
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0)")
+    ivfProbeSql(prefix, assignDist)
+  }
 
   /** Semantic-dedup oracle: the shared IVF training/assignment
     * replay, then exact within-cell pair search — higher vec_id of
@@ -1464,6 +1510,7 @@ ORDER BY rrf DESC, doc_id ASC LIMIT $FusionK"""
     "q_ann_lsh" -> annLshSql,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_incremental" -> annIvfIncrementalSql,
     "q_kmeans" -> kmeansSql,
     "q_kmeans_incremental" -> kmeansIncrementalSql,
     "q_ann_pq" -> annPqSql,

@@ -62,9 +62,51 @@ object VectorStage {
       .collect().sortBy(_.cell).toSeq
   }
 
+  /** The id split the IVF index simulates: "yesterday's corpus" is
+    * vec_id % 4 ≠ 0, today's batch the % 4 = 0 quarter — the same
+    * batch convention as [[CorpusQueries.q_phash_incremental]] /
+    * `q_dedup_incremental`. */
+  private[queries] def ivfPrior(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings").where(col("vec_id") % 4 =!= 0)
+
+  /** Yesterday's coarse quantizer: [[graft.vector.IvfIndex.train]]
+    * over the prior slice, persisted as the k-row (cell, vec) table a
+    * warehouse versions next to the postings. Training is driver-side
+    * over a bounded sample (the FAISS recipe), so this artifact's
+    * build cost never scales with the corpus. */
+  def ivfPriorCentroids(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "ivfPriorCentroids") {
+      import spark.implicits._
+      graft.vector.IvfIndex
+        .train(ivfPrior(spark, dir), CorpusQueries.IvfK, CorpusQueries.IvfIters)
+        .toDF().localCheckpoint(true)
+    }
+
+  /** [[ivfPriorCentroids]] rehydrated to driver literals, cell-ordered
+    * (k × dim doubles — the whole index state that leaves the cluster). */
+  private[queries] def ivfPriorCentroidSeq(spark: SparkSession, dir: String)
+      : Seq[graft.vector.IvfIndex.Centroid] = {
+    import spark.implicits._
+    ivfPriorCentroids(spark, dir).as[graft.vector.IvfIndex.Centroid]
+      .collect().sortBy(_.cell).toSeq
+  }
+
+  /** Yesterday's posting table: the prior slice cell-assigned against
+    * [[ivfPriorCentroids]] ([[graft.vector.IvfIndex.assign]]) — the
+    * corpus-scale O(n·k) map pass a daily pipeline pays ONCE and then
+    * only appends to. */
+  def ivfPriorPostings(spark: SparkSession, dir: String): DataFrame =
+    stage(spark, dir, "ivfPriorPostings") {
+      graft.vector.IvfIndex
+        .assign(ivfPrior(spark, dir), ivfPriorCentroidSeq(spark, dir))
+        .localCheckpoint(true)
+    }
+
   /** This stage's rows in [[Stages.persistableArtifacts]]. */
   private[graft] def persistableArtifacts
       : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "vector.kmQuantized" -> (quantizedEmbeddings _),
-    "vector.kmPriorState" -> (kmPriorState _))
+    "vector.kmPriorState" -> (kmPriorState _),
+    "vector.ivfPriorCentroids" -> (ivfPriorCentroids _),
+    "vector.ivfPriorPostings" -> (ivfPriorPostings _))
 }

@@ -97,13 +97,28 @@ object IvfIndex {
     centroids
   }
 
-  /** IVF search: candidates = vectors in the query's nProbe nearest
-    * cells; exact cosine ranks them. */
-  def topK(vecs: DataFrame, queries: DataFrame, centroids: Seq[Centroid], nProbe: Int, k: Int): DataFrame = {
-    val c = vecs.select(
+  /** Collection rows assigned to their nearest cell — the posting
+    * table an IVF index PERSISTS: (c_id, c_emb, c_norm, cell).
+    * Map-only against broadcast centroid literals, so appending a
+    * daily batch to a committed index costs O(batch × k) with zero
+    * shuffle and zero touch of the resident postings. */
+  def assign(vecs: DataFrame, centroids: Seq[Centroid]): DataFrame =
+    vecs.select(
       col("vec_id").as("c_id"), col("embedding").as("c_emb"),
       VectorOps.l2norm(col("embedding")).as("c_norm"),
       assignCell(col("embedding"), centroids).as("cell"))
+
+  /** IVF search: candidates = vectors in the query's nProbe nearest
+    * cells; exact cosine ranks them. */
+  def topK(vecs: DataFrame, queries: DataFrame, centroids: Seq[Centroid], nProbe: Int, k: Int): DataFrame =
+    topKOverPostings(assign(vecs, centroids), queries, centroids, nProbe, k)
+
+  /** The probe over an ALREADY-ASSIGNED posting table ([[assign]]'s
+    * schema) — the search path a persisted index serves: the caller
+    * unions yesterday's committed postings with today's map-side
+    * batch assignment and never re-assigns the resident collection. */
+  def topKOverPostings(postings: DataFrame, queries: DataFrame, centroids: Seq[Centroid], nProbe: Int, k: Int): DataFrame = {
+    val c = postings
     val q = queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       VectorOps.l2norm(col("embedding")).as("q_norm"),

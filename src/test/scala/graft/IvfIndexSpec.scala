@@ -45,6 +45,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall > probedCells * 0.8, s"recall=$recall barely beats random cell scan")
   }
 
+  test("index append: prior postings + map-side batch assignment equals a full assign") {
+    // the incremental contract behind q_ann_ivf_incremental: with the
+    // quantizer FROZEN on the prior slice, assigning the batch alone
+    // and unioning onto the persisted postings must equal assigning
+    // the whole collection — no resident row moves, none is lost
+    val prior = vecs.where($"vec_id" % 4 =!= 0)
+    val batch = vecs.where($"vec_id" % 4 === 0)
+    val centroids = IvfIndex.train(prior, 8, 2)
+    val appended = IvfIndex.assign(prior, centroids)
+      .unionByName(IvfIndex.assign(batch, centroids))
+      .select("c_id", "cell").as[(Long, Int)].collect().toMap
+    val full = IvfIndex.assign(vecs, centroids)
+      .select("c_id", "cell").as[(Long, Int)].collect().toMap
+    assert(appended === full)
+  }
+
+  test("prior-trained quantizer keeps useful recall over the appended collection") {
+    // quality of the daily shape: centroids trained WITHOUT the batch
+    // still recall well when the probe spans prior + batch postings
+    val prior = vecs.where($"vec_id" % 4 =!= 0)
+    val batch = vecs.where($"vec_id" % 4 === 0)
+    val centroids = IvfIndex.train(prior, 8, 2)
+    val postings = IvfIndex.assign(prior, centroids)
+      .unionByName(IvfIndex.assign(batch, centroids))
+    val queries = vecs.where($"vec_id" % 100 === 0)
+    val brute = VectorOps.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.topKOverPostings(postings, queries, centroids, nProbe = 4, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf.size <= brute.size)
+  }
+
   test("semantic dedup drops exactly the higher ids of within-cell dup pairs") {
     val centroids = IvfIndex.train(vecs, 8, 2)
     val r = IvfIndex.semanticDedup(vecs, centroids, 0.45)
