@@ -84,7 +84,7 @@ object VectorStage {
 
   /** [[ivfPriorCentroids]] rehydrated to driver literals, cell-ordered
     * (k × dim doubles — the whole index state that leaves the cluster). */
-  private[queries] def ivfPriorCentroidSeq(spark: SparkSession, dir: String)
+  private[graft] def ivfPriorCentroidSeq(spark: SparkSession, dir: String)
       : Seq[graft.vector.IvfIndex.Centroid] = {
     import spark.implicits._
     ivfPriorCentroids(spark, dir).as[graft.vector.IvfIndex.Centroid]

@@ -94,7 +94,9 @@ class ScalingProbeSpec extends SparkSpec {
       buildProbe("pr-prior-ranks build")(dir =>
         graft.queries.GraphStage.pagerankPriorRanks(spark, dir).count()),
       buildProbe("km-prior-state build")(dir =>
-        graft.queries.VectorStage.kmPriorState(spark, dir).count())).flatten
+        graft.queries.VectorStage.kmPriorState(spark, dir).count()),
+      buildProbe("ivf-prior build")(dir =>
+        graft.queries.VectorStage.ivfPriorPostings(spark, dir).count())).flatten
     val failures = miningFailures ++ stageFailures ++ heavyweights.flatMap { name =>
       def minOf2(dir: String): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -240,6 +242,68 @@ class ScalingProbeSpec extends SparkSpec {
         "scaling with the corpus, not the batch")
   }
 
+  /** The ANN twin of the corpus-day receipt (q_ann_ivf_incremental's
+    * 100 TB claim): appending a SAME-SIZE embedding batch to an index
+    * whose resident posting table is 10× larger must cost the BATCH —
+    * assignment is map-only against broadcast centroid literals, so a
+    * ratio ≈1 is expected and ≥10 would mean the append path is
+    * touching resident postings. The SEARCH over the appended index
+    * is timed alongside but bounded at the decade tier's linear ≤12:
+    * IVF search legitimately scans the probed cells' candidates
+    * (nProbe/k of the collection — the knob a deployment retunes as
+    * the corpus grows), so linear-in-candidates is the correct
+    * expectation there, not O(batch). */
+  test("ivf index append: same-size batch into a 10x posting table stays batch-proportional (<=3x)") {
+    assume(sys.env.contains("GRAFT_SLOW"),
+      "slow probe — run with GRAFT_SLOW=1 at round close")
+    import org.apache.spark.sql.functions.col
+    val sf1 = DecadeSlice.ensure(spark, big)
+    val offset = 100000000L
+
+    def tierCost(dir: String, replica0Only: Boolean): (Double, Double) = {
+      // yesterday's artifacts resolve OUTSIDE the timed windows — the
+      // daily pipeline reads them from the warehouse, it never
+      // rebuilds them
+      val centroids = graft.queries.VectorStage.ivfPriorCentroidSeq(spark, dir)
+      graft.queries.VectorStage.ivfPriorPostings(spark, dir).count()
+      val v = graft.io.Tables.table(spark, dir, "embeddings")
+      val isBatch =
+        if (replica0Only) col("vec_id") % 4 === 0 && col("vec_id") < offset
+        else col("vec_id") % 4 === 0
+      val batch = v.where(isBatch)
+      def minOf2(work: () => Unit): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        work()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val tAssign = minOf2(() =>
+        graft.vector.IvfIndex.assign(batch, centroids).count(): Unit)
+      // same 20 query vectors at both tiers (replica 0 only), so the
+      // search ratio isolates candidate growth
+      val queries = v.where(col("vec_id") % 100 === 0 && col("vec_id") < offset)
+      val postings = graft.queries.VectorStage.ivfPriorPostings(spark, dir)
+        .unionByName(graft.vector.IvfIndex.assign(batch, centroids))
+      val tProbe = minOf2(() =>
+        graft.vector.IvfIndex
+          .topKOverPostings(postings, queries, centroids, nProbe = 2, k = 5)
+          .count(): Unit)
+      (tAssign, tProbe)
+    }
+
+    val (aS, pS) = tierCost(big, replica0Only = false)
+    val (aB, pB) = tierCost(sf1, replica0Only = true)
+    val assignRatio = aB / math.max(aS, 0.1)
+    val probeRatio = pB / math.max(pS, 0.1)
+    info(f"ivf batch assign       sf0.1=$aS%6.2f s  sf1=$aB%6.2f s  ratio=$assignRatio%4.1f")
+    info(f"ivf appended search    sf0.1=$pS%6.2f s  sf1=$pB%6.2f s  ratio=$probeRatio%4.1f")
+    assert(assignRatio <= 3.0,
+      f"same-size batch assignment cost $assignRatio%.1fx under a 10x resident " +
+        "corpus — the append path is scaling with the postings, not the batch")
+    assert(probeRatio <= 12.0,
+      f"appended-index search cost $probeRatio%.1fx for 10x candidates — " +
+        "superlinear in the probed cells")
+  }
+
   /** The read-side twin of the fold probe (round-11 verdict #7): the
     * store's O(day) READ claims — a manifest-pinned point-in-time read
     * and a `changesBetween` day-feed — receipted against manifest
@@ -364,6 +428,23 @@ object DecadeSlice {
           .write.mode("overwrite").parquet(s"$root/customer.parquet")
 
         new java.io.File(root, "_READY").createNewFile()
+      }
+      // embeddings joined the slice in round 12 (the IVF append
+      // receipt) — an older cached slice has the sentinel but not the
+      // table, so this check is independent of _READY. Values are
+      // copied verbatim per replica: assignment/search COST does not
+      // depend on them, only on row counts
+      if (!new java.io.File(s"$root/embeddings.parquet").exists()) {
+        import org.apache.spark.sql.functions._
+        val reps = 10
+        val offset = 100000000L
+        graft.io.Tables.table(spark, srcDir, "embeddings")
+          .crossJoin(broadcast(spark.range(reps).toDF("rep")))
+          .select(
+            (col("vec_id") + col("rep") * offset).as("vec_id"),
+            col("embedding"), col("label"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
       }
       root
     }
