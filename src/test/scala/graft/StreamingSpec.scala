@@ -321,6 +321,41 @@ class StreamingSpec extends SparkSpec {
     assert(results.toSet == expected)
   }
 
+  test("streaming ANN serving vs the static IVF index is batch-split invariant and equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.io.Tables.table(spark, sf, "embeddings")
+    // the persisted index q_ann_ivf_incremental maintains: quantizer
+    // trained on the prior slice, postings over the full collection
+    val centroids = graft.vector.IvfIndex.train(emb.where($"vec_id" % 4 =!= 0), 8, 2)
+    val postings = graft.vector.IvfIndex.assign(emb, centroids).localCheckpoint(true)
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val expected = graft.vector.IvfIndex
+      .topKOverPostings(postings, queries, centroids, nProbe = 2, k = 5)
+      .select($"query_id", $"rank".cast("long"), $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    val queryRows = queries.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    for (nSplits <- Seq(1, 3)) {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val results = scala.collection.mutable.Set[(Long, Long, Long)]()
+      val q = graft.streaming.StreamingAnn.topKAgainstIndex(
+        in.toDF().toDF("vec_id", "embedding"), postings, centroids, 2, 5) { (topk, _) =>
+        results ++= topk.select($"query_id", $"rank".cast("long"), $"neighbor_id")
+          .as[(Long, Long, Long)].collect()
+      }.start()
+      // the split must not change results: a query's answer depends
+      // only on the static index, never on other stream elements
+      queryRows.grouped(math.max(1, queryRows.size / nSplits + 1)).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      assert(results.toSet === expected)
+    }
+    graft.operators.CheckpointBlocks.free(postings)
+  }
+
   test("streaming cluster maintenance through TableFormat equals a from-scratch components run") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
