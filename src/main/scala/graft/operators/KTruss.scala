@@ -55,24 +55,55 @@ object KTruss {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val removed = state.where(col("support") < col("min_sup")).select("u", "v")
+      val removed = state.where(col("support") < col("min_sup"))
+        .select("u", "v", "support")
       if (removed.isEmpty) done = true
       else {
         // triangles of the PRE-round edge set containing a removed
         // edge (u,v): z adjacent to u via any pre-round edge (both
         // orientations), with (v,z) also pre-round — the closure
-        // semi-join; z is then adjacent to BOTH endpoints
+        // semi-join; z is then adjacent to BOTH endpoints.
+        //
+        // Enumerate ONLY from removed edges with support > 0: the
+        // support is exact over the pre-round survivor set (the
+        // induction the whole peel rests on), so a support-0 edge
+        // sits in ZERO pre-round triangles — its |removed|·deg
+        // candidate rows are provably empty work. This is exact,
+        // not a heuristic: any triangle touching a removed edge
+        // touches it with support ≥ 1 by definition. Measured at
+        // sf0.1 (round-12 optimization pass): the co-purchase peel's
+        // round 1 removes 10,821 edges, ALL support-0 (the ⌈m/50⌉
+        // percentile threshold lands at min_sup=1), and the unfiltered
+        // enumeration burned a 1.25M-candidate join + triple-distinct
+        // to find 0 triangles — ~46 s of the query's ~60 s task time.
+        // The removed set is the peel TRICKLE — bounded by the
+        // percentile threshold in round 1 (≤ m/50 edges by
+        // construction) and a cascade residue after — while state is
+        // the full |E|-row edge set. Without explicit hints the
+        // planner sort-merge-joins these, shuffling 2|E| dirAll rows
+        // and |E| edgeSet rows EVERY round (measured at sf0.1: two
+        // ~13-21 MB exchanges per round, ~half the query's task
+        // time). Broadcasting the trickle side makes the whole round
+        // map-side over the already-materialized state: zero
+        // Exchange in the loop. Same trade as PageRank's
+        // broadcastState layout; for graphs whose round-1 trickle
+        // (≤ m/50) outgrows a broadcast, drop the hints and the
+        // planner falls back to the shuffled shape.
         val dirAll = state.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(state.select(col("v").as("src"), col("u").as("dst")))
         val edgeSet = state.select(col("u").as("eu"), col("v").as("ev"))
-        val cand = removed
+        val cand = broadcast(removed.where(col("support") > 0).select("u", "v"))
           .join(dirAll, col("u") === col("src"))
           .where(col("dst") =!= col("v"))
           .select(col("u"), col("v"), col("dst").as("z"))
-        val tris = cand
-          .withColumn("eu", least(col("v"), col("z")))
-          .withColumn("ev", greatest(col("v"), col("z")))
-          .join(edgeSet, Seq("eu", "ev"), "left_semi")
+        // inner join against the unique (eu,ev) edge set ≡ the
+        // left-semi filter on cand (state rows are unique per edge),
+        // but with broadcast(cand) it streams edgeSet map-side
+        // instead of shuffling it
+        val tris = edgeSet
+          .join(broadcast(cand
+            .withColumn("eu", least(col("v"), col("z")))
+            .withColumn("ev", greatest(col("v"), col("z")))), Seq("eu", "ev"))
           .select(array_sort(array(col("u"), col("v"), col("z"))).as("t"))
           .distinct() // triangle identity: the sorted node triple
           .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
@@ -81,10 +112,11 @@ object KTruss {
             struct(col("x").as("u"), col("z").as("v")),
             struct(col("y").as("u"), col("z").as("v")))).as("e"))
           .select(col("e.u"), col("e.v"))
-        val dec = triEdges.join(removed, Seq("u", "v"), "left_anti")
+        val removedKeys = broadcast(removed.select("u", "v"))
+        val dec = triEdges.join(removedKeys, Seq("u", "v"), "left_anti")
           .groupBy("u", "v").agg(count(lit(1)).as("dec"))
-        val next = state.join(removed, Seq("u", "v"), "left_anti")
-          .join(dec, Seq("u", "v"), "left")
+        val next = state.join(removedKeys, Seq("u", "v"), "left_anti")
+          .join(broadcast(dec), Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             (col("support") - coalesce(col("dec"), lit(0L))).cast("int").as("support"),
             col("min_sup"))

@@ -86,13 +86,29 @@ object PageRank {
     * on src when `broadcastState = false`), `deg` its (node, degree)
     * aggregate. Both are scanned every round, so non-materialized
     * inputs re-derive per round. */
+  /** @param edgesCarryDstDegree the caller guarantees `e` has a
+    *   `dst_degree` column holding each dst's degree OVER THIS EDGE
+    *   SET and `deg` has `n_in` (incoming count over this edge set) —
+    *   staged-artifact metadata (see
+    *   [[graft.queries.GraphStage.partSupplierEncodedEdges]]). The
+    *   round update then aggregates straight to (node, degree, mass)
+    *   grouped by (dst, dst_degree) — degree is functionally
+    *   dependent on dst, so groups are identical — and unions the
+    *   static no-incoming node set (mass = teleport exactly, since
+    *   its `incoming` is always 0) instead of left-joining the degree
+    *   table: one broadcast build per round instead of two, no join
+    *   in the loop beyond the edge⋈sent probe. Integer masses are
+    *   bit-identical to the join shape (round-12 optimization pass;
+    *   an explicit flag, not column sniffing, because a FILTERED
+    *   artifact carries stale metadata the loop cannot detect). */
   def integerPageRankOver(
       e: DataFrame,
       deg: DataFrame,
       iters: Int,
       startMass: Long = 1000000L,
       broadcastState: Boolean = true,
-      init: Option[DataFrame] = None): DataFrame = {
+      init: Option[DataFrame] = None,
+      edgesCarryDstDegree: Boolean = false): DataFrame = {
     val teleport = startMass * 15L / 100L
     // WARM START: seed from a prior day's (node, mass) instead of
     // uniform — the incremental refresh after a graph delta (nodes
@@ -101,7 +117,10 @@ object PageRank {
     // for the same ordering quality, which is the whole point of
     // folding a daily delta instead of re-ranking from scratch.
     var state = init match {
-      case None => deg.withColumn("mass", lit(startMass))
+      // explicit select: deg may carry artifact metadata (n_in) that
+      // must not leak into the returned state's schema
+      case None => deg.select(col("node"), col("degree"),
+        lit(startMass).as("mass"))
       case Some(m) => deg
         .join(m.select(col("node"), col("mass").as("init_mass")),
           Seq("node"), "left")
@@ -110,18 +129,35 @@ object PageRank {
     }
     var spentCps = List.empty[DataFrame]
     var lastCp: Option[DataFrame] = None
+    // static across rounds (the graph does not change): nodes with no
+    // incoming edge always aggregate incoming = 0, so their mass is
+    // exactly `teleport` from round 1 on — a map-side filter over the
+    // caller's degree artifact, unioned into each round instead of
+    // carried through a join. Empty for any undirected (both-
+    // orientations) incidence.
+    lazy val noIncoming = deg.where(col("n_in") === 0)
+      .select(col("node"), col("degree"), lit(teleport).as("mass"))
     for (i <- 1 to iters) {
       val sent = state.select(col("node").as("src"),
         expr("mass div degree").as("sent"))
-      val contrib = e
-        .join(if (broadcastState) broadcast(sent) else sent, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("sent")).as("incoming"))
-      val updated = deg
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), col("degree"),
-          (lit(teleport) +
-            expr("(85 * coalesce(incoming, 0)) div 100")).as("mass"))
+      val updated = if (edgesCarryDstDegree) {
+        e.join(if (broadcastState) broadcast(sent) else sent, "src")
+          .groupBy(col("dst").as("node"), col("dst_degree").as("degree"))
+          .agg(sum(col("sent")).as("incoming"))
+          .select(col("node"), col("degree"),
+            (lit(teleport) + expr("(85 * incoming) div 100")).as("mass"))
+          .unionByName(noIncoming)
+      } else {
+        val contrib = e
+          .join(if (broadcastState) broadcast(sent) else sent, "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("sent")).as("incoming"))
+        deg
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            (lit(teleport) +
+              expr("(85 * coalesce(incoming, 0)) div 100")).as("mass"))
+      }
       // state enters the next round's lineage exactly once (via sent),
       // so rounds PIPELINE with no recompute blowup — checkpoint every
       // CheckpointInterval rounds to bound plan depth, not every

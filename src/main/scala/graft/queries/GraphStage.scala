@@ -248,19 +248,39 @@ object GraphStage {
     val pairs = partSupplierPairs(spark, dir)
     stage(spark, dir, "prEdges") {
       val enc = pairs.select((col("p") * 2).as("p"), (col("s") * 2 + 1).as("s"))
-      enc.select(col("p").as("src"), col("s").as("dst"))
+      val und = enc.select(col("p").as("src"), col("s").as("dst"))
         .unionByName(enc.select(col("s").as("src"), col("p").as("dst")))
+      // dst_degree rides the artifact (round-12 optimization): with
+      // the receiver's degree on the edge row, the PageRank round can
+      // aggregate straight to (node, degree, mass) and skip the
+      // per-round deg join — one degrees aggregation + join HERE,
+      // once per snapshot, instead of a broadcast build + join in
+      // every round of every invocation. Degrees are over THIS edge
+      // set; a caller filtering the artifact must drop the column
+      // (it would be stale) and let the loop re-derive degrees.
+      val deg = und.groupBy(col("src").as("dst")).agg(count(lit(1)).as("dst_degree"))
+      und.join(deg, "dst").select(col("src"), col("dst"), col("dst_degree"))
         .localCheckpoint(true)
     }
   }
 
-  /** (node, degree) over [[partSupplierEncodedEdges]] — the other
-    * per-round input of the PageRank loop. */
+  /** (node, degree, n_in) over [[partSupplierEncodedEdges]] — the
+    * other per-round input of the PageRank loop. `n_in` (incoming
+    * edge count) lets the join-free round shape derive the static
+    * no-incoming node set as a map-side filter instead of a per-call
+    * anti-join job (for this bidirectional incidence n_in == degree,
+    * but the column keeps [[graft.operators.PageRank]]'s fast path
+    * correct for any directed artifact built the same way). */
   def partSupplierEncodedDegrees(spark: SparkSession, dir: String): DataFrame = {
     val e = partSupplierEncodedEdges(spark, dir)
     stage(spark, dir, "prDegrees") {
-      e.groupBy(col("src").as("node"))
+      val out = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("degree"))
+      val in = e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("n_in"))
+      out.join(in, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"))
         .localCheckpoint(true)
     }
   }
@@ -273,8 +293,11 @@ object GraphStage {
   def pagerankPriorRanks(spark: SparkSession, dir: String): DataFrame = {
     val e = partSupplierEncodedEdges(spark, dir)
     stage(spark, dir, "prPriorRanks") {
+      // drop dst_degree: it is the FULL artifact's degree, stale on
+      // this filtered subgraph — the generic entry re-derives degrees
       graft.operators.PageRank.integerPageRank(
-        e.where(pmod(col("src") + col("dst"), lit(3)) =!= 0),
+        e.where(pmod(col("src") + col("dst"), lit(3)) =!= 0)
+          .select(col("src"), col("dst")),
         PipelineQueries.PrIters, PipelineQueries.PrStartMass)
     }
   }

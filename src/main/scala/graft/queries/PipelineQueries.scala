@@ -130,7 +130,7 @@ object PipelineQueries {
     PageRank.integerPageRankOver(
       GraphStage.partSupplierEncodedEdges(spark, dir),
       GraphStage.partSupplierEncodedDegrees(spark, dir),
-      PrIters, PrStartMass)
+      PrIters, PrStartMass, edgesCarryDstDegree = true)
       .transform(prLabeled)
   }
 
@@ -168,7 +168,8 @@ object PipelineQueries {
       GraphStage.partSupplierEncodedDegrees(spark, dir),
       PrWarmIters, PrStartMass,
       init = Some(GraphStage.pagerankPriorRanks(spark, dir)
-        .select(col("node"), col("mass"))))
+        .select(col("node"), col("mass"))),
+      edgesCarryDstDegree = true)
       .transform(prLabeled)
 
   private val Bm25Terms = Seq("spark", "table", "query")

@@ -29,7 +29,10 @@ private[graft] object StageStore {
 
   /** Bump when any staged builder's SEMANTICS change, so persisted
     * artifacts from older code can never satisfy a newer read. */
-  val FormatVersion = 1
+  // v2: round-12 optimization — prEdges gained dst_degree, prDegrees
+  // gained n_in (the join-free PageRank round shape); a v1 warehouse
+  // would satisfy the resolve with the old schemas
+  val FormatVersion = 2
 
   private val testOverrides = new ConcurrentHashMap[String, String]()
 

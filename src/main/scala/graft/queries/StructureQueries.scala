@@ -209,13 +209,28 @@ object StructureQueries {
     val edges = GraphStage.copurchaseEdges(spark, dir)
     val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+    // the target slice is 1/LinkPredTargetMod of the adjacency by
+    // construction (≈12k of 2.39M rows at sf0.1), but it hides behind
+    // a filter over the staged artifact, so the planner's size
+    // estimate is the UNFILTERED artifact and it sort-merge-joins —
+    // shuffling the full 2|E| adjacency for BOTH the wedge join and
+    // the known-links anti join (measured: the two ~12 MB exchanges
+    // were most of the query's task time). Broadcasting the slice
+    // makes both joins map-side over the artifact; the only remaining
+    // exchanges are the wedge partial-agg and the top-k. The anti
+    // join additionally only needs adjacency rows whose node IS a
+    // target (every wedge's t satisfies the pmod), i.e. the same
+    // 12k-row slice, not the 2|E| table. For a deployment predicting
+    // over ALL nodes (mod 1), drop the hints and the planner's
+    // shuffled shape is the right one.
     val adjT = adj.where(pmod(col("node"), lit(LinkPredTargetMod)) === 0)
       .select(col("node").as("t"), col("nbr").as("w"))
-    val wedges = adjT.join(adj, col("w") === col("node") && col("nbr") =!= col("t"))
+    val wedges = broadcast(adjT)
+      .join(adj, col("w") === col("node") && col("nbr") =!= col("t"))
       .groupBy(col("t"), col("nbr").as("cand"))
       .agg(count(lit(1)).as("common_neighbors"))
     val fresh = wedges.join(
-      adj.select(col("node").as("t"), col("nbr").as("cand")),
+      broadcast(adjT.select(col("t"), col("w").as("cand"))),
       Seq("t", "cand"), "left_anti")
     graft.plans.TopK.perGroup(fresh, Seq("t"),
         Seq(("common_neighbors", false), ("cand", true)), LinkPredPerTarget)
@@ -383,10 +398,17 @@ object StructureQueries {
       val removed = state.where(col("deg") < col("k")).select("node")
       if (removed.isEmpty) done = true
       else {
-        val dec = directed.join(removed, "node")
+        // broadcast the trickle (≤ n/50 nodes in round 1 by
+        // construction of k, a cascade residue after): without the
+        // hint the planner sort-merge-joins it against the 2|E|-row
+        // directed artifact, shuffling ~22 MB of edges per round at
+        // sf0.1 — the dec join and the state update are then fully
+        // map-side, zero Exchange in the peel loop (the dec GROUP BY
+        // is the round's one tiny shuffle)
+        val dec = directed.join(broadcast(removed), "node")
           .groupBy(col("nbr").as("node")).agg(count(lit(1)).as("dec"))
         val next = state.where(col("deg") >= col("k"))
-          .join(dec, Seq("node"), "left")
+          .join(broadcast(dec), Seq("node"), "left")
           .select(col("node"),
             (col("deg") - coalesce(col("dec"), lit(0L))).as("deg"), col("k"))
           .localCheckpoint(true)
