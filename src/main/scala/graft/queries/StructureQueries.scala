@@ -133,7 +133,17 @@ object StructureQueries {
       if (broadcastState) broadcast(df) else df
     val a1 = eByP.groupBy("p").agg((count(lit(1)) * HitsStartMass).as("s"))
     val h1 = eByP.join(st(a1), "p").groupBy("c").agg(sum(col("s")).as("s"))
-    val a2 = eByC.join(st(h1), "c").groupBy("p").agg(sum(col("s")).as("s"))
+    // a2 feeds BOTH the h2 half-round (as broadcast/probe state) and
+    // the authority top-k — as a lazy plan its incidence join + agg
+    // executed twice per invocation (the broadcast subtree and the
+    // top-k subtree don't share an exchange). Materialize it once;
+    // retired under a site key because it is part of the returned
+    // lazy plan (the q_kcore discipline). localCheckpoint preserves
+    // partitioning, so the co-partitioned layout keeps its
+    // exchange-free joins.
+    val a2 = graft.operators.CheckpointBlocks.retire(s"hits.a2|bc=$broadcastState",
+      eByC.join(st(h1), "c").groupBy("p").agg(sum(col("s")).as("s"))
+        .localCheckpoint(true))
     val h2 = eByP.join(st(a2), "p").groupBy("c").agg(sum(col("s")).as("s"))
     def top(df: DataFrame, side: String, idCol: String): DataFrame =
       df.orderBy(col("s").desc, col(idCol).asc).limit(HitsTopK)

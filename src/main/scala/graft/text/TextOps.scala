@@ -553,10 +553,17 @@ object TextOps {
   def prefixJaccardPairsFromKeyed(keyed: DataFrame, p: Int, q: Int): DataFrame = {
     // L = |s| − ⌈(p/q)·|s|⌉ + 1, in integer math
     val prefixLen = expr(s"n_sh - (($p * n_sh + ${q - 1}) DIV $q) + 1")
-    val pref = keyed.select(col("doc_id"), col("n_sh"),
-      posexplode(slice(col("toks"), lit(1), prefixLen)))
-      .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("pos"),
-        col("col").as("ptok"))
+    // materialized once: it sits on both sides of the candidate
+    // self-join, and the prefix posexplode over the keyed artifact
+    // would otherwise run twice per invocation (retired under a site
+    // key — part of the returned lazy plan)
+    val pref = graft.operators.CheckpointBlocks.retire(
+      "TextOps.prefixJaccard.pref",
+      keyed.select(col("doc_id"), col("n_sh"),
+        posexplode(slice(col("toks"), lit(1), prefixLen)))
+        .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("pos"),
+          col("col").as("ptok"))
+        .localCheckpoint(true))
     // LENGTH filter (PPJoin): J ≥ p/q forces q·min(|A|,|B|) ≥
     // p·max(|A|,|B|) — applied inside the candidate join so size-
     // mismatched docs sharing a prefix token never become a pair

@@ -137,8 +137,17 @@ object VectorOps {
     // must not ride through the pair join + dedup shuffle (at 64
     // floats a side they dominate the exchange; the ids are 16 bytes)
     val sigs = array(tables.map(t => signature(col("embedding"), t)): _*)
-    val ids = vecs.select(col("vec_id"),
-      posexplode(sigs).as(Seq("table_idx", "sig")))
+    // materialize the (id, table, sig) rows once: they sit on BOTH
+    // sides of the self-join, and the signature expression (tables ×
+    // planes hyperplane dots over the embedding array) would
+    // otherwise evaluate twice per vector — the dominant CPU of the
+    // bucketing pass. Tiny frame (|V| × tables short rows); retired
+    // under a site key since it is part of the returned lazy plan.
+    val ids = graft.operators.CheckpointBlocks.retire(
+      "VectorOps.nearDupPairsLsh.ids",
+      vecs.select(col("vec_id"),
+        posexplode(sigs).as(Seq("table_idx", "sig")))
+        .localCheckpoint(true))
     val candIds = ids.as("x")
       .join(ids.as("y"),
         col("x.table_idx") === col("y.table_idx") &&
