@@ -54,6 +54,25 @@ class KTrussSpec extends SparkSpec {
     assert(fin.isEmpty)
   }
 
+  test("mixed removal round: support-0 edges peel without enumeration, survivors stay exact") {
+    // the round-12 optimization skips candidate enumeration for
+    // removed edges with support 0 (they sit in zero pre-round
+    // triangles by the peel's own induction). Pin a MIXED round:
+    // K4 {1,2,3,4} (support 2 each) + pendant triangle {3,4,5}
+    // ((3,5),(4,5) support 1; (3,4) support 3) + an isolated edge
+    // (6,7) with support 0. min_sup=2 removes (3,5),(4,5),(6,7) in
+    // one round — two enumerable edges AND a support-0 edge. The
+    // dying triangle {3,4,5} must still decrement (3,4) exactly once
+    // (3→2), the isolated edge must vanish without contributing
+    // candidates, and the K4 survives intact.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val (fin, done) = KTruss.peel(
+      stateOf(k4 ++ Seq((3L, 5L), (4L, 5L), (6L, 7L)), minSup = 2),
+      maxRounds = 8, retireSite = "spec.ktruss.mixed")
+    assert(done)
+    assert(survivors(fin) === k4.map { case (u, v) => (u, v, 2) }.toSet)
+  }
+
   test("a stable truss converges immediately and keeps exact supports") {
     // K5: every edge sits in 3 triangles; min_sup=3 removes nothing
     val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)

@@ -234,6 +234,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rowsOf(diff) == Seq(Seq("b")))
   }
 
+  test("degree-carrying edges: join-free rounds bit-equal to the join shape, incl. no-incoming nodes") {
+    // the round-12 fast path (edgesCarryDstDegree) aggregates straight
+    // to (node, degree, mass) grouped by (dst, dst_degree) and unions
+    // the static n_in = 0 node set at mass = teleport, instead of
+    // left-joining the degree table each round. Pin bit-equality on a
+    // DIRECTED graph with a genuine no-incoming node (c below never
+    // appears as dst — the union branch is exercised, which the
+    // undirected production incidences never do), both cold and
+    // warm-started.
+    import graft.operators.PageRank
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("c", "b"))
+      .toDF("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("degree")).localCheckpoint(true)
+    val degIn = deg.join(
+        e.groupBy($"dst".as("node")).agg(count(lit(1)).as("n_in")),
+        Seq("node"), "left")
+      .select($"node", $"degree", coalesce($"n_in", lit(0L)).as("n_in"))
+      .localCheckpoint(true)
+    val eDeg = e.join(
+        deg.select($"node".as("dst"), $"degree".as("dst_degree")), "dst")
+      .select($"src", $"dst", $"dst_degree").localCheckpoint(true)
+    for (iters <- Seq(1, 3)) {
+      val joinShape = PageRank.integerPageRankOver(e, deg, iters).orderBy("node")
+      val fast = PageRank.integerPageRankOver(eDeg, degIn, iters,
+        edgesCarryDstDegree = true).orderBy("node")
+      assert(rowsOf(fast) == rowsOf(joinShape), s"iters=$iters")
+    }
+    val seed = Seq(("a", 42L)).toDF("node", "mass")
+    val warmJoin = PageRank.integerPageRankOver(e, deg, 2,
+      init = Some(seed)).orderBy("node")
+    val warmFast = PageRank.integerPageRankOver(eDeg, degIn, 2,
+      init = Some(seed), edgesCarryDstDegree = true).orderBy("node")
+    assert(rowsOf(warmFast) == rowsOf(warmJoin))
+    // c never receives: its mass is exactly teleport from round 1 on
+    assert(rowsOf(warmFast.where($"node" === "c").select($"mass"))
+      == Seq(Seq(150000L)))
+  }
+
   test("integer pagerank is invariant to partitioning and edge order") {
     val li = graft.io.Tables.table(spark, sf, "lineitem")
       .select(concat(lit("p:"), $"l_partkey").as("p"),
