@@ -142,6 +142,35 @@ object DedupStage {
         .localCheckpoint(true)
     }
 
+  /** The deletion index PRE-POSITIONED on the variant key — the
+    * in-session stand-in for a bkey-bucketed warehouse table
+    * (exactly [[graft.io.BucketedTables]]'s role for the store's
+    * band index). Two effects, and on THIS testdata the second is
+    * the measured one: (a) both self-join sides arrive
+    * hash-partitioned on the join key, so if the keys-only index
+    * ever outgrows auto-broadcast the candidate join plans with zero
+    * Exchange; (b) the raw checkpoint inherits the SOURCE FILE's
+    * partitioning (1–2 partitions from the single customer parquet),
+    * so every scan of the 2.8M-row index — the streamed side AND the
+    * per-invocation broadcast build — ran near-serially; the
+    * positioned cache is shuffle-partitions-wide. Same eager-CACHE
+    * shape as [[GraphStage.copurchaseAdjacencyPartitioned]] (a
+    * cached plan keeps its HashPartitioning visible to Catalyst
+    * where a checkpoint's LogicalRDD reports Unknown under AQE);
+    * session-scoped (`persistable = false`) because a parquet
+    * round-trip would discard the layout — the one positioning
+    * shuffle is paid once per snapshot per session (production pays
+    * it once at index WRITE time via bucketing). Measured:
+    * q_fuzzy_join 2.71 → 1.42 s min-of-5 at sf0.1, clean canaries. */
+  def customerNameIndexPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val idx = customerNameIndex(spark, dir)
+    stage(spark, dir, "fuzzyCustomerIndexPartitioned", persistable = false) {
+      val positioned = idx.repartition(col("bkey")).persist()
+      positioned.count()
+      positioned
+    }
+  }
+
   /** Yesterday's perceptual-hash band index over the prior asset
     * slice (doc_id % 4 ≠ 0, media = encoded text — the corpus fixture
     * pattern): the persisted prior the daily incremental IMAGE dedup

@@ -35,7 +35,7 @@ object PipelineQueries {
     * ([[FuzzyJoin.selfJoinDist1FromIndex]]). */
   def q_fuzzy_join(spark: SparkSession, dir: String): DataFrame =
     FuzzyJoin.selfJoinDist1FromIndex(
-      DedupStage.customerNameIndex(spark, dir),
+      DedupStage.customerNameIndexPartitioned(spark, dir),
       Tables.table(spark, dir, "customer")
         .select(col("c_custkey").as("bid"), col("c_name").as("bstr")))
       .orderBy(col("a_id").asc, col("b_id").asc)
