@@ -26,9 +26,27 @@ object PlanDump {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names =
       if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    for (q <- names) {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+    // layout-fallback pseudo-queries: the no-broadcast scale twins the
+    // specs gate (dumped with auto-broadcast OFF so the plan is the
+    // pure fallback shape — only these run under the override)
+    val fallbacks: Map[String, SparkSession => org.apache.spark.sql.DataFrame] = Map(
+      "q_link_pred@fallback" ->
+        (s => graft.queries.StructureQueries.linkPredLayout(s, dir, broadcastSlice = false)))
+    def explained(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+    for (q <- names) {
+      // physical planning happens inside explainString, so the conf
+      // override must span it, not just the frame construction
+      val plan = fallbacks.get(q) match {
+        case Some(build) =>
+          val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          try {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            explained(build(spark))
+          } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        case None => explained(SparkEntry.queries(q)(spark, dir))
+      }
       val f = new java.io.File(outDir, s"${q}_$suffix.txt")
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.write(plan) finally w.close()

@@ -96,7 +96,7 @@ object AdvancedQueries {
     // (doc, term) counts feed both the document frequencies and the
     // scoring join — checkpoint so the explode+count runs once (the
     // materialize-the-TF-table call every TF-IDF pipeline makes)
-    val tf = graft.operators.CheckpointBlocks.retire("q_tfidf.tf",
+    val tf = graft.operators.CheckpointBlocks.retire(s"q_tfidf.tf|$dir",
       tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

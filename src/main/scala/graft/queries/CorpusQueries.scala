@@ -357,7 +357,7 @@ object CorpusQueries {
     // intra-batch join — compute them once; the checkpoint lives in
     // the returned lazy plan, so it retires per call site
     val batchBands = graft.operators.CheckpointBlocks.retire(
-      "q_phash_incremental.batchBands",
+      s"q_phash_incremental.batchBands|$dir",
       graft.multimodal.Multimodal.phashBandRows(batch).localCheckpoint(true))
     val index = DedupStage.phashPriorIndex(spark, dir)
     graft.multimodal.Multimodal.phashNearPairsAgainstIndex(index, batchBands)

@@ -198,8 +198,8 @@ object PipelineQueries {
   def q_bm25_incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val b1 = bm25Base(docs.where(col("doc_id") <= mid), "q_bm25_inc.b1")
-    val b2 = bm25Base(docs.where(col("doc_id") > mid), "q_bm25_inc.b2")
+    val b1 = bm25Base(docs.where(col("doc_id") <= mid), s"q_bm25_inc.b1|$dir")
+    val b2 = bm25Base(docs.where(col("doc_id") > mid), s"q_bm25_inc.b2|$dir")
     val merged = bm25MergeStats(bm25Stats(b1).unionByName(bm25Stats(b2)))
     scoreBm25(b1.unionByName(b2), merged).orderBy(col("doc_id").asc)
   }
@@ -277,7 +277,7 @@ object PipelineQueries {
   }
 
   private[queries] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    val base = bm25Base(Tables.table(spark, dir, "documents"), "q_bm25.base")
+    val base = bm25Base(Tables.table(spark, dir, "documents"), s"q_bm25.base|$dir")
     scoreBm25(base, bm25Stats(base))
   }
 
@@ -616,7 +616,7 @@ object PipelineQueries {
     // (source, term) counts feed both the totals and the entropy sum —
     // checkpoint the vocabulary-bounded aggregate so the corpus
     // explode+count runs once, not twice
-    val cnt = graft.operators.CheckpointBlocks.retire("q_entropy.cnt",
+    val cnt = graft.operators.CheckpointBlocks.retire(s"q_entropy.cnt|$dir",
       Tables.table(spark, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("t"))
         .groupBy("source", "t").agg(count(lit(1)).as("c"))

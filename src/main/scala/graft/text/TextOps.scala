@@ -526,7 +526,7 @@ object TextOps {
     // Three consumers (prefix explode + both verify sides) — the
     // a1b16a3 materialization rule says checkpoint, or the
     // shingle+df pipeline runs three times.
-    val keyed = graft.operators.CheckpointBlocks.retire("prefixJaccardPairs.keyed",
+    val keyed = graft.operators.CheckpointBlocks.retire(s"prefixJaccardPairs.keyed|n=$n",
       prefixOrderedShingles(docs, n).localCheckpoint(true))
     prefixJaccardPairsFromKeyed(keyed, p, q)
   }
@@ -558,7 +558,7 @@ object TextOps {
     // would otherwise run twice per invocation (retired under a site
     // key — part of the returned lazy plan)
     val pref = graft.operators.CheckpointBlocks.retire(
-      "TextOps.prefixJaccard.pref",
+      s"TextOps.prefixJaccard.pref|p=$p|q=$q",
       keyed.select(col("doc_id"), col("n_sh"),
         posexplode(slice(col("toks"), lit(1), prefixLen)))
         .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("pos"),

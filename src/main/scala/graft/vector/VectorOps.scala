@@ -144,7 +144,7 @@ object VectorOps {
     // bucketing pass. Tiny frame (|V| × tables short rows); retired
     // under a site key since it is part of the returned lazy plan.
     val ids = graft.operators.CheckpointBlocks.retire(
-      "VectorOps.nearDupPairsLsh.ids",
+      s"VectorOps.nearDupPairsLsh.ids|t=${tables.length}x${tables.head.length}",
       vecs.select(col("vec_id"),
         posexplode(sigs).as(Seq("table_idx", "sig")))
         .localCheckpoint(true))

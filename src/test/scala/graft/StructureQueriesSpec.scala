@@ -290,4 +290,36 @@ class StructureQueriesSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total == Tables.table(spark, dir, "customer").count())
   }
+
+  test("k-core: no-broadcast trickle layout is bit-equal (the scale fallback is a code path)") {
+    // broadcastTrickle = false is the guarded fallback for graphs
+    // whose peel cascade outgrows a broadcast (round-12 verdict's
+    // scale-safety item). Under withoutAutoBroadcast the fallback
+    // cannot contain a BroadcastExchange beyond the unconditional
+    // 1-row k scalar, so equality proves the shuffled shapes reach
+    // the identical maximal subgraph.
+    val viaBroadcast = StructureQueries
+      .kcoreLayout(spark, dir, broadcastTrickle = true).collect().toSeq
+    withoutAutoBroadcast {
+      val fallback = StructureQueries
+        .kcoreLayout(spark, dir, broadcastTrickle = false).collect().toSeq
+      assert(fallback == viaBroadcast && fallback.nonEmpty)
+    }
+  }
+
+  test("link prediction: no-broadcast slice layout is bit-equal and hint-free") {
+    val viaBroadcast = StructureQueries
+      .linkPredLayout(spark, dir, broadcastSlice = true).collect().toSeq
+    withoutAutoBroadcast {
+      val fallback = StructureQueries
+        .linkPredLayout(spark, dir, broadcastSlice = false)
+      assert(fallback.collect().toSeq == viaBroadcast && viaBroadcast.nonEmpty)
+      // with the flag off and auto-broadcast disabled, the plan must
+      // carry ZERO BroadcastExchange — the planner's shuffled shape,
+      // i.e. a deployment predicting over all nodes degrades to
+      // sort-merge instead of attempting an unbounded broadcast
+      val plan = fallback.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastExchange"), plan)
+    }
+  }
 }
