@@ -35,13 +35,23 @@ object JobProfile {
     StageStore.setForTesting(sfDir, root)
     Stages.resolveAllConcurrently(spark, sfDir)
     @volatile var jobs = 0
+    @volatile var jobsEnded = 0
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskTimeMs = 0L
     @volatile var shuffleWrite = 0L
     val stageRows = scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Double, String)]
+    val jobSites = scala.collection.mutable.ArrayBuffer.empty[String]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        // the job's display name is its final stage's callsite — the
+        // grouping that tells WHICH code path launches 40 tiny jobs
+        jobSites += j.stageInfos.lastOption.map(_.name.takeWhile(_ != '+').trim)
+          .getOrElse("?")
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobsEnded += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         val m = s.stageInfo.taskMetrics
@@ -61,18 +71,36 @@ object JobProfile {
       val fn = SparkEntry.queries(q)
       Bench.execute(fn(spark, sfDir)) // warmup rep (codegen, broadcast warm)
       spark.sparkContext.addSparkListener(listener)
-      jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L; shuffleWrite = 0L
-      stageRows.clear()
+      jobs = 0; jobsEnded = 0; stages = 0; tasks = 0; taskTimeMs = 0L
+      shuffleWrite = 0L
+      stageRows.clear(); jobSites.clear()
       val t0 = System.nanoTime()
       Bench.execute(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(300)
+      // listener events are async; wait for every started job's end
+      // event to land (bounded), then a short grace for task events —
+      // a fixed sleep alone can truncate or inflate the counts
+      // (profiling tool; the bound keeps a lost event from hanging it)
+      val deadline = System.nanoTime() + 3_000_000_000L
+      while (jobsEnded < jobs && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
       spark.sparkContext.removeSparkListener(listener)
       println(f"$q%-28s $wall%7.3f $jobs%5d $stages%6d $tasks%6d ${taskTimeMs / 1000.0}%8.2f ${shuffleWrite / 1e6}%7.1f")
       if (perStage)
         for ((sec, n, mb, name) <- stageRows.sortBy(-_._1).take(15))
           println(f"    $sec%8.2fs $n%4d tasks $mb%7.1fMB  $name")
+      if (sys.env.contains("GRAFT_PROFILE_JOBS"))
+        for ((site, n) <- jobSites.groupBy(identity).view.mapValues(_.size)
+            .toSeq.sortBy(-_._2))
+          println(f"    jobs $n%3d  $site")
+      // the AQE FINAL plan of the profiled execution (what the SQL tab
+      // would show): re-execute once and print — the declared static
+      // plan (PlanDump) cannot show AQE's runtime join/read rewrites
+      if (sys.env.contains("GRAFT_PROFILE_PLAN")) {
+        val df = fn(spark, sfDir)
+        Bench.execute(df)
+        println(df.queryExecution.executedPlan.toString())
+      }
     }
     spark.stop()
   }

@@ -66,6 +66,28 @@ object FuzzyJoin {
       deletionIndex(df, idCol, strCol),
       df.select(col(idCol).as("bid"), col(strCol).as("bstr")))
 
+  /** INDEX rows per verify task: the levenshtein verify's per-row CPU
+    * is ~100× a scan row's, so AQE's bytes-based partition coalescing
+    * under-parallelizes it badly (measured at sf0.1: the post-dedup
+    * attach+verify stage coalesced to 8 tasks on 32 cores — small
+    * bytes, high CPU). Callers size [[selfJoinDist1FromIndex]]'s
+    * `verifyPartitions` from the blocking-index row count divided by
+    * this (a computed value derived from the data, never a
+    * config-twiddled task count). Calibrated at sf0.1: candidate
+    * pairs ≈ 2× index rows and the verify segment measured ~5 µs/pair
+    * ⇒ 8192 index rows ≈ 16k pairs ≈ ~80 ms/task. */
+  val VerifyRowsPerTask = 8192L
+
+  /** Verify-stage partition count for an index of `rows` blocking
+    * rows: rows/[[VerifyRowsPerTask]], clamped to [1, 16×cores] so a
+    * tiny spec input stays 1 task and a 100 TB index cannot mint
+    * millions of 1-pair tasks. */
+  def verifyPartitionsFor(spark: org.apache.spark.sql.SparkSession,
+      rows: Long): Int =
+    math.max(1L, math.min(
+      (rows + VerifyRowsPerTask - 1) / VerifyRowsPerTask,
+      16L * spark.sparkContext.defaultParallelism)).toInt
+
   /** The join + verify half, over an already-materialized
     * [[deletionIndex]] frame (columns bid, bkey) plus the id→string
     * side table (columns bid, bstr).
@@ -80,14 +102,25 @@ object FuzzyJoin {
     * measured 7.0 s vs 1.5 s for this shape); (3) strings re-attach
     * by id (AQE broadcasts a small side table; at scale these are
     * shuffle joins of the pair set, still balanced); (4) the verify
-    * runs once per distinct pair on hash-balanced partitions. */
-  def selfJoinDist1FromIndex(blocked: DataFrame, names: DataFrame): DataFrame = {
+    * runs once per distinct pair on hash-balanced partitions.
+    *
+    * `verifyPartitions` (round-13): when set, the deduped pair frame
+    * is explicitly hash-repartitioned on the pair key to that width
+    * before the attach+verify projection. AQE coalesces the dedup
+    * exchange by BYTES, but the verify's cost is per-ROW CPU
+    * (levenshtein), so the coalesced width starves it; an explicit
+    * repartition is exempt from AQE coalescing. The extra exchange
+    * carries only deduped (a_id, b_id) pairs — 16 bytes/row. */
+  def selfJoinDist1FromIndex(blocked: DataFrame, names: DataFrame,
+      verifyPartitions: Option[Int] = None): DataFrame = {
     val keys = blocked.select(col("bid"), col("bkey"))
-    val cand = keys.as("x")
+    val deduped = keys.as("x")
       .join(keys.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.bid") < col("y.bid"))
       .select(col("x.bid").as("a_id"), col("y.bid").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val cand = verifyPartitions.fold(deduped)(n =>
+      deduped.repartition(n, col("a_id"), col("b_id")))
     cand
       .join(names.select(col("bid").as("a_id"), col("bstr").as("a_str")), "a_id")
       .join(names.select(col("bid").as("b_id"), col("bstr").as("b_str")), "b_id")

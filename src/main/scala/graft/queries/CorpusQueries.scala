@@ -120,9 +120,15 @@ object CorpusQueries {
   def q_ssjoin(spark: SparkSession, dir: String): DataFrame =
     // the df-ordered shingle table is the staged per-snapshot index
     // ([[DedupStage.prefixIndex]]); the measured op is the prefix
-    // candidate join + positional filter + exact verify at p/q = 1/2
-    TextOps.prefixJaccardPairsFromKeyed(
-      DedupStage.prefixIndex(spark, dir), p = 1, q = 2)
+    // candidate join + positional filter + exact verify at p/q = 1/2.
+    // Verified pairs materialize ONCE before the contract orderBy —
+    // a range-partitioned sort samples then shuffles its child, so
+    // the exact-intersection verify segment executed twice per
+    // invocation (round-13; same fix as q_fuzzy_join).
+    graft.operators.CheckpointBlocks.retire(s"q_ssjoin.verified|$dir",
+        TextOps.prefixJaccardPairsFromKeyed(
+          DedupStage.prefixIndex(spark, dir), p = 1, q = 2)
+          .localCheckpoint(true))
       .orderBy(col("a").asc, col("b").asc)
 
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =

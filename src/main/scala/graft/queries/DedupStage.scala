@@ -166,10 +166,29 @@ object DedupStage {
     val idx = customerNameIndex(spark, dir)
     stage(spark, dir, "fuzzyCustomerIndexPartitioned", persistable = false) {
       val positioned = idx.repartition(col("bkey")).persist()
-      positioned.count()
+      indexSizes.put(indexSizeKey(spark, dir), positioned.count())
       positioned
     }
   }
+
+  /** Row count of [[customerNameIndexPartitioned]] — the statistic
+    * `q_fuzzy_join` sizes its verify-stage parallelism from (rows per
+    * task, [[graft.operators.FuzzyJoin.VerifyRowsPerTask]]). Captured
+    * by the positioning build's own count, so no extra job per query
+    * invocation; a real warehouse reads this from table stats. */
+  def customerNameIndexSize(spark: SparkSession, dir: String): Long = {
+    val positioned = customerNameIndexPartitioned(spark, dir) // memoized build
+    Option(indexSizes.get(indexSizeKey(spark, dir))).map(_.longValue)
+      // unreachable in practice (the build put it); a cached count is
+      // one cheap job if a future cache-clear path ever skips the put
+      .getOrElse(indexSizes.computeIfAbsent(
+        indexSizeKey(spark, dir), _ => positioned.count()))
+  }
+
+  private def indexSizeKey(spark: SparkSession, dir: String): String =
+    s"${spark.sparkContext.applicationId}|$dir|fuzzyIdxSize"
+  private val indexSizes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Yesterday's perceptual-hash band index over the prior asset
     * slice (doc_id % 4 ≠ 0, media = encoded text — the corpus fixture

@@ -33,12 +33,29 @@ object PipelineQueries {
     * ([[DedupStage.customerNameIndex]]), so the query pays only the
     * candidate join + dedup + levenshtein verify
     * ([[FuzzyJoin.selfJoinDist1FromIndex]]). */
-  def q_fuzzy_join(spark: SparkSession, dir: String): DataFrame =
-    FuzzyJoin.selfJoinDist1FromIndex(
+  def q_fuzzy_join(spark: SparkSession, dir: String): DataFrame = {
+    val verified = FuzzyJoin.selfJoinDist1FromIndex(
       DedupStage.customerNameIndexPartitioned(spark, dir),
       Tables.table(spark, dir, "customer")
-        .select(col("c_custkey").as("bid"), col("c_name").as("bstr")))
+        .select(col("c_custkey").as("bid"), col("c_name").as("bstr")),
+      // verify parallelism by ROW count, not bytes (guide §2.5 via
+      // §8 "use what you know the optimizer does not"): the
+      // levenshtein stage's CPU is per-row, so AQE's bytes-based
+      // coalescing starves it; width derives from the staged index's
+      // own row count — a computed value, not a config
+      verifyPartitions = Some(FuzzyJoin.verifyPartitionsFor(
+        spark, DedupStage.customerNameIndexSize(spark, dir))))
+    // materialize the verified pairs ONCE before the contract orderBy:
+    // a range-partitioned sort SAMPLES its child and then shuffles it,
+    // so the whole attach+verify segment executed twice per invocation
+    // (measured as twin 4.4 s + 3.7 s stages at sf0.1 — guide §1.2
+    // "don't compute things you throw away"). The surviving pair set
+    // is tiny; the checkpoint is part of the returned plan, so it
+    // retires per (query, snapshot) site.
+    graft.operators.CheckpointBlocks.retire(s"q_fuzzy_join.verified|$dir",
+        verified.localCheckpoint(true))
       .orderBy(col("a_id").asc, col("b_id").asc)
+  }
 
   private val SnWindow = 5
 

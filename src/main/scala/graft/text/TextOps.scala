@@ -548,6 +548,13 @@ object TextOps {
         size(col("ordered")).as("n_sh"))
   }
 
+  /** Candidate pairs per verify task for the prefix join: the exact
+    * set-intersection verify walks both docs' full ordered shingle
+    * arrays (~1–2k tokens each, ~100 µs/pair), so a task should own
+    * hundreds of pairs, not the tens of thousands a bytes-based
+    * coalesce would give it. */
+  private val VerifyPairsPerTask = 1024L
+
   /** The candidate+verify half of [[prefixJaccardPairs]], over an
     * already-materialized [[prefixOrderedShingles]] table. */
   def prefixJaccardPairsFromKeyed(keyed: DataFrame, p: Int, q: Int): DataFrame = {
@@ -579,13 +586,31 @@ object TextOps {
     // threshold needs |A∩B| ≥ α = ⌈p(|A|+|B|)/(p+q)⌉ — candidates
     // whose bound can't reach α die before the verify joins ship
     // any shingle array. Lossless, like the prefix itself.
-    val cand = joined
+    val filtered = joined
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(min(col("x.pos")).as("ia"), min(col("y.pos")).as("ib"),
         first(col("x.n_sh")).as("sa"), first(col("y.n_sh")).as("sb"))
       .where(lit(1) + least(col("sa") - col("ia"), col("sb") - col("ib"))
         >= expr(s"($p * (sa + sb) + ${p + q - 1}) DIV ${p + q}"))
       .select("a", "b")
+    // Verify parallelism by PAIR count, not bytes (round-13, guide
+    // §2.5/§8): the intersect-verify costs ~100 µs/pair over the full
+    // shingle arrays while the surviving candidate frame is a few
+    // hundred KB, so AQE's bytes-based coalescing ran the verify at
+    // 5–6 tasks on 32 cores. Materialize the (tiny) candidate pair
+    // set once — the candidate join executes exactly once either way;
+    // the checkpoint is part of the returned plan, so it retires per
+    // (p, q) site — count it, and hash-repartition the pairs to a
+    // width derived from that count. Tiny specs stay 1 task; the
+    // clamp bounds task mint at cluster scale.
+    val cand0 = graft.operators.CheckpointBlocks.retire(
+      s"TextOps.prefixJaccard.cand|p=$p|q=$q",
+      filtered.localCheckpoint(true))
+    val nPairs = cand0.count()
+    val width = math.max(1L, math.min(
+      (nPairs + VerifyPairsPerTask - 1) / VerifyPairsPerTask,
+      16L * cand0.sparkSession.sparkContext.defaultParallelism)).toInt
+    val cand = cand0.repartition(width, col("a"), col("b"))
     cand
       .join(keyed.select(col("doc_id").as("a"), col("toks").as("ta"),
         col("n_sh").as("na")), "a")

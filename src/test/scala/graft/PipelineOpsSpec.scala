@@ -69,6 +69,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rowsOf(got).nonEmpty)
   }
 
+  test("fuzzy join: explicit verify width is bit-equal and governs the pair partitioning") {
+    // round-13: verify parallelism by row count, not bytes — the
+    // explicit repartition must not change results, and its width
+    // must survive into the verify stage (AQE cannot coalesce a
+    // REPARTITION_BY_NUM exchange)
+    val names = Seq((1L, "alpha"), (2L, "alphb"), (3L, "alph"),
+      (4L, "alphax"), (5L, "beta"), (6L, "betA")).toDF("id", "name")
+    val blocked = FuzzyJoin.deletionIndex(names, "id", "name")
+    val side = names.select($"id".as("bid"), $"name".as("bstr"))
+    val default = FuzzyJoin.selfJoinDist1FromIndex(blocked, side)
+      .orderBy("a_id", "b_id")
+    val widened = FuzzyJoin.selfJoinDist1FromIndex(blocked, side,
+      verifyPartitions = Some(3))
+    assert(rowsOf(widened.orderBy("a_id", "b_id")) == rowsOf(default))
+    assert(widened.queryExecution.executedPlan.toString
+      .contains("REPARTITION_BY_NUM"))
+    // sizing helper: data-derived, clamped at both ends
+    assert(FuzzyJoin.verifyPartitionsFor(spark, 1L) == 1)
+    assert(FuzzyJoin.verifyPartitionsFor(spark,
+      FuzzyJoin.VerifyRowsPerTask * 5) == 5)
+    val cap = 16 * spark.sparkContext.defaultParallelism
+    assert(FuzzyJoin.verifyPartitionsFor(spark, Long.MaxValue / 4) == cap)
+  }
+
   test("fuzzy join candidate join is an equi-join, not a cross product") {
     val names = Seq((1L, "alpha"), (2L, "alphb")).toDF("id", "name")
     val plan = FuzzyJoin.selfJoinDist1(names, "id", "name")
