@@ -103,6 +103,112 @@ private[graft] object StageStore {
   }
 }
 
+/** Bucketed catalog commits for POSITIONED staged layouts (round 13,
+  * verdict item 4): a layout whose value is its partitioning (the
+  * fuzzy deletion index pre-positioned on its join key) cannot ride
+  * [[graft.etl.VersionedParquet]] — a plain parquet round-trip
+  * discards exactly the layout it exists to hold. The production
+  * shape is a table written BUCKETED on the key at index-write time
+  * ([[graft.io.BucketedTables]], the `band_index` shape): a fresh JVM
+  * then reads the committed files back bucketed and every join on the
+  * key plans with ZERO Exchange on the index side — the positioning
+  * shuffle is paid once per snapshot at write time, not once per
+  * session.
+  *
+  * Cross-JVM story: `saveAsTable` registers the table in the
+  * session's in-memory catalog, which dies with the JVM while the
+  * bucketed FILES survive. A sidecar marker (`_graft_bucketed.json`:
+  * schema DDL, bucket keys, bucket count) is committed next to the
+  * data AFTER a successful write; a cold session finds the marker and
+  * recreates the same external-table DDL over the committed location
+  * — same bucket spec, so scans come back hash-partitioned without a
+  * byte rewritten (an interrupted write leaves no marker and
+  * rebuilds). The bucket count is DATA-derived (rows / RowsPerBucket,
+  * clamped), so every session derives the same layout from the same
+  * snapshot and a 100 TB index scales its bucket count with its size
+  * instead of inheriting a local core count. */
+private[graft] object BucketedStage {
+
+  /** Target rows per bucket: matches the verify-stage sizing
+    * ([[graft.operators.FuzzyJoin.VerifyRowsPerTask]]) so a bucketed
+    * probe's natural task width equals the width the verify wants. */
+  val RowsPerBucket = 8192L
+
+  def bucketCountFor(rows: Long): Int =
+    math.max(1L, math.min((rows + RowsPerBucket - 1) / RowsPerBucket, 4096L)).toInt
+
+  /** Catalog identifiers allow a narrower charset than store table
+    * names ('.' would parse as a namespace separator). */
+  def catalogName(root: String, table: String): String =
+    ("bkt_" + Integer.toHexString(root.hashCode).takeRight(8) + "_" + table)
+      .replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Resolve a bucketed artifact: reuse the session catalog entry if
+    * it points at this root, else recreate DDL over committed files
+    * (cold session), else build + bucketed write + marker commit.
+    * Returns the bucketed TABLE scan — callers that also want the
+    * rows memory-resident persist() it; the cache inherits the scan's
+    * HashPartitioning, so joins stay exchange-free either way. */
+  def resolve(spark: SparkSession, root: String, table: String,
+      keys: Seq[String])(build: => DataFrame): DataFrame = {
+    val name = catalogName(root, table)
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "bucketed"), table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_bucketed.json")
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    // a same-JVM catalog entry is only valid if it points at THIS
+    // root's files (two warehouse roots for one snapshot dir — a test
+    // override vs the bench root — must not satisfy each other)
+    val entryValid = catalog.tableExists(ident) && {
+      val loc = catalog.getTableMetadata(ident).location.toString
+        .stripSuffix("/")
+      val want = fs.makeQualified(path).toString.stripSuffix("/")
+      loc == want || { spark.sql(s"DROP TABLE `$name`"); false }
+    }
+    if (!entryValid) {
+      if (fs.exists(marker)) {
+        // cold session over committed files: recreate the DDL
+        val in = fs.open(marker)
+        val meta =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val parsed = org.json4s.jackson.JsonMethods.parse(meta)
+        import org.json4s.DefaultFormats
+        implicit val fmts: org.json4s.DefaultFormats.type = DefaultFormats
+        val ddl = (parsed \ "schema").extract[String]
+        val n = (parsed \ "buckets").extract[Int]
+        val ks = (parsed \ "keys").extract[Seq[String]]
+        spark.sql(
+          s"""CREATE TABLE `$name` ($ddl) USING parquet
+             |CLUSTERED BY (${ks.map(k => s"`$k`").mkString(", ")})
+             |SORTED BY (${ks.map(k => s"`$k`").mkString(", ")})
+             |INTO $n BUCKETS
+             |LOCATION '${fs.makeQualified(path)}'""".stripMargin)
+      } else {
+        val df = build
+        // data-derived bucket count: every session derives the same
+        // layout from the same snapshot (a conf-derived count would
+        // let whichever session built first pin its core count)
+        val n = bucketCountFor(df.count())
+        graft.io.BucketedTables.create(df, name, fs.makeQualified(path).toString,
+          n, keys)
+        val json = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            org.json4s.JObject(
+              "schema" -> org.json4s.JString(df.schema.toDDL),
+              "keys" -> org.json4s.JArray(
+                keys.map(org.json4s.JString(_)).toList),
+              "buckets" -> org.json4s.JInt(n))))
+        val out = fs.create(marker, true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    spark.table(name)
+  }
+}
+
 /** The single enumeration of every PERSISTABLE staged artifact across
   * the three stage objects — Bench's warehouse resolve and
   * StageStoreSpec's store-vs-inprocess bit-equality sweep both
