@@ -110,8 +110,13 @@ object CorpusQueries {
       .orderBy(col("content_md5").asc)
 
   def q_dedup_ngram(spark: SparkSession, dir: String): DataFrame =
-    TextOps.ngramJaccardPairs(
-      Tables.table(spark, dir, "documents"), ShingleN, JaccardThreshold)
+    // surviving pairs materialize once before the contract orderBy
+    // (range sampling otherwise re-executes the final agg+filter
+    // segment; round-13, same fix as q_ssjoin)
+    graft.operators.CheckpointBlocks.retire(s"q_dedup_ngram.pairs|$dir",
+      TextOps.ngramJaccardPairs(
+        Tables.table(spark, dir, "documents"), ShingleN, JaccardThreshold)
+        .localCheckpoint(true))
       .orderBy(col("a").asc, col("b").asc)
 
   /** Exact set-similarity join, prefix-filtered (the lossless scale

@@ -776,9 +776,14 @@ object PipelineQueries {
   /** Asymmetric shingle containment ([[TextOps.containmentPairs]]):
     * catches subset-duplicates whose Jaccard stays low. */
   def q_containment(spark: SparkSession, dir: String): DataFrame =
-    TextOps.containmentPairs(
-      Tables.table(spark, dir, "documents"),
-      CorpusQueries.ShingleN, ContainmentThreshold)
+    // pairs materialize once before the contract orderBy (range
+    // sampling otherwise re-executes the final agg+filter segment;
+    // round-13, same fix as q_ssjoin/q_dedup_ngram)
+    graft.operators.CheckpointBlocks.retire(s"q_containment.pairs|$dir",
+      TextOps.containmentPairs(
+        Tables.table(spark, dir, "documents"),
+        CorpusQueries.ShingleN, ContainmentThreshold)
+        .localCheckpoint(true))
       .orderBy(col("a").asc, col("b").asc)
 
   /** The EXACT scale twin of [[q_containment]]: identical answer

@@ -379,10 +379,31 @@ object TextOps {
     * join as extra grouping keys (functionally dependent on the doc
     * ids) — the earlier separate `sizes` aggregation + two re-joins
     * made the planner scan and re-shingle the corpus four times. */
+  /** The exploded (doc_id, n_sh, shingle) incidence the two n²
+    * exactness baselines self-join on, computed ONCE per call and
+    * shared by both join sides — as two lazy plan branches the corpus
+    * shingled twice per invocation (broadcast-build side + probe
+    * side). WIDENED before the shingling: a single-file snapshot
+    * scans at 1 task, and the shingle+explode CPU above the scan
+    * serialized there (guide §2.5 — repartition right after a narrow
+    * read when real per-row work follows); when the input is already
+    * at least core-wide (any real multi-file table), the repartition
+    * branch is skipped, so nothing is paid at scale. Retired per
+    * (site, n): part of the returned lazy plan. */
+  private def shingleIncidence(docs: DataFrame, n: Int, site: String): DataFrame = {
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (docs.rdd.getNumPartitions >= cores) docs
+      else docs.repartition(cores, col("doc_id"))
+    graft.operators.CheckpointBlocks.retire(s"$site|n=$n",
+      withShingles(wide, n)
+        .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("shingle"))
+        .localCheckpoint(true))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = withShingles(docs, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle"))
+    val sh = shingleIncidence(docs, n, "TextOps.ngramJaccard.sh")
     sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -404,9 +425,7 @@ object TextOps {
     * clears the threshold. Exactness baseline — the scale path for
     * containment is [[exactSubstringDedup]]'s window hashing. */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = withShingles(docs, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("shingle"))
+    val sh = shingleIncidence(docs, n, "TextOps.containment.sh")
     sh.as("x")
       .join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
