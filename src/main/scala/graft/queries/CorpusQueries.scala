@@ -239,8 +239,12 @@ object CorpusQueries {
   }
 
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
-    TextOps.simhashNearPairs(
-      Tables.table(spark, dir, "documents"), SimhashMaxHamming)
+    // pairs materialize once before the contract orderBy (range
+    // sampling re-executes the pre-sort segment; round-13)
+    graft.operators.CheckpointBlocks.retire(s"q_dedup_simhash.pairs|$dir",
+      TextOps.simhashNearPairs(
+        Tables.table(spark, dir, "documents"), SimhashMaxHamming)
+        .localCheckpoint(true))
       .orderBy(col("a").asc, col("b").asc)
 
   def q_embed_nn(spark: SparkSession, dir: String): DataFrame =
@@ -345,6 +349,14 @@ object CorpusQueries {
     val assets = Tables.table(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"),
         encode(col("text"), "UTF-8").as("media"))
+    // MEASURED REJECTION (round-13 receipt in OPTIMIZATION_r13.md):
+    // checkpointing the band rows once for both self-join sides plus
+    // a pre-sort pair materialization — the shingle-incidence recipe
+    // — averaged SLOWER here across two paired min-of-5 A/Bs (1.80 →
+    // 2.02 s): the per-asset hash is cheap enough that two lazy
+    // evaluations beat two chained eager checkpoints' job overhead,
+    // and widening shuffles the media payload itself (§2.3: don't
+    // move heavy bytes to parallelize cheap compute). Left lazy.
     graft.multimodal.Multimodal.phashNearPairs(assets)
       .orderBy(col("a").asc, col("b").asc)
   }
@@ -414,7 +426,12 @@ object CorpusQueries {
   /** Gopher-style repetition filters over the corpus
     * ([[TextOps.repetitionStats]]). */
   def q_repetition(spark: SparkSession, dir: String): DataFrame =
-    TextOps.repetitionStats(Tables.table(spark, dir, "documents"))
+    // per-doc stats materialize once before the contract orderBy
+    // (range sampling re-executed the gram-stats segment — measured
+    // as twin 1.25 s + 1.12 s stages at sf0.1; round-13)
+    graft.operators.CheckpointBlocks.retire(s"q_repetition.stats|$dir",
+      TextOps.repetitionStats(Tables.table(spark, dir, "documents"))
+        .localCheckpoint(true))
       .orderBy(col("doc_id").asc)
 
   private[queries] val ExactSubstrW = 5
@@ -428,8 +445,15 @@ object CorpusQueries {
     * 5×-narrower segment stream which stages to a 2× win. Keep the
     * inline form. */
   def q_exact_substring(spark: SparkSession, dir: String): DataFrame =
-    TextOps.exactSubstringDedup(
-      Tables.table(spark, dir, "documents"), ExactSubstrW)
+    // the rewritten docs materialize once before the contract orderBy
+    // (range sampling re-executed the whole gram-dedup + render
+    // segment; round-13 — distinct from the REJECTED r10 cross-
+    // consumer gram staging: this is one in-plan materialization of
+    // the final 5k-row output, not a persisted token stream)
+    graft.operators.CheckpointBlocks.retire(s"q_exact_substring.out|$dir",
+      TextOps.exactSubstringDedup(
+        Tables.table(spark, dir, "documents"), ExactSubstrW)
+        .localCheckpoint(true))
       .orderBy(col("doc_id").asc)
 
   /** C4-style keep-first span dedup ([[TextOps.dedupRewrite]]):

@@ -391,10 +391,7 @@ object TextOps {
     * branch is skipped, so nothing is paid at scale. Retired per
     * (site, n): part of the returned lazy plan. */
   private def shingleIncidence(docs: DataFrame, n: Int, site: String): DataFrame = {
-    val cores = docs.sparkSession.sparkContext.defaultParallelism
-    val wide =
-      if (docs.rdd.getNumPartitions >= cores) docs
-      else docs.repartition(cores, col("doc_id"))
+    val wide = graft.io.Scans.widenIfNarrow(docs, col("doc_id"))
     graft.operators.CheckpointBlocks.retire(s"$site|n=$n",
       withShingles(wide, n)
         .select(col("doc_id"), size(col("shingles")).as("n_sh"),
@@ -767,10 +764,18 @@ object TextOps {
     * the layout that keeps the candidate join bounded at corpus
     * scale (Google's 64-bit/Hamming-3 configuration). */
   def simhashNearPairs(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
-    val s = withSimhash(docs, n).select("doc_id", "simhash")
+    // simhash band rows sit on BOTH self-join sides — as two lazy
+    // branches the shingle+simhash pass ran twice per invocation, and
+    // a single-file snapshot pinned it to 1 scan task (round-13; the
+    // shingleIncidence rationale). Computed once, core-wide,
+    // checkpointed, retired per (n) site.
+    val s = withSimhash(graft.io.Scans.widenIfNarrow(docs, col("doc_id")), n)
+      .select("doc_id", "simhash")
     val bandArr = array((0 until 4).map(j => col("simhash").substr(j * 16 + 1, 16)): _*)
-    val br = s.select(col("doc_id"), col("simhash"),
-      posexplode(bandArr).as(Seq("band_idx", "band_val")))
+    val br = graft.operators.CheckpointBlocks.retire(s"TextOps.simhash.br|n=$n",
+      s.select(col("doc_id"), col("simhash"),
+        posexplode(bandArr).as(Seq("band_idx", "band_val")))
+        .localCheckpoint(true))
     // Hamming over 64-char bit-strings as codegen builtins, in two
     // 32-bit halves (a full 64-char parse could overflow signed
     // conv): parse base-2 → xor → popcount per half. Equal to the
